@@ -4,41 +4,56 @@ The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
 DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (nor in sophia_rs_ray) calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+# Make the library importable no matter where the driver initialised Ray
+# from: register the package for pickle-by-value so worker processes that
+# don't have this directory on sys.path can still run our UDFs.
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+try:
+    import sophia_rs_ray as _pkg
+    from ray import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(_pkg)
+except Exception:  # pragma: no cover — best-effort; driver usually runs in-repo
+    pass
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship KG-construction pipeline at sf0.001 scale: synthetic
+    Common-Crawl-style pages → extract (JSON-LD/microdata/RDFa +
+    visible text) → canonical NT triples → exact dedup → sort(S,P,O)."""
+    from sophia_rs_ray.pipelines.kg import kg_pipeline
+    from sophia_rs_ray.sources.pages import SF_PAGE_COUNTS, pages_dataset
+
+    pages = pages_dataset(SF_PAGE_COUNTS["0.001"])
+    return kg_pipeline(pages)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    """One entry per implemented operator/pipeline from SURVEY.md §2."""
+    from sophia_rs_ray.pipelines.queries import registry
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB oracles for the SQL-expressible entries (same column names,
+    matching rounding). Rows-only entries are omitted on purpose."""
+    from sophia_rs_ray.pipelines.queries import registry
+
+    return {name: sql for name, (_fn, sql) in registry().items()
+            if sql is not None}

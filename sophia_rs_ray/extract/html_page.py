@@ -1,0 +1,295 @@
+"""Deterministic single-pass HTML page extractor.
+
+North-rule stage (not in the reference — SURVEY.md §2.1 "north-rule-only
+sources"): pulls four things out of a Common-Crawl-style page in ONE pass
+of the stdlib ``html.parser.HTMLParser``:
+
+1. embedded JSON-LD blocks (``<script type="application/ld+json">``),
+2. microdata items (itemscope/itemtype/itemprop/itemid),
+3. RDFa-Lite statements (vocab/typeof/property/resource/about/content),
+4. **visible text** under the byte-identical-per-url invariant
+   (BASELINE.json ``input_hint``).
+
+Visible-text spec (the oracle contract — the synthetic page generator
+computes the expected text from the same rules without running this
+parser):
+
+- content of ``script``/``style``/``template``/``noscript`` and comments
+  is invisible;
+- every text node is whitespace-normalized (runs of ``\\s+`` → one
+  space);
+- a *block* boundary is opened/closed by: p, div, li, ul, ol, h1-h6, br,
+  tr, table, title, section, article, header, footer, blockquote, pre,
+  main, nav, aside, figcaption, span? (NO — span/a/em/strong/b/i are
+  inline);
+- the page text = ``"\\n".join`` of the non-empty trimmed block texts.
+
+The extractor is pure per-document state → a stateless ``map_batches``
+task in the pipeline.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+from typing import Dict, List, Optional, Tuple
+
+_WS_RUN = re.compile(r"\s+")
+
+BLOCK_TAGS = frozenset(
+    "p div li ul ol h1 h2 h3 h4 h5 h6 br tr table title section article "
+    "header footer blockquote pre main nav aside figcaption td th thead "
+    "tbody form".split()
+)
+SKIP_TAGS = frozenset("script style template noscript".split())
+VOID_TAGS = frozenset("br img meta link input hr area base col embed source track wbr".split())
+
+
+class _MicroItem:
+    __slots__ = ("types", "itemid", "props")
+
+    def __init__(self, types: List[str], itemid: Optional[str]):
+        self.types = types
+        self.itemid = itemid
+        self.props: List[Tuple[str, object]] = []  # (name, str | _MicroItem)
+
+
+class _RdfaNode:
+    __slots__ = ("types", "about", "vocab", "props")
+
+    def __init__(self, types: List[str], about: Optional[str], vocab: Optional[str]):
+        self.types = types
+        self.about = about
+        self.vocab = vocab
+        self.props: List[Tuple[str, str, object]] = []  # (prop, kind, value)
+        # kind ∈ {"literal", "iri", "node"}
+
+
+class PageExtractor(HTMLParser):
+    """One-pass extractor; feed() then read .jsonld_blocks, .micro_items,
+    .rdfa_roots, .visible_text()."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.jsonld_blocks: List[str] = []
+        self.micro_items: List[_MicroItem] = []
+        self.rdfa_roots: List[_RdfaNode] = []
+        self._blocks: List[str] = []
+        self._cur: List[str] = []
+        self._skip_depth = 0
+        self._in_ldjson = False
+        self._ld_buf: List[str] = []
+        # stacks
+        self._tags: List[str] = []
+        self._micro_stack: List[Tuple[int, _MicroItem]] = []
+        self._prop_stack: List[Tuple[int, List[str], List[str]]] = []  # (depth, names, buf)
+        self._rdfa_stack: List[Tuple[int, _RdfaNode]] = []
+        self._rdfa_prop_stack: List[Tuple[int, _RdfaNode, str, List[str]]] = []
+        self._vocab_stack: List[Tuple[int, str]] = []
+
+    # -- visible text ---------------------------------------------------
+
+    def _flush_block(self) -> None:
+        text = _WS_RUN.sub(" ", "".join(self._cur)).strip()
+        if text:
+            self._blocks.append(text)
+        self._cur = []
+
+    def visible_text(self) -> str:
+        return "\n".join(self._blocks)
+
+    # -- parser events --------------------------------------------------
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in VOID_TAGS:
+            self.handle_startendtag(tag, attrs)
+            return
+        a = dict(attrs)
+        self._tags.append(tag)
+        depth = len(self._tags)
+        if tag in SKIP_TAGS:
+            self._skip_depth += 1
+            if tag == "script" and (a.get("type") or "").strip().lower() == "application/ld+json":
+                self._in_ldjson = True
+                self._ld_buf = []
+            return
+        if tag in BLOCK_TAGS:
+            self._flush_block()
+        self._start_microdata(depth, tag, a)
+        self._start_rdfa(depth, tag, a)
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        a = dict(attrs)
+        if tag == "br":
+            self._flush_block()
+            return
+        depth = len(self._tags) + 1
+        # void elements can carry itemprop/property via content/href/src
+        if "itemprop" in a and self._micro_stack and "itemscope" not in a:
+            v = self._micro_value_from_attrs(tag, a)
+            if v is not None:
+                item = self._micro_stack[-1][1]
+                for name in a["itemprop"].split():
+                    item.props.append((name, v))
+        if "property" in a and self._rdfa_stack:
+            node = self._rdfa_stack[-1][1]
+            if "content" in a:
+                for p in a["property"].split():
+                    node.props.append((p, "literal", a["content"]))
+            elif "href" in a or "src" in a:
+                v = a.get("href", a.get("src", ""))
+                for p in a["property"].split():
+                    node.props.append((p, "iri", v))
+        _ = depth
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in VOID_TAGS:
+            return
+        # pop back to the matching open tag (tolerate unbalanced HTML)
+        if tag not in self._tags:
+            return
+        while self._tags:
+            depth = len(self._tags)
+            top = self._tags.pop()
+            if top in SKIP_TAGS:
+                self._skip_depth = max(0, self._skip_depth - 1)
+                if top == "script" and self._in_ldjson:
+                    self.jsonld_blocks.append("".join(self._ld_buf))
+                    self._in_ldjson = False
+            else:
+                if top in BLOCK_TAGS:
+                    self._flush_block()
+                self._end_microdata(depth)
+                self._end_rdfa(depth)
+            if top == tag:
+                break
+
+    def handle_data(self, data: str) -> None:
+        if self._in_ldjson:
+            self._ld_buf.append(data)
+            return
+        if self._skip_depth:
+            return
+        self._cur.append(data)
+        for _, _, buf in self._prop_stack:
+            buf.append(data)
+        for _, _, _, buf in self._rdfa_prop_stack:
+            buf.append(data)
+
+    def close(self) -> None:
+        super().close()
+        # flush any unclosed structure
+        while self._tags:
+            depth = len(self._tags)
+            top = self._tags.pop()
+            if top in SKIP_TAGS:
+                self._skip_depth = max(0, self._skip_depth - 1)
+                if top == "script" and self._in_ldjson:
+                    self.jsonld_blocks.append("".join(self._ld_buf))
+                    self._in_ldjson = False
+            else:
+                self._end_microdata(depth)
+                self._end_rdfa(depth)
+        self._flush_block()
+
+    # -- microdata ------------------------------------------------------
+
+    @staticmethod
+    def _micro_value_from_attrs(tag: str, a: Dict[str, str]) -> Optional[str]:
+        if "content" in a:
+            return a["content"]
+        if tag in ("a", "area", "link") and "href" in a:
+            return ("@iri", a["href"])  # type: ignore[return-value]
+        if tag in ("img", "audio", "video", "embed", "iframe", "source") and "src" in a:
+            return ("@iri", a["src"])  # type: ignore[return-value]
+        if tag == "time" and "datetime" in a:
+            return a["datetime"]
+        if tag == "meta":
+            return a.get("content", "")
+        return None
+
+    def _start_microdata(self, depth: int, tag: str, a: Dict[str, str]) -> None:
+        if "itemscope" in a:
+            types = (a.get("itemtype") or "").split()
+            item = _MicroItem(types, a.get("itemid"))
+            if "itemprop" in a and self._micro_stack:
+                parent = self._micro_stack[-1][1]
+                for name in a["itemprop"].split():
+                    parent.props.append((name, item))
+            else:
+                self.micro_items.append(item)
+            self._micro_stack.append((depth, item))
+        elif "itemprop" in a and self._micro_stack:
+            v = self._micro_value_from_attrs(tag, a)
+            names = a["itemprop"].split()
+            if v is not None:
+                item = self._micro_stack[-1][1]
+                for name in names:
+                    item.props.append((name, v))
+            else:
+                self._prop_stack.append((depth, names, []))
+
+    def _end_microdata(self, depth: int) -> None:
+        if self._micro_stack and self._micro_stack[-1][0] == depth:
+            self._micro_stack.pop()
+        if self._prop_stack and self._prop_stack[-1][0] == depth:
+            _, names, buf = self._prop_stack.pop()
+            value = _WS_RUN.sub(" ", "".join(buf)).strip()
+            if self._micro_stack:
+                item = self._micro_stack[-1][1]
+                for name in names:
+                    item.props.append((name, value))
+
+    # -- RDFa Lite ------------------------------------------------------
+
+    def _cur_vocab(self) -> Optional[str]:
+        return self._vocab_stack[-1][1] if self._vocab_stack else None
+
+    def _start_rdfa(self, depth: int, tag: str, a: Dict[str, str]) -> None:
+        if "vocab" in a:
+            self._vocab_stack.append((depth, a["vocab"]))
+        if "typeof" in a:
+            about = a.get("about", a.get("resource"))
+            node = _RdfaNode((a.get("typeof") or "").split(), about, self._cur_vocab())
+            if "property" in a and self._rdfa_stack:
+                parent = self._rdfa_stack[-1][1]
+                for p in a["property"].split():
+                    parent.props.append((p, "node", node))
+            else:
+                self.rdfa_roots.append(node)
+            self._rdfa_stack.append((depth, node))
+        elif "property" in a and self._rdfa_stack:
+            node = self._rdfa_stack[-1][1]
+            if "content" in a:
+                for p in a["property"].split():
+                    node.props.append((p, "literal", a["content"]))
+            elif "resource" in a:
+                for p in a["property"].split():
+                    node.props.append((p, "iri", a["resource"]))
+            elif "href" in a:
+                for p in a["property"].split():
+                    node.props.append((p, "iri", a["href"]))
+            else:
+                for p in a["property"].split():
+                    self._rdfa_prop_stack.append((depth, node, p, []))
+
+    def _end_rdfa(self, depth: int) -> None:
+        while self._rdfa_prop_stack and self._rdfa_prop_stack[-1][0] == depth:
+            _, node, p, buf = self._rdfa_prop_stack.pop()
+            node.props.append((p, "literal", _WS_RUN.sub(" ", "".join(buf)).strip()))
+        if self._rdfa_stack and self._rdfa_stack[-1][0] == depth:
+            self._rdfa_stack.pop()
+        if self._vocab_stack and self._vocab_stack[-1][0] == depth:
+            self._vocab_stack.pop()
+
+
+def extract_page(html: str):
+    """Parse one HTML document → (visible_text, jsonld_blocks, micro_items,
+    rdfa_roots). Never raises on malformed HTML (best-effort recovery)."""
+    p = PageExtractor()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:  # noqa: BLE001 — malformed page must not kill a batch
+        p._flush_block()
+    return p.visible_text(), p.jsonld_blocks, p.micro_items, p.rdfa_roots

@@ -1,0 +1,134 @@
+"""Near-duplicate detection kernels: MinHash+LSH, SimHash, n-gram
+Jaccard — the SURVEY §2.8 "north-rule" dedup family.
+
+Scale shape (the canonical Ray Data pattern):
+  map_batches(minhash signatures)            — vectorized numpy, stateless
+  → flat explode to (band_id, band_hash, id) — one row per band
+  → groupby(band_id, band_hash)              — THE shuffle; salted if hot
+  → per-bucket candidate pairs (capped)      — skew guard
+  → verify Jaccard → connected components (iterated min-label
+    propagation groupby — driver-bounded fixpoint).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Set, Tuple
+
+import numpy as np
+import pyarrow as pa
+
+_MERSENNE = (1 << 61) - 1
+_TOKEN = re.compile(r"\W+", re.U)
+
+
+def _perm_params(n_perm: int, seed: int = 42) -> Tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, n_perm, dtype=np.uint64)
+    b = rng.randint(0, _MERSENNE, n_perm, dtype=np.uint64)
+    return a, b
+
+
+def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """k-word shingles → 64-bit hashes (stable across processes)."""
+    import hashlib
+
+    toks = [t for t in _TOKEN.split(text.lower()) if t]
+    if len(toks) < k:
+        toks = toks + [""] * (k - len(toks))
+    out = set()
+    for i in range(max(1, len(toks) - k + 1)):
+        sh = " ".join(toks[i:i + k]).encode()
+        out.add(int.from_bytes(hashlib.blake2b(sh, digest_size=8).digest(), "big"))
+    return np.fromiter(out, np.uint64, len(out))
+
+
+def minhash_signature(hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(a*x + b) mod p MinHash, fully vectorized (perms × shingles).
+    The uint64 multiply wraps mod 2^64 before the mod-p reduction — not
+    exact universal hashing, but deterministic and well-mixed (the same
+    shortcut the common Python MinHash implementations take)."""
+    if len(hashes) == 0:
+        return np.full(len(a), np.iinfo(np.uint64).max, np.uint64)
+    with np.errstate(over="ignore"):
+        vals = (a[:, None] * hashes[None, :] + b[:, None]) % np.uint64(_MERSENNE)
+    return vals.min(axis=1)
+
+
+class MinHasher:
+    """Stateful hasher for actor-pool use: permutation params built once
+    in __init__ (per actor), applied per batch."""
+
+    def __init__(self, n_perm: int = 64, k: int = 3, seed: int = 42):
+        self.a, self.b = _perm_params(n_perm, seed)
+        self.k = k
+        self.n_perm = n_perm
+
+    def signature(self, text: str) -> np.ndarray:
+        return minhash_signature(shingle_hashes(text, self.k), self.a, self.b)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs = [self.signature(t or "") for t in batch["text"].to_pylist()]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "sig": pa.array([s.astype(np.int64) - (1 << 63) for s in sigs],
+                            pa.list_(pa.int64())),
+        })
+
+
+def band_rows(batch: pa.Table, n_bands: int, rows_per_band: int) -> pa.Table:
+    """Explode signatures to (band_id, band_hash, doc_id) rows."""
+    import hashlib
+
+    ids, bands, hashes = [], [], []
+    for doc_id, sig in zip(batch["doc_id"].to_pylist(),
+                           batch["sig"].to_pylist()):
+        arr = np.asarray(sig, np.int64)
+        for bi in range(n_bands):
+            seg = arr[bi * rows_per_band:(bi + 1) * rows_per_band]
+            h = hashlib.blake2b(seg.tobytes(), digest_size=8).digest()
+            ids.append(doc_id)
+            bands.append(bi)
+            hashes.append(int.from_bytes(h, "big") - (1 << 63))
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "band_id": pa.array(bands, pa.int32()),
+                     "band_hash": pa.array(hashes, pa.int64())})
+
+
+def candidate_pairs_from_bucket(doc_ids: List[int], cap: int = 50) -> List[Tuple[int, int]]:
+    """Pairs within an LSH bucket, capped per bucket (hub/skew guard —
+    SURVEY §4.2: cap pair generation in LSH)."""
+    doc_ids = sorted(set(doc_ids))[: cap]
+    return [(a, b) for i, a in enumerate(doc_ids) for b in doc_ids[i + 1:]]
+
+
+def jaccard(a: Set[int], b: Set[int]) -> float:
+    if not a and not b:
+        return 1.0
+    return len(a & b) / len(a | b)
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word features."""
+    import hashlib
+
+    v = np.zeros(64, np.int64)
+    for tok in set(t for t in _TOKEN.split(text.lower()) if t):
+        h = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+        bits = np.array([(h >> i) & 1 for i in range(64)], np.int64)
+        v += bits * 2 - 1
+    out = 0
+    for i in range(64):
+        if v[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def simhash_batch(b: pa.Table) -> pa.Table:
+    hs = [simhash64(t or "") for t in b["text"].to_pylist()]
+    return pa.table({"doc_id": b["doc_id"],
+                     "simhash": pa.array([h - (1 << 63) for h in hs], pa.int64())})
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")

@@ -1,0 +1,100 @@
+"""Text-analysis kernels for the documents table (training-data ops).
+
+All are vectorized/batched ``map_batches`` bodies; the regexes and
+profiles are module-level constants (compiled once per worker import) —
+stateless tasks, no actor needed.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List
+
+import numpy as np
+import pyarrow as pa
+
+_TOKEN_SPLIT = re.compile(r"\s+")
+_WORD = re.compile(r"[a-zA-Z']+")
+
+#: tiny per-language stopword profiles for the n-gram/stopword heuristic
+_LANG_PROFILES: Dict[str, frozenset] = {
+    "en": frozenset("the of and to a in is that it for on with as at by".split()),
+    "fr": frozenset("le la les de des du et un une est pour dans que au avec".split()),
+    "de": frozenset("der die das und ist von zu mit den im für auf ein eine".split()),
+    "es": frozenset("el la los las de y un una es en que para con por del".split()),
+}
+
+
+def tokens_of(text: str) -> List[str]:
+    return [t for t in _TOKEN_SPLIT.split(text) if t]
+
+
+def token_count_batch(b: pa.Table) -> pa.Table:
+    """(doc_id, text) → (doc_id, n_tokens). Whitespace tokenization,
+    empty tokens dropped — mirrored exactly by the DuckDB oracle
+    (``string_split_regex`` + filter)."""
+    texts = b["text"].to_pylist()
+    counts = [len(tokens_of(t or "")) for t in texts]
+    return pa.table({"doc_id": b["doc_id"],
+                     "n_tokens": pa.array(counts, pa.int64())})
+
+
+def quality_batch(b: pa.Table) -> pa.Table:
+    """(doc_id, text) → quality features. All INTEGER-valued on purpose:
+    ratios (mean token length, alpha ratio) are left to the consumer so
+    the oracle comparison is hash-exact (no float rounding-mode traps).
+    alpha counts [A-Za-z] only (ASCII), mirroring the SQL regexp."""
+    texts = [t or "" for t in b["text"].to_pylist()]
+    n_chars = np.array([len(t) for t in texts], np.int64)
+    tok_lists = [tokens_of(t) for t in texts]
+    n_tokens = np.array([len(ts) for ts in tok_lists], np.int64)
+    tok_chars = np.array([sum(len(w) for w in ts) for ts in tok_lists], np.int64)
+    alpha = np.array(
+        [sum(("a" <= c <= "z") or ("A" <= c <= "Z") for c in t) for t in texts],
+        np.int64)
+    return pa.table({
+        "doc_id": b["doc_id"],
+        "n_chars": pa.array(n_chars),
+        "n_tokens": pa.array(n_tokens),
+        "token_chars": pa.array(tok_chars),
+        "alpha_chars": pa.array(alpha),
+    })
+
+
+def lang_id_batch(b: pa.Table) -> pa.Table:
+    """(doc_id, text) → (doc_id, pred_lang, score). Stopword-profile
+    heuristic; deterministic tie-break by language code."""
+    texts = [t or "" for t in b["text"].to_pylist()]
+    preds, scores = [], []
+    for t in texts:
+        words = set(w.lower() for w in _WORD.findall(t[:2000]))
+        best_lang, best = "und", 0.0
+        for lang in sorted(_LANG_PROFILES):
+            prof = _LANG_PROFILES[lang]
+            hit = len(words & prof) / len(prof)
+            if hit > best:
+                best_lang, best = lang, hit
+        preds.append(best_lang)
+        scores.append(round(best, 4))
+    return pa.table({"doc_id": b["doc_id"],
+                     "pred_lang": pa.array(preds, pa.string()),
+                     "score": pa.array(scores, pa.float64())})
+
+
+_FP_BASE = np.uint64(1099511628211)
+_FP_OFF = np.uint64(14695981039346656037)
+
+
+def fingerprint64(text: str) -> int:
+    """FNV-1a 64-bit document fingerprint (rolling content hash)."""
+    h = _FP_OFF
+    for byt in text.encode("utf-8"):
+        h = np.uint64((int(h) ^ byt) * int(_FP_BASE) & 0xFFFFFFFFFFFFFFFF)
+    return int(h)
+
+
+def fingerprint_batch(b: pa.Table) -> pa.Table:
+    fps = [fingerprint64(t or "") for t in b["text"].to_pylist()]
+    return pa.table({"doc_id": b["doc_id"],
+                     "fingerprint": pa.array([f - (1 << 63) for f in fps],
+                                             pa.int64())})

@@ -1,0 +1,325 @@
+"""JSON-LD → RDF triples (deterministic expansion subset).
+
+Plays the role of the reference's ``JsonLdParser``
+(``jsonld/src/parser.rs:42``, options ``jsonld/src/options.rs:34``) for the
+embedded-in-web-pages use case. Like the reference's default
+``NoLoader``, no remote contexts are ever dereferenced — a small
+compiled-in mapping covers the contexts that occur in web data
+(schema.org); inline dict contexts are fully supported.
+
+Supported subset (documented deviations from full JSON-LD 1.1):
+
+- ``@context``: inline dicts (term→IRI, prefix→IRI, ``@vocab``, ``@base``,
+  term defs with ``@id``/``@type: @id``), arrays of contexts, and the
+  well-known remote contexts ``http(s)://schema.org[/]`` (mapped to
+  ``@vocab: http://schema.org/``);  other remote contexts are ignored
+  (their terms then drop, as with NoLoader).
+- node objects: ``@id`` (resolved against base), ``@type``, ``@graph``,
+  nested node objects (→ blank nodes), arrays, ``@list`` (rdf:first/rest
+  chains), value objects (``@value`` + ``@language``/``@direction``/
+  ``@type``), ``@reverse`` NOT supported (dropped).
+- native values: string → xsd:string, bool → xsd:boolean, integral
+  number → xsd:integer, other number → canonical xsd:double (JSON-LD
+  data round-tripping, e.g. ``5.5 → "5.5E0"``).
+- terms that expand to neither an absolute IRI nor a keyword are dropped
+  (standard expansion behavior).
+
+Blank node labels are ``b0, b1, …`` in document order — deterministic, so
+downstream skolemization (suffix = h(url‖extractor), SURVEY §2.1) is
+reproducible.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Dict, List, Optional, Tuple
+
+from .iri import is_absolute_iri, resolve
+from .terms import (
+    DIR_LTR,
+    DIR_RTL,
+    KIND_IRI,
+    RDF,
+    Term,
+    XSD_BOOLEAN,
+    XSD_DOUBLE,
+    XSD_INTEGER,
+    XSD_STRING,
+    bnode,
+    iri,
+    langlit,
+    literal,
+)
+
+RDF_FIRST = RDF + "first"
+RDF_REST = RDF + "rest"
+RDF_NIL = RDF + "nil"
+
+#: compiled-in stand-ins for common remote contexts (NoLoader analogue)
+_KNOWN_REMOTE = {
+    "http://schema.org": {"@vocab": "http://schema.org/"},
+    "http://schema.org/": {"@vocab": "http://schema.org/"},
+    "https://schema.org": {"@vocab": "http://schema.org/"},
+    "https://schema.org/": {"@vocab": "http://schema.org/"},
+}
+
+_KEYWORDS = frozenset((
+    "@context", "@id", "@type", "@value", "@language", "@direction",
+    "@graph", "@list", "@set", "@reverse", "@base", "@vocab", "@index",
+    "@nest", "@json", "@none",
+))
+
+
+def canonical_double(v: float) -> str:
+    """Canonical xsd:double lexical form (JSON-LD data round-tripping):
+    one nonzero digit before the dot, trailing zeros trimmed, exponent
+    without '+'/leading zeros. ``5.5 → "5.5E0"``, ``-0.75 → "-7.5E-1"``."""
+    if v != v:
+        return "NaN"
+    if v == float("inf"):
+        return "INF"
+    if v == float("-inf"):
+        return "-INF"
+    mant, _, exp = f"{v:.15E}".partition("E")
+    mant = mant.rstrip("0")
+    if mant.endswith("."):
+        mant += "0"
+    # shorten mantissa if a shorter repr round-trips
+    short = repr(v)
+    if "e" not in short and "E" not in short and "." in short:
+        # re-derive from shortest repr
+        neg = short.startswith("-")
+        digits = short.lstrip("-").replace(".", "")
+        point = short.lstrip("-").index(".")
+        digits = digits.lstrip("0")
+        lead_zeros = len(short.lstrip("-").replace(".", "")) - len(digits)
+        e = point - 1 - lead_zeros
+        digits = digits.rstrip("0") or "0"
+        m = digits[0] + "." + (digits[1:] or "0")
+        return ("-" if neg else "") + m + "E" + str(e)
+    return mant + "E" + str(int(exp))
+
+
+class _Context:
+    __slots__ = ("terms", "vocab", "base")
+
+    def __init__(self, base: Optional[str]):
+        self.terms: Dict[str, dict] = {}
+        self.vocab: Optional[str] = None
+        self.base = base
+
+    def copy(self) -> "_Context":
+        c = _Context(self.base)
+        c.terms = dict(self.terms)
+        c.vocab = self.vocab
+        return c
+
+    def apply(self, ctx: Any) -> "_Context":
+        out = self.copy()
+        for part in ctx if isinstance(ctx, list) else [ctx]:
+            if isinstance(part, str):
+                part = _KNOWN_REMOTE.get(part.rstrip("/") if part.rstrip("/") in
+                                         _KNOWN_REMOTE else part, _KNOWN_REMOTE.get(part))
+                if part is None:
+                    continue  # unknown remote context: NoLoader behavior
+            if part is None:
+                out = _Context(self.base)
+                continue
+            if not isinstance(part, dict):
+                continue
+            if "@vocab" in part:
+                out.vocab = part["@vocab"]
+            if "@base" in part and isinstance(part["@base"], str):
+                out.base = (resolve(out.base, part["@base"])
+                            if out.base else part["@base"])
+            for term, defn in part.items():
+                if term.startswith("@"):
+                    continue
+                if isinstance(defn, str):
+                    out.terms[term] = {"@id": defn}
+                elif isinstance(defn, dict) and "@id" in defn:
+                    out.terms[term] = defn
+                elif defn is None:
+                    out.terms.pop(term, None)
+        return out
+
+    def expand_iri(self, value: str, vocab: bool = False) -> Optional[str]:
+        """Expand a term/compact IRI/IRI-ref. vocab=True for predicates and
+        types (uses term defs + @vocab); else document-relative."""
+        if not isinstance(value, str) or value.startswith("@"):
+            return None
+        if vocab and value in self.terms:
+            mapped = self.terms[value]["@id"]
+            if mapped == value:  # guard degenerate self-mapping
+                return mapped
+            return self.expand_iri(mapped, vocab=True) or mapped
+        i = value.find(":")
+        if i > 0:
+            prefix, suffix = value[:i], value[i + 1:]
+            if not suffix.startswith("//") and prefix in self.terms:
+                return self.terms[prefix]["@id"] + suffix
+            if is_absolute_iri(value):
+                return value
+        if vocab:
+            if self.vocab:
+                return self.vocab + value
+            return None  # relative term without vocab: dropped
+        if self.base:
+            return resolve(self.base, value)
+        return None
+
+
+class JsonLdExpander:
+    """One document → list of (s, p, o, graph) with deterministic bnodes."""
+
+    def __init__(self, base: Optional[str] = None):
+        self.base = base
+        self.counter = 0
+        self.triples: List[Tuple[Term, Term, Term, Optional[Term]]] = []
+
+    def fresh_bnode(self) -> Term:
+        t = bnode(f"b{self.counter}")
+        self.counter += 1
+        return t
+
+    def to_rdf(self, doc: Any) -> List[Tuple[Term, Term, Term, Optional[Term]]]:
+        ctx = _Context(self.base)
+        self._node(doc, ctx, graph=None)
+        return self.triples
+
+    # ------------------------------------------------------------------
+
+    def _node(self, obj: Any, ctx: _Context, graph: Optional[Term]) -> Optional[Term]:
+        """Process a node object / array; return its subject term."""
+        if isinstance(obj, list):
+            for item in obj:
+                self._node(item, ctx, graph)
+            return None
+        if not isinstance(obj, dict):
+            return None
+        if "@context" in obj:
+            ctx = ctx.apply(obj["@context"])
+        subject: Optional[Term] = None
+        if "@id" in obj and isinstance(obj["@id"], str):
+            sid = obj["@id"]
+            if sid.startswith("_:"):
+                subject = bnode(sid[2:])
+            else:
+                expanded = ctx.expand_iri(sid, vocab=False)
+                if expanded is not None:
+                    subject = iri(expanded)
+        has_props = any(not k.startswith("@") for k in obj) or "@type" in obj
+        if subject is None and (has_props or "@graph" in obj):
+            subject = self.fresh_bnode() if has_props else None
+
+        if "@graph" in obj:
+            g = subject if subject is not None and subject[0] == KIND_IRI else None
+            self._node(obj["@graph"], ctx, g if g is not None else graph)
+
+        if subject is None:
+            return None
+
+        types = obj.get("@type", [])
+        for t in types if isinstance(types, list) else [types]:
+            expanded = ctx.expand_iri(t, vocab=True) if isinstance(t, str) else None
+            if expanded:
+                self.triples.append((subject, iri(RDF + "type"), iri(expanded), graph))
+
+        for key, value in obj.items():
+            if key.startswith("@"):
+                continue
+            pred_iri = ctx.expand_iri(key, vocab=True)
+            if pred_iri is None or not is_absolute_iri(pred_iri):
+                continue
+            pred = iri(pred_iri)
+            tdef = ctx.terms.get(key, {})
+            for v in value if isinstance(value, list) else [value]:
+                o = self._value(v, ctx, graph, tdef)
+                if o is not None:
+                    self.triples.append((subject, pred, o, graph))
+        return subject
+
+    def _value(self, v: Any, ctx: _Context, graph: Optional[Term],
+               tdef: dict) -> Optional[Term]:
+        if isinstance(v, dict):
+            if "@list" in v:
+                items = v["@list"]
+                items = items if isinstance(items, list) else [items]
+                return self._make_list(items, ctx, graph, tdef)
+            if "@value" in v:
+                return self._value_object(v, ctx)
+            return self._node(v, ctx, graph)
+        if isinstance(v, bool):
+            return literal("true" if v else "false", XSD_BOOLEAN)
+        if isinstance(v, int):
+            return literal(str(v), XSD_INTEGER)
+        if isinstance(v, float):
+            # JSON numbers with a fraction/exponent part → xsd:double
+            # (syntactic integers parse to Python int → xsd:integer above)
+            return literal(canonical_double(v), XSD_DOUBLE)
+        if isinstance(v, str):
+            t = tdef.get("@type")
+            if t == "@id":
+                expanded = ctx.expand_iri(v, vocab=False)
+                return iri(expanded) if expanded else None
+            if isinstance(t, str) and not t.startswith("@"):
+                dt = ctx.expand_iri(t, vocab=True)
+                if dt:
+                    return literal(v, dt)
+            lang = tdef.get("@language")
+            if lang:
+                return langlit(v, lang)
+            return literal(v, XSD_STRING)
+        return None
+
+    def _value_object(self, v: dict, ctx: _Context) -> Optional[Term]:
+        val = v["@value"]
+        if "@type" in v and isinstance(v["@type"], str):
+            dt = ctx.expand_iri(v["@type"], vocab=True)
+            if dt is None:
+                return None
+            if isinstance(val, bool):
+                val = "true" if val else "false"
+            return literal(str(val), dt)
+        if isinstance(val, bool):
+            return literal("true" if val else "false", XSD_BOOLEAN)
+        if isinstance(val, int):
+            return literal(str(val), XSD_INTEGER)
+        if isinstance(val, float):
+            return literal(canonical_double(val), XSD_DOUBLE)
+        if not isinstance(val, str):
+            return None
+        lang = v.get("@language")
+        if lang:
+            d = v.get("@direction")
+            direction = DIR_LTR if d == "ltr" else DIR_RTL if d == "rtl" else 0
+            return langlit(val, lang, direction)
+        return literal(val, XSD_STRING)
+
+    def _make_list(self, items: list, ctx: _Context, graph: Optional[Term],
+                   tdef: dict) -> Term:
+        if not items:
+            return iri(RDF_NIL)
+        nodes = [self.fresh_bnode() for _ in items]
+        for i, (n, item) in enumerate(zip(nodes, items)):
+            o = self._value(item, ctx, graph, tdef)
+            if o is not None:
+                self.triples.append((n, iri(RDF_FIRST), o, graph))
+            rest: Term = nodes[i + 1] if i + 1 < len(nodes) else iri(RDF_NIL)
+            self.triples.append((n, iri(RDF_REST), rest, graph))
+        return nodes[0]
+
+
+def jsonld_to_triples(
+    text: str, base: Optional[str] = None
+) -> Tuple[List[Tuple[Term, Term, Term, Optional[Term]]], Optional[str]]:
+    """Parse + expand one JSON-LD document → (triples, error). Parse errors
+    are returned, not raised (per-row error semantics)."""
+    try:
+        doc = json.loads(text)
+    except (json.JSONDecodeError, RecursionError) as e:
+        return [], f"json: {e}"
+    try:
+        return JsonLdExpander(base).to_rdf(doc), None
+    except (RecursionError, ValueError, TypeError, KeyError) as e:
+        return [], f"jsonld: {e}"

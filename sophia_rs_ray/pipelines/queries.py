@@ -1,0 +1,304 @@
+"""Registry backing ``__ray_entry__.queries()`` / ``oracle_sql()``.
+
+Each entry is one operator/pipeline from SURVEY.md §2 (or a north-rule
+training-data op), as ``name -> (callable(sf_dir) -> Dataset|Table,
+oracle_sql | None)``. SQL-expressible entries carry an exact DuckDB
+oracle (identical column names + matching rounding semantics); the rest
+are rows-only checked by the driver and covered by pytest oracles
+instead.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from . import relational as R
+from .doc_triples import DC_LANGUAGE, DOC_TRIPLES_SQL, doc_triples
+
+Registry = Dict[str, Tuple[Callable, Optional[str]]]
+
+
+# ---------------------------------------------------------------------------
+# graph operators over the doc-triples table (SQL-checkable)
+# ---------------------------------------------------------------------------
+
+def _triples_dedup(sf_dir: str):
+    """SetGraph semantics: bag-union of the table with itself dedups back
+    to the set (api/src/graph.rs:570 / SURVEY §2.8)."""
+    from ..stages.dedup import dedup_triples
+
+    ds = doc_triples(sf_dir)
+    return dedup_triples(ds.union(doc_triples(sf_dir)), carry_min=())
+
+
+TRIPLES_DEDUP_SQL = f"""
+SELECT DISTINCT s, p, o FROM (
+  {DOC_TRIPLES_SQL} UNION ALL {DOC_TRIPLES_SQL}
+)
+"""
+
+
+def _predicate_count(sf_dir: str):
+    """POS-index-style aggregate: triples per predicate, with per-batch
+    partial aggregation before the groupby shuffle."""
+    from ray.data.aggregate import Sum
+
+    ds = doc_triples(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"p": b["p"], "one": pa.array([1] * len(b), pa.int64())})
+        return t.group_by("p").aggregate([("one", "sum")])
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("p").aggregate(Sum("one_sum", alias_name="n")))
+
+
+PREDICATE_COUNT_SQL = f"""
+SELECT p, count(*) AS n FROM ({DOC_TRIPLES_SQL}) GROUP BY p
+"""
+
+
+def _subjects_distinct(sf_dir: str):
+    """`Graph::subjects()` projection with dedup (api/src/graph.rs:193)."""
+    from ray.data.aggregate import Count
+
+    ds = doc_triples(sf_dir)
+    agg = ds.groupby("s").aggregate(Count(alias_name="_n"))
+    return agg.map_batches(lambda b: b.select(["s"]), batch_format="pyarrow")
+
+
+SUBJECTS_DISTINCT_SQL = f"SELECT DISTINCT s FROM ({DOC_TRIPLES_SQL})"
+
+
+def _triples_matching(sf_dir: str):
+    """`triples_matching(Any, <dc:language>, Any)` — constant-predicate
+    pattern filter (api/src/graph.rs:160-174)."""
+    ds = doc_triples(sf_dir)
+    pred = f"<{DC_LANGUAGE}>"
+    return ds.map_batches(
+        lambda b: b.filter(pc.equal(b["p"], pa.scalar(pred))).select(["s", "o"]),
+        batch_format="pyarrow")
+
+
+TRIPLES_MATCHING_SQL = f"""
+SELECT s, o FROM ({DOC_TRIPLES_SQL}) WHERE p = '<{DC_LANGUAGE}>'
+"""
+
+
+def _sort_spo_limit(sf_dir: str):
+    """Term-order sort (SPO) + LIMIT (exec.rs:826-941; both engines sort
+    the canonical NT byte strings, ASCII → identical collation)."""
+    return doc_triples(sf_dir).sort(["s", "p", "o"]).limit(100)
+
+
+SORT_SPO_SQL = f"SELECT s, p, o FROM ({DOC_TRIPLES_SQL}) ORDER BY s, p, o LIMIT 100"
+
+
+# ---------------------------------------------------------------------------
+# training-data ops over documents / embeddings
+# ---------------------------------------------------------------------------
+
+def _dedup_exact_docs(sf_dir: str):
+    """Exact near... exact duplicate grouping by full text content:
+    hash-partition on content key, keep min(doc_id) + multiplicity."""
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def keyed(b: pa.Table) -> pa.Table:
+        import hashlib
+        keys = [hashlib.sha256((t or "").encode()).hexdigest()
+                for t in b["text"].to_pylist()]
+        t = pa.table({"k": pa.array(keys), "doc_id": b["doc_id"],
+                      "one": pa.array([1] * len(b), pa.int64())})
+        return t.group_by("k").aggregate([("doc_id", "min"), ("one", "sum")])
+
+    agg = (ds.map_batches(keyed, batch_format="pyarrow")
+           .groupby("k").aggregate(Min("doc_id_min", alias_name="rep_id"),
+                                   Sum("one_sum", alias_name="n_dups")))
+    return agg.map_batches(lambda b: b.select(["rep_id", "n_dups"]),
+                           batch_format="pyarrow")
+
+
+DEDUP_EXACT_SQL = """
+SELECT min(doc_id) AS rep_id, count(*) AS n_dups FROM documents GROUP BY text
+"""
+
+
+def _token_counts(sf_dir: str):
+    import ray.data as rd
+
+    from ..functions.text import token_count_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(token_count_batch, batch_format="pyarrow")
+
+
+TOKEN_COUNTS_SQL = r"""
+SELECT doc_id,
+       len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens
+FROM documents
+"""
+
+
+def _quality(sf_dir: str):
+    import ray.data as rd
+
+    from ..functions.text import quality_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(quality_batch, batch_format="pyarrow")
+
+
+QUALITY_SQL = r"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens,
+       cast(list_aggregate(list_transform(
+           list_filter(string_split_regex(text, '\s+'), x -> x <> ''),
+           x -> length(x)), 'sum') AS BIGINT) AS token_chars,
+       length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha_chars
+FROM documents
+"""
+
+
+def _knn(sf_dir: str):
+    """Brute-force cosine top-10 neighbors of vec_id 0 (SURVEY: similarity
+    search baseline; broadcast query vector, per-batch numpy matmul,
+    global sort+limit)."""
+    import ray.data as rd
+
+    from ..functions.knn import brute_force_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    q = None
+    for b in ds.iter_batches(batch_size=256, batch_format="pyarrow"):
+        ids = b["vec_id"].to_pylist()
+        if 0 in ids:
+            q = b["embedding"].to_pylist()[ids.index(0)]
+            break
+    assert q is not None, "vec_id 0 missing"
+    out = brute_force_topk(ds, q, k=10, exclude_id=0)
+    return out.map_batches(
+        lambda b: pa.table({"neighbor_id": b["vec_id"], "sim": b["sim"]}),
+        batch_format="pyarrow")
+
+
+KNN_SQL = """
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+SELECT vec_id AS neighbor_id,
+       round(list_cosine_similarity(embedding::DOUBLE[], (SELECT embedding FROM q)::DOUBLE[]), 4) AS sim
+FROM embeddings WHERE vec_id <> 0
+ORDER BY sim DESC, vec_id LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# rows-only entries (non-SQL-expressible; pytest carries their oracles)
+# ---------------------------------------------------------------------------
+
+def _sf_of(sf_dir: str) -> str:
+    import re
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return m.group(1) if m else "0.01"
+
+
+def _kg_pipeline(sf_dir: str):
+    """Flagship: synthetic pages (deterministic, sf-proportional) →
+    extract → dedup → sorted (s,p,o,url). Rows-only for the driver;
+    P/R vs the template oracle is asserted in tests/test_pipeline.py."""
+    from ..pipelines.kg import kg_pipeline
+    from ..sources.pages import SF_PAGE_COUNTS, pages_dataset
+
+    n = SF_PAGE_COUNTS.get(_sf_of(sf_dir), 5000)
+    return kg_pipeline(pages_dataset(n))
+
+
+def _extract_text(sf_dir: str):
+    from ..pipelines.kg import extract_text
+    from ..sources.pages import SF_PAGE_COUNTS, pages_dataset
+
+    n = SF_PAGE_COUNTS.get(_sf_of(sf_dir), 5000)
+    return extract_text(pages_dataset(n))
+
+
+def _lang_id(sf_dir: str):
+    import ray.data as rd
+
+    from ..functions.text import lang_id_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(lang_id_batch, batch_format="pyarrow")
+
+
+def _simhash(sf_dir: str):
+    import ray.data as rd
+
+    from ..functions.text import fingerprint_batch
+    from ..functions.dedup import simhash_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    sh = ds.map_batches(simhash_batch, batch_format="pyarrow")
+    fp = ds.map_batches(fingerprint_batch, batch_format="pyarrow")
+    return sh.join(fp, "inner", num_partitions=4,
+                   on=("doc_id",))
+
+
+def _minhash_bands(sf_dir: str):
+    """MinHash-LSH banding rows (doc_id, band_id, band_hash) — the
+    blocking stage of near-dup dedup (SURVEY §2.8)."""
+    import ray.data as rd
+
+    from ..functions.dedup import MinHasher, band_rows
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    sigs = ds.map_batches(MinHasher, batch_format="pyarrow",
+                          concurrency=2, batch_size=256)
+    return sigs.map_batches(lambda b: band_rows(b, 16, 4),
+                            batch_format="pyarrow")
+
+
+def registry() -> Registry:
+    return {
+        # KG / RDF operators
+        "doc_triples": (doc_triples, DOC_TRIPLES_SQL),
+        "triples_dedup": (_triples_dedup, TRIPLES_DEDUP_SQL),
+        "predicate_count": (_predicate_count, PREDICATE_COUNT_SQL),
+        "subjects_distinct": (_subjects_distinct, SUBJECTS_DISTINCT_SQL),
+        "triples_matching": (_triples_matching, TRIPLES_MATCHING_SQL),
+        "sort_spo_limit": (_sort_spo_limit, SORT_SPO_SQL),
+        # SPARQL-ish relational operators
+        "tpch_q1": (R.tpch_q1, R.TPCH_Q1_SQL),
+        "events_hourly": (R.events_hourly, R.EVENTS_HOURLY_SQL),
+        "customers_per_region": (R.customers_per_region, R.CUSTOMERS_PER_REGION_SQL),
+        "orders_per_segment": (R.orders_per_segment, R.ORDERS_PER_SEGMENT_SQL),
+        "customers_without_orders": (R.customers_without_orders,
+                                     R.CUSTOMERS_WITHOUT_ORDERS_SQL),
+        "large_parts_in_lineitem": (R.large_parts_in_lineitem, R.LARGE_PARTS_SQL),
+        "top_orders_by_revenue": (R.top_orders_by_revenue, R.TOP_ORDERS_SQL),
+        "nations_per_region_concat": (R.nations_per_region_concat,
+                                      R.NATIONS_CONCAT_SQL),
+        "customer_ancestors": (R.customer_ancestors, R.CUSTOMER_ANCESTORS_SQL),
+        # training-data ops
+        "dedup_exact_docs": (_dedup_exact_docs, DEDUP_EXACT_SQL),
+        "token_counts": (_token_counts, TOKEN_COUNTS_SQL),
+        "quality_features": (_quality, QUALITY_SQL),
+        "knn_cosine": (_knn, KNN_SQL),
+        # rows-only
+        "kg_pipeline": (_kg_pipeline, None),
+        "extract_text": (_extract_text, None),
+        "lang_id": (_lang_id, None),
+        "simhash_fingerprint": (_simhash, None),
+        "minhash_bands": (_minhash_bands, None),
+    }

@@ -1,0 +1,432 @@
+"""SPARQL-operator demos over the driver's relational tables.
+
+Each function here is the Ray-Data-first realization of one operator
+family from SURVEY.md §2.5-2.7 (the reference's SPARQL executor,
+``sparql/src/exec.rs``), expressed over the TPC-H-ish tables so the
+DuckDB oracle can check it exactly:
+
+- hash join / left join / anti join / semi join  (exec.rs:484-551,754-790,
+  expression.rs:60 EXISTS)
+- grouped aggregates with partial pre-aggregation  (exec.rs:943-1006)
+- ORDER BY + LIMIT top-k  (exec.rs:826-941)
+- GROUP_CONCAT  (aggregate_iter.rs:111-117)
+- transitive-closure fixpoint (property path ``+``, exec.rs:274-482 /
+  reasoner saturation loop)
+
+Scale notes are inline: small sides broadcast via ``ray.put``; both-large
+joins use hash-partitioned ``Dataset.join``; every aggregate pre-combines
+inside ``map_batches`` before the shuffle.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..util import round_away
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _round_col(b: pa.Table, col: str, digits: int) -> pa.Table:
+    i = b.column_names.index(col)
+    rounded = pa.array(round_away(b[col].to_numpy(zero_copy_only=False), digits))
+    return b.set_column(i, col, rounded)
+
+
+# ---------------------------------------------------------------------------
+# aggregates (partial pre-aggregation before the shuffle)
+# ---------------------------------------------------------------------------
+
+def tpch_q1(sf_dir: str):
+    """Q1-style grouped aggregate. Pattern: per-batch pyarrow hash-groupby
+    partials (combiner) → small groupby over partials → finalize.
+    The wide shuffle moves ≤ (groups × blocks) rows instead of all rows."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(b["l_extendedprice"],
+                                 pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        b = b.append_column("disc_price", disc_price)
+        b = b.append_column("one", pa.array([1] * len(b), pa.int64()))
+        return b.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"),
+             ("disc_price", "sum"), ("l_discount", "sum"), ("one", "sum")])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity_sum", alias_name="sum_qty"),
+        Sum("l_extendedprice_sum", alias_name="sum_base_price"),
+        Sum("disc_price_sum", alias_name="sum_disc_price"),
+        Sum("l_discount_sum", alias_name="_sum_disc"),
+        Sum("one_sum", alias_name="count_order"),
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        n = b["count_order"].to_numpy(zero_copy_only=False).astype("float64")
+        sq = b["sum_qty"].to_numpy(zero_copy_only=False)
+        sd = b["_sum_disc"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "l_linestatus": b["l_linestatus"],
+            "sum_qty": pa.array(round_away(sq, 2)),
+            "sum_base_price": pa.array(round_away(
+                b["sum_base_price"].to_numpy(zero_copy_only=False), 2)),
+            "sum_disc_price": pa.array(round_away(
+                b["sum_disc_price"].to_numpy(zero_copy_only=False), 2)),
+            "avg_qty": pa.array(round_away(sq / n, 4)),
+            "avg_disc": pa.array(round_away(sd / n, 4)),
+            "count_order": b["count_order"],
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+TPCH_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_quantity) / count(*), 4) AS avg_qty,
+       round(sum(l_discount) / count(*), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def events_hourly(sf_dir: str):
+    """Tumbling-window aggregate over the events stream table
+    (SURVEY §2.11: window = groupby on a derived time bucket)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        hour = pc.divide(pc.cast(b["ts"], pa.int64()),
+                         pa.scalar(3_600_000_000))
+        b = pa.table({"event_type": b["event_type"], "hour": hour,
+                      "value": b["value"],
+                      "one": pa.array([1] * len(b), pa.int64())})
+        return b.group_by(["event_type", "hour"]).aggregate(
+            [("value", "sum"), ("one", "sum")])
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["event_type", "hour"]).aggregate(
+            Sum("value_sum", alias_name="_sv"),
+            Sum("one_sum", alias_name="n"))
+
+    def finalize(b: pa.Table) -> pa.Table:
+        avg = round_away(
+            b["_sv"].to_numpy(zero_copy_only=False)
+            / b["n"].to_numpy(zero_copy_only=False).astype("float64"), 4)
+        return pa.table({"event_type": b["event_type"], "hour": b["hour"],
+                         "n": b["n"], "avg_value": pa.array(avg)})
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+EVENTS_HOURLY_SQL = """
+SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+       count(*) AS n, round(sum("value") / count(*), 4) AS avg_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# joins
+# ---------------------------------------------------------------------------
+
+def customers_per_region(sf_dir: str):
+    """Join with two broadcast dimension tables (nation, region): the
+    small side is `ray.put` once and looked up per batch — no shuffle
+    (SURVEY §2.5 'small patterns → broadcast join')."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    nation = _read(sf_dir, "nation").to_pandas()
+    region = _read(sf_dir, "region").to_pandas()
+    n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
+    r2name = dict(zip(region["r_regionkey"], region["r_name"]))
+    lookup_ref = ray.put({k: r2name[v] for k, v in n2r.items()})
+
+    ds = _read(sf_dir, "customer", ["c_nationkey"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        import ray as _ray
+        lut = _ray.get(lookup_ref)
+        names = [lut.get(k) for k in b["c_nationkey"].to_pylist()]
+        t = pa.table({"r_name": names,
+                      "one": pa.array([1] * len(b), pa.int64())})
+        return t.group_by("r_name").aggregate([("one", "sum")])
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("r_name").aggregate(Sum("one_sum", alias_name="n_customers")))
+
+
+CUSTOMERS_PER_REGION_SQL = """
+SELECT r_name, count(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def orders_per_segment(sf_dir: str):
+    """Left-outer join (SPARQL OPTIONAL): per-customer order counts
+    (0 when absent) aggregated per market segment. Both sides large →
+    hash-partitioned Dataset.join."""
+    from ray.data.aggregate import Count, Sum
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+
+    per_cust = (orders
+                .map_batches(lambda b: b.group_by("o_custkey")
+                             .aggregate([([], "count_all")]),
+                             batch_format="pyarrow")
+                .groupby("o_custkey")
+                .aggregate(Sum("count_all", alias_name="cnt")))
+    joined = cust.join(per_cust, "left_outer", num_partitions=8,
+                       on=("c_custkey",), right_on=("o_custkey",))
+
+    def partial(b: pa.Table) -> pa.Table:
+        cnt = pc.fill_null(b["cnt"], 0)
+        t = pa.table({"c_mktsegment": b["c_mktsegment"], "cnt": cnt,
+                      "one": pa.array([1] * len(b), pa.int64())})
+        return t.group_by("c_mktsegment").aggregate(
+            [("cnt", "sum"), ("one", "sum")])
+
+    return (joined.map_batches(partial, batch_format="pyarrow")
+            .groupby("c_mktsegment").aggregate(
+                Sum("one_sum", alias_name="n_customers"),
+                Sum("cnt_sum", alias_name="n_orders")))
+
+
+ORDERS_PER_SEGMENT_SQL = """
+SELECT c_mktsegment, count(*) AS n_customers, sum(cnt) AS n_orders
+FROM (SELECT c_custkey, c_mktsegment,
+             coalesce((SELECT count(*) FROM orders o
+                       WHERE o.o_custkey = c.c_custkey), 0) AS cnt
+      FROM customer c)
+GROUP BY c_mktsegment
+"""
+
+
+def customers_without_orders(sf_dir: str):
+    """Anti join (SPARQL MINUS, exec.rs:754-790): customers with no
+    *large* (totalprice > 450000) order, counted per nation. Broadcast
+    the right side's key set, filter on the left — the scale pattern for
+    semi/anti joins whose key set fits in memory (else: left_anti
+    Dataset.join)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    keys = set()
+    for b in orders.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        big = b.filter(pc.greater(b["o_totalprice"], pa.scalar(450000.0)))
+        keys.update(big["o_custkey"].to_pylist())
+    keys_ref = ray.put(keys)
+
+    nation = _read(sf_dir, "nation").to_pandas()
+    n2name_ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        import ray as _ray
+        ks = _ray.get(keys_ref)
+        lut = _ray.get(n2name_ref)
+        mask = [k not in ks for k in b["c_custkey"].to_pylist()]
+        b = b.filter(pa.array(mask))
+        names = [lut.get(k) for k in b["c_nationkey"].to_pylist()]
+        t = pa.table({"n_name": names,
+                      "one": pa.array([1] * len(b), pa.int64())})
+        return t.group_by("n_name").aggregate([("one", "sum")])
+
+    return (cust.map_batches(partial, batch_format="pyarrow")
+            .groupby("n_name").aggregate(Sum("one_sum", alias_name="n")))
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT n_name, count(*) AS n
+FROM customer c JOIN nation ON c_nationkey = n_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+GROUP BY n_name
+"""
+
+
+def large_parts_in_lineitem(sf_dir: str):
+    """Semi join (SPARQL EXISTS): parts with size > 40 that appear in
+    lineitem, counted per brand. Broadcast distinct-key filter."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem", ["l_partkey"])
+    keys = set()
+    for b in li.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        keys.update(b["l_partkey"].to_pylist())
+    keys_ref = ray.put(keys)
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        import ray as _ray
+        ks = _ray.get(keys_ref)
+        b = b.filter(pc.greater(b["p_size"], pa.scalar(40)))
+        mask = [k in ks for k in b["p_partkey"].to_pylist()]
+        b = b.filter(pa.array(mask))
+        t = pa.table({"p_brand": b["p_brand"],
+                      "one": pa.array([1] * len(b), pa.int64())})
+        return t.group_by("p_brand").aggregate([("one", "sum")])
+
+    return (part.map_batches(partial, batch_format="pyarrow")
+            .groupby("p_brand").aggregate(Sum("one_sum", alias_name="n")))
+
+
+LARGE_PARTS_SQL = """
+SELECT p_brand, count(*) AS n
+FROM part p
+WHERE p_size > 40
+  AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+GROUP BY p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# sort / top-k
+# ---------------------------------------------------------------------------
+
+def top_orders_by_revenue(sf_dir: str, k: int = 10):
+    """ORDER BY + LIMIT top-k (exec.rs:826-941): grouped revenue →
+    global sort (desc) → limit."""
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(b["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        t = pa.table({"l_orderkey": b["l_orderkey"], "rev": rev})
+        return t.group_by("l_orderkey").aggregate([("rev", "sum")])
+
+    agg = (li.map_batches(partial, batch_format="pyarrow")
+           .groupby("l_orderkey").aggregate(Sum("rev_sum", alias_name="revenue")))
+    agg = agg.map_batches(lambda b: _round_col(b, "revenue", 2),
+                          batch_format="pyarrow")
+    return agg.sort([("revenue"), ("l_orderkey")],
+                    descending=[True, False]).limit(k)
+
+
+TOP_ORDERS_SQL = """
+SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem GROUP BY l_orderkey
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# GROUP_CONCAT
+# ---------------------------------------------------------------------------
+
+def nations_per_region_concat(sf_dir: str):
+    """GROUP_CONCAT(sep=',') with deterministic (sorted) member order
+    (aggregate_iter.rs:111-117) via groupby().map_groups."""
+    nation = _read(sf_dir, "nation", ["n_name", "n_regionkey"])
+    import ray
+    region = _read(sf_dir, "region").to_pandas()
+    r_ref = ray.put(dict(zip(region["r_regionkey"], region["r_name"])))
+
+    def add_rname(b: pa.Table) -> pa.Table:
+        import ray as _ray
+        lut = _ray.get(r_ref)
+        names = [lut.get(k) for k in b["n_regionkey"].to_pylist()]
+        return b.append_column("r_name", pa.array(names, pa.string()))
+
+    def concat(g):
+        import pandas as pd
+        names = sorted(g["n_name"])
+        return pd.DataFrame({"r_name": [g["r_name"].iloc[0]],
+                             "nations": [",".join(names)]})
+
+    return (nation.map_batches(add_rname, batch_format="pyarrow")
+            .groupby("r_name").map_groups(concat, batch_format="pandas"))
+
+
+NATIONS_CONCAT_SQL = """
+SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# transitive closure (property path + / reasoner fixpoint)
+# ---------------------------------------------------------------------------
+
+def customer_ancestors(sf_dir: str):
+    """Transitive closure of the deterministic hierarchy
+    ``parent(k) = k // 10`` over customer keys — the driver-controlled
+    fixpoint loop of SURVEY §2.5 (property path ``+``) / §2.10 (reasoner
+    saturation): iterate join-rounds, dedup each round, stop on no-growth.
+    """
+    import ray.data as rd
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    edges = cust.map_batches(
+        lambda b: pa.table({
+            "node": b["c_custkey"],
+            "ancestor": pc.divide(b["c_custkey"], pa.scalar(10)),
+        }).filter(pc.greater_equal(b["c_custkey"], pa.scalar(10))),
+        batch_format="pyarrow")
+    edges = edges.materialize()  # small; reused every round
+
+    # parent map is small (≤ n/10 distinct parents) → broadcast dict
+    import ray
+    parent = {}
+    for b in edges.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for n, a in zip(b["node"].to_pylist(), b["ancestor"].to_pylist()):
+            parent[n] = a
+    p_ref = ray.put(parent)
+
+    acc = edges
+    frontier = edges
+    while True:
+        def step(b: pa.Table) -> pa.Table:
+            import ray as _ray
+            lut = _ray.get(p_ref)
+            nodes, ancs = [], []
+            for n, a in zip(b["node"].to_pylist(), b["ancestor"].to_pylist()):
+                nxt = lut.get(a)
+                if nxt is not None:
+                    nodes.append(n)
+                    ancs.append(nxt)
+            return pa.table({"node": pa.array(nodes, pa.int64()),
+                             "ancestor": pa.array(ancs, pa.int64())})
+
+        nxt = frontier.map_batches(step, batch_format="pyarrow").materialize()
+        if nxt.count() == 0:
+            break
+        acc = acc.union(nxt)
+        frontier = nxt
+    return acc
+
+
+CUSTOMER_ANCESTORS_SQL = """
+WITH RECURSIVE anc(node, ancestor) AS (
+  SELECT c_custkey, c_custkey // 10 FROM customer WHERE c_custkey >= 10
+  UNION
+  SELECT a.node, a.ancestor // 10 FROM anc a WHERE a.ancestor >= 10
+)
+SELECT node, ancestor FROM anc
+"""

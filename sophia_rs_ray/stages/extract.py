@@ -1,0 +1,155 @@
+"""Page → triples extraction stage (stateless ``map_batches`` task).
+
+The Ray Data mapping of SURVEY.md §2.1: each input row is one web page;
+the batch body runs the one-pass HTML extractor, the JSON-LD expander and
+the microdata/RDFa converters, resolves IRIs against the page URL, and
+skolemizes blank nodes with the deterministic ``h(url‖extractor)`` suffix
+(replacing the reference's per-parser-run UUID suffix,
+``turtle/src/parser/_common/_inner.rs:23-47``).
+
+Input schema:  (url, warc_ts, html, text, lang)   [html may be binary]
+Output schema: url, extractor, error, + flat term columns
+               (s_kind, s_lex, s_dt, s_lang, s_dir, p_*, o_*)
+Error rows carry s_kind = -1 and a non-empty ``error`` (two-sided error
+semantics — parse errors are rows, not job failures;
+``api/src/source/_stream_error.rs:13``).
+
+The heavy ``html`` column is consumed here and MUST NOT propagate further
+(SURVEY §7.4 "project early").
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import pyarrow as pa
+
+from ..extract.html_page import extract_page
+from ..ntriples import format_nt_batch
+from ..extract.to_triples import _Alloc, microdata_to_triples, rdfa_to_triples
+from ..iri import BaseIri
+from ..jsonld import JsonLdExpander
+from ..sources.pages import skolem
+from ..terms import KIND_BNODE, Term
+
+_TERM_COLS = [
+    "s_kind", "s_lex", "s_dt", "s_lang", "s_dir",
+    "p_kind", "p_lex", "p_dt", "p_lang", "p_dir",
+    "o_kind", "o_lex", "o_dt", "o_lang", "o_dir",
+]
+
+TRIPLES_SCHEMA = pa.schema(
+    [("url", pa.large_string()), ("extractor", pa.string()),
+     ("error", pa.string())]
+    + [(c, pa.int8() if c.endswith(("kind", "dir")) else pa.large_string())
+       for c in _TERM_COLS]
+)
+
+
+def _skolemize(t: Term, url: str, extractor: str) -> Term:
+    if t[0] == KIND_BNODE:
+        return (t[0], skolem(t[1], url, extractor), t[2], t[3], t[4])
+    return t
+
+
+def extract_triples_batch(batch: pa.Table) -> pa.Table:
+    """pyarrow batch of pages → pyarrow batch of flat triple rows."""
+    urls = batch["url"].to_pylist()
+    htmls = batch["html"].to_pylist()
+
+    out_url: List[str] = []
+    out_ext: List[str] = []
+    out_err: List[str] = []
+    cols: dict = {c: [] for c in _TERM_COLS}
+
+    def push(url: str, extractor: str,
+             s: Term, p: Term, o: Term) -> None:
+        out_url.append(url)
+        out_ext.append(extractor)
+        out_err.append("")
+        for prefix, t in (("s", s), ("p", p), ("o", o)):
+            t = _skolemize(t, url, extractor)
+            cols[prefix + "_kind"].append(t[0])
+            cols[prefix + "_lex"].append(t[1])
+            cols[prefix + "_dt"].append(t[2])
+            cols[prefix + "_lang"].append(t[3])
+            cols[prefix + "_dir"].append(t[4])
+
+    def push_error(url: str, extractor: str, msg: str) -> None:
+        out_url.append(url)
+        out_ext.append(extractor)
+        out_err.append(msg)
+        for c in _TERM_COLS:
+            cols[c].append(-1 if c.endswith(("kind", "dir")) else "")
+
+    for url, html in zip(urls, htmls):
+        if isinstance(html, (bytes, bytearray, memoryview)):
+            html = bytes(html).decode("utf-8", errors="replace")
+        _text, ld_blocks, micro, rdfa = extract_page(html)
+        try:
+            base: Optional[BaseIri] = BaseIri(url)
+        except ValueError:
+            base = None
+
+        counter = 0
+        for blk in ld_blocks:
+            import json
+            exp = JsonLdExpander(url)
+            exp.counter = counter  # labels stay unique across blocks of one page
+            try:
+                doc = json.loads(blk)
+            except json.JSONDecodeError as e:
+                push_error(url, "jsonld", f"json: {e}")
+                continue
+            try:
+                trs = exp.to_rdf(doc)
+            except (RecursionError, ValueError, TypeError, KeyError) as e:
+                push_error(url, "jsonld", f"jsonld: {e}")
+                continue
+            counter = exp.counter
+            for s, p, o, _g in trs:
+                push(url, "jsonld", s, p, o)
+
+        alloc = _Alloc(0)
+        for s, p, o in microdata_to_triples(micro, base, alloc):
+            push(url, "microdata", s, p, o)
+        alloc2 = _Alloc(0)
+        for s, p, o in rdfa_to_triples(rdfa, base, alloc2):
+            push(url, "rdfa", s, p, o)
+
+    arrays = [pa.array(out_url, pa.large_string()),
+              pa.array(out_ext, pa.string()),
+              pa.array(out_err, pa.string())]
+    for c in _TERM_COLS:
+        typ = pa.int8() if c.endswith(("kind", "dir")) else pa.large_string()
+        arrays.append(pa.array(cols[c], typ))
+    return pa.Table.from_arrays(arrays, schema=TRIPLES_SCHEMA)
+
+
+def extract_text_batch(batch: pa.Table) -> pa.Table:
+    """pages → (url, text) via the deterministic visible-text extractor
+    (the byte-identical-per-url invariant surface)."""
+    urls = batch["url"].to_pylist()
+    htmls = batch["html"].to_pylist()
+    texts = []
+    for html in htmls:
+        if isinstance(html, (bytes, bytearray, memoryview)):
+            html = bytes(html).decode("utf-8", errors="replace")
+        texts.append(extract_page(html)[0])
+    return pa.table({"url": pa.array(urls, pa.large_string()),
+                     "text": pa.array(texts, pa.large_string())})
+
+
+def format_triples_batch(batch: pa.Table, keep: Tuple[str, ...] = ("url",)) -> pa.Table:
+    """flat term columns → canonical NT text columns (s, p, o) +
+    carried-over columns. Drops error rows."""
+    ok = pa.compute.not_equal(batch["s_kind"], pa.scalar(-1, pa.int8()))
+    batch = batch.filter(ok)
+    d = {c: batch[c].to_numpy(zero_copy_only=False) for c in batch.column_names
+         if c in _TERM_COLS}
+    txt = format_nt_batch(d)
+    data = {k: batch[k] for k in keep if k in batch.column_names}
+    data.update({"s": pa.array(txt["s"], pa.large_string()),
+                 "p": pa.array(txt["p"], pa.large_string()),
+                 "o": pa.array(txt["o"], pa.large_string())})
+    return pa.table(data)
