@@ -1,0 +1,108 @@
+"""Distributed connected components — the shared fixpoint primitive for
+bnode-component discovery (c14n, SURVEY §3.2) and entity-dedup cluster
+assignment (SURVEY §2.8 "union-find via iterated groupby").
+
+Algorithm: iterated min-label propagation to fixpoint.
+  labels(n) ← n
+  repeat:  labels(n) ← min(labels(n), min over neighbours m of labels(m))
+  until no label changed.
+Each round is one ``join`` (edges ⋈ labels) + one ``groupby(node).min``
+— the all-to-all pattern of the "small-star" CC algorithms (Kiveris et
+al., "Connected Components in MapReduce and Beyond", SoCC'14: public
+algorithmic reference). Rounds are bounded by the component diameter;
+hub skew is absorbed by Ray's hash shuffle on the node key.
+
+For edge sets that fit on the driver (the common case for per-document
+bnode structures: components of a handful of nodes), ``union_find``
+avoids the per-round shuffle entirely.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, List, Tuple
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def union_find(edges: Iterable[Tuple[str, str]]) -> Dict[str, str]:
+    """Driver-side union-find: node → min-lexicographic representative."""
+    parent: Dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # keep the lexicographically smaller root (deterministic rep)
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {n: find(n) for n in parent}
+
+
+def connected_components(
+    edges_ds,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    num_partitions: int = 16,
+    max_rounds: int = 50,
+):
+    """edges Dataset (undirected; self-loops welcome) → Dataset
+    ``(node, component)`` where component = min node id in the component.
+
+    Driver-controlled fixpoint: bounded rounds, convergence by
+    changed-label count (SURVEY §7.4 "fixpoint loops").
+    """
+    from ray.data.aggregate import Min
+
+    # symmetrize once: (a,b) ∪ (b,a) ∪ self-loops keep isolated nodes
+    def sym(b: pa.Table) -> pa.Table:
+        a1 = pc.cast(b[src], pa.string())
+        a2 = pc.cast(b[dst], pa.string())
+        return pa.table({
+            "node": pa.chunked_array([a1, a2]),
+            "nbr": pa.chunked_array([a2, a1]),
+        })
+
+    # materialize the (small) edge and label tables once: every round
+    # re-reads them, and an unbroken lazy lineage would re-execute the
+    # whole upstream per round while stacking shuffle operators
+    edges = edges_ds.map_batches(sym, batch_format="pyarrow").materialize()
+    # labels(n) = min neighbour id (incl. self via symmetrized self-pair)
+    labels = edges.groupby("node").aggregate(
+        Min("nbr", alias_name="label")).materialize()
+
+    for _ in range(max_rounds):
+        # propagate: each edge ships its src's current label to dst
+        msgs = edges.join(
+            labels, "inner", num_partitions, on=("node",),
+        ).map_batches(
+            lambda b: pa.table({"node": b["nbr"], "cand": b["label"]}),
+            batch_format="pyarrow",
+        )
+        both = msgs.union(labels.map_batches(
+            lambda b: pa.table({"node": b["node"], "cand": b["label"]}),
+            batch_format="pyarrow"))
+        new_labels = both.groupby("node").aggregate(
+            Min("cand", alias_name="label")).materialize()
+        # convergence: any label strictly decreased?
+        joined = new_labels.join(labels, "inner", num_partitions,
+                                 on=("node",), right_suffix="_old")
+        changed = joined.map_batches(
+            lambda b: pa.table({"c": pc.cast(
+                pc.not_equal(b["label"], b["label_old"]), pa.int64())}),
+            batch_format="pyarrow",
+        ).sum("c")
+        labels = new_labels
+        if not changed:
+            break
+    return labels.map_batches(
+        lambda b: pa.table({"node": b["node"], "component": b["label"]}),
+        batch_format="pyarrow")

@@ -1,0 +1,38 @@
+"""Connected components: distributed min-label propagation vs union-find."""
+
+import pyarrow as pa
+
+
+EDGES = [
+    ("a", "b"), ("b", "c"),          # {a,b,c}
+    ("d", "e"),                      # {d,e}
+    ("f", "f"),                      # isolated {f}
+    ("h", "g"), ("g", "i"), ("i", "j"), ("j", "k"),  # chain {g..k}
+]
+
+
+def test_union_find_driver():
+    from sophia_rs_ray.functions.components import union_find
+
+    comp = union_find(EDGES)
+    assert comp["a"] == comp["b"] == comp["c"] == "a"
+    assert comp["d"] == comp["e"] == "d"
+    assert comp["f"] == "f"
+    assert comp["k"] == comp["h"] == "g"
+
+
+def test_connected_components_distributed(ray_session):
+    import ray.data as rd
+
+    from sophia_rs_ray.functions.components import (
+        connected_components,
+        union_find,
+    )
+
+    ds = rd.from_arrow(pa.table({
+        "src": [a for a, _ in EDGES],
+        "dst": [b for _, b in EDGES],
+    }))
+    got = {r["node"]: r["component"]
+           for r in connected_components(ds, num_partitions=4).take_all()}
+    assert got == union_find(EDGES)
