@@ -155,6 +155,12 @@ class _LineParser:
         self.err(f"unexpected character {c!r}")
 
 
+def parse_term_text(text: str) -> Term:
+    """One NT term string → Term tuple (used by serializers/stages that
+    re-read canonical NT columns)."""
+    return _LineParser(text, 0).parse_term()
+
+
 def _check_strict(s: Term, p: Term, o: Term, g: Optional[Term], lp: _LineParser):
     if s[0] not in (KIND_IRI, KIND_BNODE):
         lp.err("subject must be IRI or blank node (strict mode)")

@@ -15,6 +15,8 @@ from typing import Callable, Dict, Optional, Tuple
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..terms import format_term
+
 from . import relational as R
 from .doc_triples import DC_LANGUAGE, DOC_TRIPLES_SQL, doc_triples
 
@@ -95,6 +97,47 @@ def _sort_spo_limit(sf_dir: str):
 
 
 SORT_SPO_SQL = f"SELECT s, p, o FROM ({DOC_TRIPLES_SQL}) ORDER BY s, p, o LIMIT 100"
+
+
+def _turtle_roundtrip(sf_dir: str):
+    """doc_triples → pretty Turtle chunks (per-partition serializer after
+    sort('s'), SURVEY §2.2) → Turtle parser → NT rows. End-to-end parity
+    with the direct pipeline = parser+serializer correctness, oracle-
+    checked against the plain doc_triples SQL."""
+    from ..turtle import format_turtle_batch, parse_turtle
+
+    ds = doc_triples(sf_dir).sort("s")
+    ttl = ds.map_batches(lambda b: format_turtle_batch(b, emit_prefixes=True),
+                         batch_format="pyarrow")
+
+    def parse_chunk(b: pa.Table) -> pa.Table:
+        s_out, p_out, o_out = [], [], []
+        for text in b["turtle"].to_pylist():
+            for (s, p, o) in parse_turtle(text):
+                s_out.append(format_term(s))
+                p_out.append(format_term(p))
+                o_out.append(format_term(o))
+        return pa.table({"s": s_out, "p": p_out, "o": o_out})
+
+    return ttl.map_batches(parse_chunk, batch_format="pyarrow")
+
+
+TURTLE_ROUNDTRIP_SQL = f"SELECT s, p, o FROM ({DOC_TRIPLES_SQL})"
+
+
+def _c14n_normalize(sf_dir: str):
+    """Whole-dataset RDFC-1.0 over the (bnode-free) doc-triples table →
+    sorted canonical N-Quads lines (c14n/src/rdfc10.rs:28-105)."""
+    from ..stages.c14n_stage import c14n_dataset
+
+    out = c14n_dataset(doc_triples(sf_dir))
+    return out.map_batches(lambda b: b.select(["nq"]), batch_format="pyarrow")
+
+
+C14N_NORMALIZE_SQL = f"""
+SELECT s || ' ' || p || ' ' || o || ' .' || chr(10) AS nq
+FROM ({DOC_TRIPLES_SQL})
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -254,6 +297,19 @@ def _simhash(sf_dir: str):
                    on=("doc_id",))
 
 
+def _c14n_digests(sf_dir: str):
+    """Per-page canonical digest: flagship extract (pre-dedup triples,
+    skolemized) → groupby(url).map_groups(RDFC-1.0) → (url, digest).
+    The many-small-graphs c14n path (SURVEY §3.2)."""
+    from ..pipelines.kg import kg_pipeline
+    from ..sources.pages import SF_PAGE_COUNTS, pages_dataset
+    from ..stages.c14n_stage import c14n_per_graph
+
+    n = SF_PAGE_COUNTS.get(_sf_of(sf_dir), 5000)
+    nt = kg_pipeline(pages_dataset(n), dedup=False, sort=False)
+    return c14n_per_graph(nt, group_col="url", digest_only=True)
+
+
 def _minhash_bands(sf_dir: str):
     """MinHash-LSH banding rows (doc_id, band_id, band_hash) — the
     blocking stage of near-dup dedup (SURVEY §2.8)."""
@@ -278,6 +334,8 @@ def registry() -> Registry:
         "subjects_distinct": (_subjects_distinct, SUBJECTS_DISTINCT_SQL),
         "triples_matching": (_triples_matching, TRIPLES_MATCHING_SQL),
         "sort_spo_limit": (_sort_spo_limit, SORT_SPO_SQL),
+        "turtle_roundtrip": (_turtle_roundtrip, TURTLE_ROUNDTRIP_SQL),
+        "c14n_normalize": (_c14n_normalize, C14N_NORMALIZE_SQL),
         # SPARQL-ish relational operators
         "tpch_q1": (R.tpch_q1, R.TPCH_Q1_SQL),
         "events_hourly": (R.events_hourly, R.EVENTS_HOURLY_SQL),
@@ -300,5 +358,6 @@ def registry() -> Registry:
         "extract_text": (_extract_text, None),
         "lang_id": (_lang_id, None),
         "simhash_fingerprint": (_simhash, None),
+        "c14n_digests": (_c14n_digests, None),
         "minhash_bands": (_minhash_bands, None),
     }

@@ -47,13 +47,8 @@ from ..c14n import (
     nq_term,
     normalize_quads,
 )
-from ..ntriples import _LineParser
+from ..ntriples import parse_term_text
 from ..terms import KIND_BNODE, Term
-
-
-def parse_term_text(text: str) -> Term:
-    """One canonical-NT term string → Term tuple."""
-    return _LineParser(text, 0).parse_term()
 
 
 def _row_quads(b: pa.Table, cols=("s", "p", "o"), g_col: Optional[str] = "g"
