@@ -297,6 +297,20 @@ def _simhash(sf_dir: str):
                    on=("doc_id",))
 
 
+def _near_dup_clusters(sf_dir: str):
+    """Full near-dup dedup: MinHash sigs (actor pool) → LSH bands →
+    capped bucket pairs → signature-verified edges → connected-components
+    fixpoint → (doc_id, cluster). Pytest oracle: brute-force Jaccard
+    union-find (tests/test_neardup.py)."""
+    import ray.data as rd
+
+    from ..stages.neardup import near_dup_clusters
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return near_dup_clusters(ds, num_partitions=4)
+
+
 def _c14n_digests(sf_dir: str):
     """Per-page canonical digest: flagship extract (pre-dedup triples,
     skolemized) → groupby(url).map_groups(RDFC-1.0) → (url, digest).
@@ -359,5 +373,6 @@ def registry() -> Registry:
         "lang_id": (_lang_id, None),
         "simhash_fingerprint": (_simhash, None),
         "c14n_digests": (_c14n_digests, None),
+        "near_dup_clusters": (_near_dup_clusters, None),
         "minhash_bands": (_minhash_bands, None),
     }

@@ -1,0 +1,158 @@
+"""Near-duplicate document pipeline: MinHash-LSH blocking → signature
+verification → connected components → cluster assignment (SURVEY §2.8,
+north-rule dedup family; the standard MinHash/LSH construction of
+Broder '97 / MMDS ch.3 — public algorithmic references).
+
+Shape (all wide ops explicit):
+  map_batches(MinHasher actor pool)     — signatures, stateful perms
+  → flat explode to band rows           — (doc_id, band_id, band_hash)
+  → groupby(band)                       — THE blocking shuffle
+  → capped candidate pairs              — hub/skew guard (pair_cap)
+  → pair dedup (groupby)                — each pair verified once
+  → join signatures ×2                  — est. Jaccard = matching minhash
+                                          fraction (no text re-shipping)
+  → filter ≥ threshold → CC fixpoint    — `functions/components.py`
+  → (doc_id, cluster) with cluster = min doc_id in the component.
+
+Docs not in any surviving pair keep themselves as cluster (left join).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.dedup import MinHasher, band_rows
+from ..functions.components import connected_components
+
+
+def minhash_signatures(docs_ds, *, n_perm: int = 64, k: int = 3,
+                       seed: int = 42, concurrency=2, batch_size: int = 256):
+    """documents (doc_id, text) → (doc_id, sig) via the MinHasher actor
+    pool (permutation params built once per actor)."""
+    return docs_ds.map_batches(
+        MinHasher, fn_constructor_kwargs={"n_perm": n_perm, "k": k,
+                                          "seed": seed},
+        batch_format="pyarrow", concurrency=concurrency,
+        batch_size=batch_size)
+
+
+def lsh_candidate_pairs(sigs_ds, *, n_bands: int = 16, rows_per_band: int = 4,
+                        pair_cap: int = 50):
+    """signatures → deduplicated candidate pairs (a < b)."""
+    from ray.data.aggregate import Count
+
+    bands = sigs_ds.map_batches(
+        lambda b: band_rows(b, n_bands, rows_per_band),
+        batch_format="pyarrow")
+
+    def bucket_pairs(b: pa.Table) -> pa.Table:
+        ids = sorted(set(b["doc_id"].to_pylist()))[:pair_cap]
+        a_out, b_out = [], []
+        for i, x in enumerate(ids):
+            for y in ids[i + 1:]:
+                a_out.append(x)
+                b_out.append(y)
+        return pa.table({"a": pa.array(a_out, pa.int64()),
+                         "b": pa.array(b_out, pa.int64())})
+
+    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pyarrow")
+    # a pair found in several bands must be verified once
+    return (pairs.groupby(["a", "b"]).aggregate(Count(alias_name="_nb"))
+            .map_batches(lambda t: t.select(["a", "b"]),
+                         batch_format="pyarrow"))
+
+
+def verify_pairs(pairs_ds, sigs_ds, *, threshold: float = 0.5,
+                 num_partitions: int = 8):
+    """Estimate Jaccard as the fraction of agreeing minhash components
+    (E[match] = J, MMDS §3.3) — joins signatures instead of re-shipping
+    document text. Returns edges (a, b, sim) with sim ≥ threshold."""
+    # Arrow hash join rejects list<> payload columns — pack each
+    # signature into fixed-width binary (n_perm × int64, zero-copy numpy)
+    def pack(b: pa.Table, idc: str, sigc: str) -> pa.Table:
+        packed = [np.asarray(s, np.int64).tobytes()
+                  for s in b["sig"].to_pylist()]
+        return pa.table({idc: b["doc_id"],
+                         sigc: pa.array(packed, pa.binary())})
+
+    sa = sigs_ds.map_batches(lambda b: pack(b, "a", "sig_a"),
+                             batch_format="pyarrow")
+    sb = sigs_ds.map_batches(lambda b: pack(b, "b", "sig_b"),
+                             batch_format="pyarrow")
+    joined = (pairs_ds.join(sa, "inner", num_partitions, on=("a",))
+              .join(sb, "inner", num_partitions, on=("b",)))
+
+    def est(b: pa.Table) -> pa.Table:
+        A = np.array([np.frombuffer(x, np.int64)
+                      for x in b["sig_a"].to_pylist()])
+        B = np.array([np.frombuffer(x, np.int64)
+                      for x in b["sig_b"].to_pylist()])
+        sim = (A == B).mean(axis=1) if len(A) else np.zeros(0)
+        t = pa.table({"a": b["a"], "b": b["b"],
+                      "sim": pa.array(sim, pa.float64())})
+        return t.filter(pc.greater_equal(t["sim"], pa.scalar(threshold)))
+
+    return joined.map_batches(est, batch_format="pyarrow")
+
+
+def near_dup_clusters(docs_ds, *, n_perm: int = 64, k: int = 3,
+                      n_bands: int = 16, rows_per_band: int = 4,
+                      threshold: float = 0.5, pair_cap: int = 50,
+                      num_partitions: int = 8, concurrency=2,
+                      seed: int = 42):
+    """documents (doc_id, text) → (doc_id, cluster); cluster = min doc_id
+    reachable through verified near-dup edges."""
+    ids = docs_ds.map_batches(lambda b: b.select(["doc_id"]),
+                              batch_format="pyarrow")
+    # signatures are tiny vs the corpus (n_perm × 8 B/doc) and are read
+    # THREE times (banding, verify join ×2); materialize once so the
+    # actor pool runs exactly once and frees its CPUs before the join
+    # aggregators start (resource-deadlock guard on small clusters)
+    sigs = minhash_signatures(docs_ds, n_perm=n_perm, k=k, seed=seed,
+                              concurrency=concurrency).materialize()
+    # candidate pairs are tiny vs the corpus: materialize to (a) reuse
+    # across the verify join + CC rounds and (b) detect the no-pairs case
+    # (an empty lazy dataset drops its schema, breaking downstream joins)
+    pairs = lsh_candidate_pairs(sigs, n_bands=n_bands,
+                                rows_per_band=rows_per_band,
+                                pair_cap=pair_cap).materialize()
+    if pairs.count() == 0:
+        return ids.map_batches(
+            lambda b: pa.table({"doc_id": b["doc_id"],
+                                "cluster": b["doc_id"]}),
+            batch_format="pyarrow")
+    edges = verify_pairs(pairs, sigs, threshold=threshold,
+                         num_partitions=num_partitions).materialize()
+    if edges.count() == 0:
+        return ids.map_batches(
+            lambda b: pa.table({"doc_id": b["doc_id"],
+                                "cluster": b["doc_id"]}),
+            batch_format="pyarrow")
+    def pad(col):
+        # CC picks the lexicographic min — zero-pad so that equals numeric
+        return pc.utf8_lpad(pc.cast(col, pa.string()), 20, "0")
+
+    comp = connected_components(
+        edges.map_batches(
+            lambda b: pa.table({"src": pad(b["a"]), "dst": pad(b["b"])}),
+            batch_format="pyarrow"),
+        num_partitions=num_partitions)
+    comp = comp.map_batches(
+        lambda b: pa.table({
+            "doc_id": pc.cast(b["node"], pa.int64()),
+            "_comp": pc.cast(b["component"], pa.int64())}),
+        batch_format="pyarrow")
+    out = ids.join(comp, "left_outer", num_partitions, on=("doc_id",))
+
+    def finish(b: pa.Table) -> pa.Table:
+        comp_col = b["_comp"].combine_chunks()
+        doc = b["doc_id"].combine_chunks()
+        cluster = pc.coalesce(comp_col, doc)
+        return pa.table({"doc_id": doc, "cluster": cluster})
+
+    return out.map_batches(finish, batch_format="pyarrow")
