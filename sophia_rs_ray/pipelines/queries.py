@@ -324,6 +324,68 @@ def _c14n_digests(sf_dir: str):
     return c14n_per_graph(nt, group_col="url", digest_only=True)
 
 
+GAZETTEER = ["hash value", "customer", "query", "spark"]
+
+
+def _gazetteer_mentions(sf_dir: str):
+    """NER mention detection (actor pool, gazetteer compiled once per
+    actor) over the documents table → per-doc surface counts.  Longest-
+    match non-overlap semantics are mirrored by the RE2 alternation in
+    the DuckDB oracle (longest-first alternation ⇒ same matches)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..stages.ner import MentionDetector
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    gaz = {s: [(f"gaz:{s}", 0.0)] for s in GAZETTEER}
+    mentions = ds.map_batches(
+        MentionDetector,
+        fn_constructor_kwargs={"dictionary": gaz, "key_col": "doc_id"},
+        batch_format="pyarrow", concurrency=2, batch_size=256)
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"doc_id": b["doc_id"], "surface": b["surface"],
+                      "one": pa.array([1] * len(b), pa.int64())})
+        return t.group_by(["doc_id", "surface"]).aggregate([("one", "sum")])
+
+    return (mentions.map_batches(partial, batch_format="pyarrow")
+            .groupby(["doc_id", "surface"])
+            .aggregate(Sum("one_sum", alias_name="n")))
+
+
+GAZETTEER_SQL = r"""
+SELECT doc_id, m AS surface, count(*) AS n
+FROM (SELECT doc_id,
+             unnest(regexp_extract_all(text, '\b(hash value|customer|query|spark)\b')) AS m
+      FROM documents)
+GROUP BY doc_id, m
+"""
+
+
+def _entity_links(sf_dir: str):
+    """Full NER + entity-linking pipeline over the synthetic pages:
+    dictionary from schema:name triples (ray.put broadcast), actor-pool
+    mention detection, context join, per-mention argmax. Rows-only;
+    template-oracle accuracy ≥0.95 asserted in tests/test_ner.py."""
+    from ..sources.pages import ENT, SF_PAGE_COUNTS, pages_dataset
+    from ..stages.ner import entity_link_pipeline
+
+    n = SF_PAGE_COUNTS.get(_sf_of(sf_dir), 5000)
+    return entity_link_pipeline(pages_dataset(n), subject_prefix=ENT)
+
+
+def _mention_triples(sf_dir: str):
+    """entity_links → NT mention triples <url> schema:mentions <entity>."""
+    from ..sources.pages import ENT, SF_PAGE_COUNTS, pages_dataset
+    from ..stages.ner import entity_link_pipeline, links_to_triples
+
+    n = SF_PAGE_COUNTS.get(_sf_of(sf_dir), 5000)
+    links = entity_link_pipeline(pages_dataset(n), subject_prefix=ENT)
+    return links_to_triples(links)
+
+
 def _minhash_bands(sf_dir: str):
     """MinHash-LSH banding rows (doc_id, band_id, band_hash) — the
     blocking stage of near-dup dedup (SURVEY §2.8)."""
@@ -367,6 +429,7 @@ def registry() -> Registry:
         "token_counts": (_token_counts, TOKEN_COUNTS_SQL),
         "quality_features": (_quality, QUALITY_SQL),
         "knn_cosine": (_knn, KNN_SQL),
+        "gazetteer_mentions": (_gazetteer_mentions, GAZETTEER_SQL),
         # rows-only
         "kg_pipeline": (_kg_pipeline, None),
         "extract_text": (_extract_text, None),
@@ -375,4 +438,6 @@ def registry() -> Registry:
         "c14n_digests": (_c14n_digests, None),
         "near_dup_clusters": (_near_dup_clusters, None),
         "minhash_bands": (_minhash_bands, None),
+        "entity_links": (_entity_links, None),
+        "mention_triples": (_mention_triples, None),
     }
