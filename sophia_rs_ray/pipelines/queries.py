@@ -324,6 +324,26 @@ def _c14n_digests(sf_dir: str):
     return c14n_per_graph(nt, group_col="url", digest_only=True)
 
 
+def _indexed_pattern_scan(sf_dir: str):
+    """Materialize the doc-triples graph as the three sorted shard
+    layouts (stages/materialize, resumable), then answer the constant-
+    predicate pattern through the POS layout: ONE shard directory read
+    + pushed-down predicate — the distributed FastGraph 9-way dispatch
+    (inmem/src/graph.rs:234-298). Same oracle as triples_matching."""
+    from ..stages.materialize import materialize_graph, triples_matching
+
+    out = f"/tmp/sophia_rs_ray_cache/{_sf_of(sf_dir)}/doc_graph"
+    materialize_graph(doc_triples(sf_dir), out, num_shards=8)
+    pred = f"<{DC_LANGUAGE}>"
+    ds = triples_matching(out, p=pred, num_shards=8)
+    return ds.map_batches(
+        lambda b: pa.table({"s": pc.cast(b["s"], pa.large_string()),
+                            "o": pc.cast(b["o"], pa.large_string())}),
+        batch_format="pyarrow")
+
+
+INDEXED_SCAN_SQL = TRIPLES_MATCHING_SQL
+
 GAZETTEER = ["hash value", "customer", "query", "spark"]
 
 
@@ -410,6 +430,7 @@ def registry() -> Registry:
         "subjects_distinct": (_subjects_distinct, SUBJECTS_DISTINCT_SQL),
         "triples_matching": (_triples_matching, TRIPLES_MATCHING_SQL),
         "sort_spo_limit": (_sort_spo_limit, SORT_SPO_SQL),
+        "indexed_pattern_scan": (_indexed_pattern_scan, INDEXED_SCAN_SQL),
         "turtle_roundtrip": (_turtle_roundtrip, TURTLE_ROUNDTRIP_SQL),
         "c14n_normalize": (_c14n_normalize, C14N_NORMALIZE_SQL),
         # SPARQL-ish relational operators
