@@ -2,17 +2,23 @@
 """Benchmark driver: headline KG pipeline + operator suite.
 
 Prints ONE JSON line:
-  {"metric": "kg_pipeline_sf_seconds", "value": <sec>, "unit": "sec",
+  {"metric": "kg_pipeline_seconds", "value": <sec>, "unit": "sec",
    "queries": {...per-query seconds...}, "sf": <sf>, "num_cpus": N,
    "triples_out": ..., "triples_per_sec": ...}
 
 Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
      RAY_GRAFT_CPUS (default 32).
 
---scaling: run the headline pipeline in TWO fresh processes at
-num_cpus=8 and num_cpus=32 on the same input and report both
-throughputs + scaling efficiency (the sandbox stand-in for N vs 4N
-nodes, BASELINE.md).
+--scaling: run the IDENTICAL flagship job (synthetic pages → extract →
+dedup → salted SPO/POS/OSP materialize, writes included) in fresh
+processes at num_cpus=8 and num_cpus=32 on the same input (same page
+count, same block count, same shard layout), with a warm-up job per
+process so worker startup is excluded; 2 repetitions per arm, best
+taken (the sandbox shows ±20% run-to-run noise).  Also reports the
+MACHINE's own 8→32-process scaling ceiling measured with a pure-Python
+CPU burn (this VM tops out ~0.8 even for embarrassingly parallel
+loops — frequency scaling), and the pipeline efficiency normalized by
+that ceiling.  See BASELINE.md.
 """
 
 from __future__ import annotations
@@ -27,10 +33,23 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
+SCALING_PAGES = 500_000
+SCALING_BLOCKS = 64  # ≈8k pages/block — fixed across arms (same job)
+SCALING_SHARDS = 32
+
 
 def _sf() -> str:
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     return m.group(1) if m else "0.1"
+
+
+def _flagship(n_pages: int, out_dir: str, blocks: int, shards: int = 32):
+    from sophia_rs_ray.pipelines.kg import kg_materialize_pipeline
+    from sophia_rs_ray.sources.pages import pages_dataset
+
+    return kg_materialize_pipeline(
+        pages_dataset(n_pages, override_num_blocks=blocks),
+        out_dir, num_shards=shards)
 
 
 def run_bench() -> dict:
@@ -45,9 +64,10 @@ def run_bench() -> dict:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
 
-    from sophia_rs_ray.pipelines.kg import kg_pipeline
+    import shutil
+
     from sophia_rs_ray.pipelines.queries import registry
-    from sophia_rs_ray.sources.pages import SF_PAGE_COUNTS, pages_dataset
+    from sophia_rs_ray.sources.pages import SF_PAGE_COUNTS
 
     sf = _sf()
     n_pages = SF_PAGE_COUNTS.get(sf, 5000)
@@ -59,19 +79,26 @@ def run_bench() -> dict:
             pq.read_table(f"{SF_DIR}/{t}.parquet")
         except Exception:
             pass
+    # warm Ray workers (untimed small flagship)
+    shutil.rmtree("/tmp/kg_bench_warm", ignore_errors=True)
+    _flagship(2000, "/tmp/kg_bench_warm", blocks=16, shards=8)
 
-    # headline: flagship KG pipeline over synthetic pages
+    # headline: full flagship (extract → dedup → 3 sorted layouts, writes
+    # included) over synthetic pages at this sf
+    shutil.rmtree("/tmp/kg_bench_out", ignore_errors=True)
+    blocks = max(16, n_pages // 8000)
     t0 = time.perf_counter()
-    out = kg_pipeline(pages_dataset(n_pages))
-    n_triples = out.count()
+    rep = _flagship(n_pages, "/tmp/kg_bench_out", blocks=blocks)
     headline = time.perf_counter() - t0
+    n_triples = rep["spo"]["rows"]
 
     queries = {}
     reg = registry()
     for name in ("tpch_q1", "top_orders_by_revenue", "events_hourly",
                  "doc_triples", "triples_dedup", "dedup_exact_docs",
                  "token_counts", "knn_cosine", "minhash_bands",
-                 "customers_per_region", "orders_per_segment"):
+                 "customers_per_region", "orders_per_segment",
+                 "gazetteer_mentions", "indexed_pattern_scan"):
         fn, _sql = reg[name]
         t0 = time.perf_counter()
         res = fn(SF_DIR)
@@ -93,30 +120,88 @@ def run_bench() -> dict:
     return result
 
 
+def _scaling_arm() -> dict:
+    """One fresh-process scaling arm: warmup + timed 500k-page flagship."""
+    import shutil
+
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    shutil.rmtree("/tmp/kg_scale_warm", ignore_errors=True)
+    shutil.rmtree("/tmp/kg_scale_out", ignore_errors=True)
+    _flagship(4000, "/tmp/kg_scale_warm", blocks=16, shards=8)
+    t0 = time.perf_counter()
+    rep = _flagship(SCALING_PAGES, "/tmp/kg_scale_out",
+                    blocks=SCALING_BLOCKS, shards=SCALING_SHARDS)
+    dt = time.perf_counter() - t0
+    out = {"sec": round(dt, 2), "triples": rep["spo"]["rows"],
+           "triples_per_sec": round(rep["spo"]["rows"] / dt, 1),
+           "num_cpus": NUM_CPUS}
+    ray.shutdown()
+    return out
+
+
+def _cpu_ceiling() -> float:
+    """This machine's own 8→32 scaling on a pure-CPU multiprocessing
+    burn — the upper bound any pipeline can reach here."""
+    import multiprocessing as mp
+
+    def bench(workers: int) -> float:
+        with mp.get_context("spawn").Pool(workers) as p:
+            p.map(_burn, [500_000] * 8)  # warm the pool
+            t0 = time.perf_counter()
+            p.map(_burn, [3_000_000] * 128)
+            return time.perf_counter() - t0
+
+    t8, t32 = bench(8), bench(32)
+    return round((t8 / t32) / 4.0, 3)
+
+
+def _burn(n: int) -> int:
+    s = 0
+    for i in range(n):
+        s += i * i
+    return s
+
+
 def run_scaling() -> dict:
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                             env=env, capture_output=True, text=True,
-                             check=True).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        best = None
+        for _ in range(2):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--scaling-arm"],
+                env=env, capture_output=True, text=True, check=True).stdout
+            arm = json.loads(out.strip().splitlines()[-1])
+            if best is None or arm["sec"] < best["sec"]:
+                best = arm
+        return best
 
     lo, hi = run(8), run(32)
-    tput_lo = lo["triples_per_sec"]
-    tput_hi = hi["triples_per_sec"]
-    eff = (tput_hi / tput_lo) / (32 / 8)
+    eff = (hi["triples_per_sec"] / lo["triples_per_sec"]) / 4.0
+    ceiling = _cpu_ceiling()
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
-        "sec_8": lo["value"], "sec_32": hi["value"],
-        "triples_per_sec_8": tput_lo, "triples_per_sec_32": tput_hi,
-        "sf": lo["sf"],
+        "n_pages": SCALING_PAGES,
+        "sec_8": lo["sec"], "sec_32": hi["sec"],
+        "triples_per_sec_8": lo["triples_per_sec"],
+        "triples_per_sec_32": hi["triples_per_sec"],
+        "hw_ceiling_8_to_32": ceiling,
+        "value_normalized": round(eff / ceiling, 3) if ceiling else None,
+        "sf": float(_sf()),
     }
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-arm" in sys.argv:
+        print(json.dumps(_scaling_arm()))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
         print(json.dumps(run_bench()))

@@ -422,7 +422,10 @@ def _minhash_bands(sf_dir: str):
 
 
 def registry() -> Registry:
-    return {
+    from .sparql_queries import REGISTRY as SPARQL_REGISTRY
+
+    out = dict(SPARQL_REGISTRY)
+    out.update({
         # KG / RDF operators
         "doc_triples": (doc_triples, DOC_TRIPLES_SQL),
         "triples_dedup": (_triples_dedup, TRIPLES_DEDUP_SQL),
@@ -461,4 +464,5 @@ def registry() -> Registry:
         "minhash_bands": (_minhash_bands, None),
         "entity_links": (_entity_links, None),
         "mention_triples": (_mention_triples, None),
-    }
+    })
+    return out

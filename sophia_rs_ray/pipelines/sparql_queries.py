@@ -1,0 +1,181 @@
+"""SPARQL-algebra registry entries with DuckDB oracles.
+
+Each entry runs a programmatic algebra tree (sophia_rs_ray.sparql)
+against the doc-triples table and is checked by the driver against an
+equivalent SQL statement over the raw ``documents`` view.  Column values
+are canonical-NT term texts on BOTH sides (safe string building: lang /
+source / n_chars contain no escapable characters — see doc_triples).
+"""
+
+from __future__ import annotations
+
+from ..sparql import (
+    BGP, Const, Distinct, Extend, Filter, FnCall, Group, LeftJoin, Minus,
+    OrderBy, PathPlus, Project, Slice, Union, Var, evaluate,
+)
+from ..sparql.algebra import Agg
+from ..terms import int_literal, iri, literal
+from .doc_triples import (
+    DC_LANGUAGE, DC_SOURCE, DOC, DOC_TYPE, EX_NCHARS, doc_triples,
+)
+
+RDF_TYPE_IRI = iri("http://www.w3.org/1999/02/22-rdf-syntax-ns#type")
+INT_DT = "^^<http://www.w3.org/2001/XMLSchema#integer>"
+_D = f"'<{DOC}' || doc_id || '>'"
+
+
+def sparql_bgp_filter(sf_dir: str):
+    """BGP join + FILTER(?n > 300 && ?lang = "en") — exec.rs BGP +
+    expression guard."""
+    q = Project(["d", "lang", "n"], Filter(
+        FnCall("&&",
+               FnCall(">", Var("n"), Const(int_literal(300))),
+               FnCall("=", Var("lang"), Const(literal("en")))),
+        BGP([(Var("d"), iri(DC_LANGUAGE), Var("lang")),
+             (Var("d"), iri(EX_NCHARS), Var("n"))])))
+    return evaluate(q, doc_triples(sf_dir))
+
+
+SPARQL_BGP_FILTER_SQL = f"""
+SELECT {_D} AS d, '"' || lang || '"' AS lang,
+       '"' || n_chars || '"{INT_DT}' AS n
+FROM documents
+WHERE cast(n_chars AS BIGINT) > 300 AND lang = 'en'
+"""
+
+
+def sparql_group_agg(sf_dir: str):
+    """GROUP BY ?src with COUNT(*) + SUM(?n) (aggregate_iter.rs)."""
+    q = Group(["src"], [Agg("COUNT", None, "cnt"),
+                        Agg("SUM", Var("n"), "sum_n")],
+              BGP([(Var("d"), iri(DC_SOURCE), Var("src")),
+                   (Var("d"), iri(EX_NCHARS), Var("n"))]))
+    return evaluate(q, doc_triples(sf_dir))
+
+
+SPARQL_GROUP_AGG_SQL = f"""
+SELECT '"' || source || '"' AS src,
+       '"' || count(*) || '"{INT_DT}' AS cnt,
+       '"' || sum(cast(n_chars AS BIGINT)) || '"{INT_DT}' AS sum_n
+FROM documents GROUP BY source
+"""
+
+
+def sparql_optional(sf_dir: str):
+    """OPTIONAL {?d dc:language "en" bound as ?l} (left join,
+    exec.rs:520-551): ?l null for non-English docs."""
+    q = LeftJoin(
+        BGP([(Var("d"), RDF_TYPE_IRI, iri(DOC_TYPE))]),
+        Filter(FnCall("=", Var("l"), Const(literal("en"))),
+               BGP([(Var("d"), iri(DC_LANGUAGE), Var("l"))])))
+    return evaluate(q, doc_triples(sf_dir))
+
+
+SPARQL_OPTIONAL_SQL = f"""
+SELECT {_D} AS d, CASE WHEN lang = 'en' THEN '"en"' END AS l
+FROM documents
+"""
+
+
+def sparql_union_distinct(sf_dir: str):
+    """DISTINCT over a UNION of two pattern branches (exec.rs:627/553)."""
+    en = BGP([(Var("d"), iri(DC_LANGUAGE), literal("en"))])
+    big = Filter(FnCall(">", Var("n"), Const(int_literal(400))),
+                 BGP([(Var("d"), iri(EX_NCHARS), Var("n"))]))
+    q = Distinct(Project(["d"], Union(en, Project(["d"], big))))
+    return evaluate(q, doc_triples(sf_dir))
+
+
+SPARQL_UNION_DISTINCT_SQL = f"""
+SELECT DISTINCT d FROM (
+  SELECT {_D} AS d FROM documents WHERE lang = 'en'
+  UNION ALL
+  SELECT {_D} AS d FROM documents WHERE cast(n_chars AS BIGINT) > 400
+)
+"""
+
+
+def sparql_minus(sf_dir: str):
+    """MINUS (anti-join on shared vars, exec.rs:754-790)."""
+    q = Minus(Project(["d"], BGP([(Var("d"), RDF_TYPE_IRI, iri(DOC_TYPE))])),
+              Project(["d"], BGP([(Var("d"), iri(DC_LANGUAGE),
+                                   literal("en"))])))
+    return evaluate(q, doc_triples(sf_dir))
+
+
+SPARQL_MINUS_SQL = f"""
+SELECT {_D} AS d FROM documents WHERE lang <> 'en'
+"""
+
+
+def sparql_order_slice(sf_dir: str):
+    """ORDER BY ?n DESC, ?d ASC + LIMIT/OFFSET (exec.rs:826-941);
+    numeric keys order by VALUE."""
+    q = Slice(OrderBy([(Var("n"), False), (Var("d"), True)],
+                      BGP([(Var("d"), iri(EX_NCHARS), Var("n"))])),
+              offset=5, limit=20)
+    return evaluate(q, doc_triples(sf_dir))
+
+
+SPARQL_ORDER_SLICE_SQL = f"""
+SELECT {_D} AS d, '"' || n_chars || '"{INT_DT}' AS n
+FROM documents
+ORDER BY cast(n_chars AS BIGINT) DESC, {_D} ASC
+LIMIT 20 OFFSET 5
+"""
+
+
+def sparql_extend_fns(sf_dir: str):
+    """Extend chain exercising the scalar function library
+    (function.rs: STR/UCASE/STRLEN/CONCAT/CONTAINS)."""
+    base = BGP([(Var("d"), iri(DC_SOURCE), Var("src")),
+                (Var("d"), iri(DC_LANGUAGE), Var("lang"))])
+    q = Project(["d", "usrc", "slen", "tag"],
+                Extend("tag", FnCall("CONCAT", Var("lang"),
+                                     Const(literal("-")), Var("src")),
+                Extend("slen", FnCall("STRLEN", Var("src")),
+                Extend("usrc", FnCall("UCASE", Var("src")),
+                Filter(FnCall("CONTAINS", Var("src"), Const(literal("src"))),
+                       base)))))
+    return evaluate(q, doc_triples(sf_dir))
+
+
+SPARQL_EXTEND_SQL = f"""
+SELECT {_D} AS d,
+       '"' || upper(source) || '"' AS usrc,
+       '"' || length(source) || '"{INT_DT}' AS slen,
+       '"' || lang || '-' || source || '"' AS tag
+FROM documents WHERE source LIKE '%src%'
+"""
+
+
+def sparql_path_knows(sf_dir: str):
+    """schema:knows+ transitive closure from the hub ("celebrity")
+    entity over the page-extracted KG — driver fixpoint of join+dedup
+    rounds (exec.rs:274-482). Rows-only; brute-force BFS oracle in
+    tests/test_sparql.py::test_path_plus and the pages variant in
+    tests/test_sparql_queries.py."""
+    import re
+
+    from ..pipelines.kg import kg_pipeline
+    from ..sources.pages import SF_PAGE_COUNTS, entity_iri, pages_dataset
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    n = SF_PAGE_COUNTS.get(m.group(1) if m else "0.01", 5000)
+    nt = kg_pipeline(pages_dataset(n), dedup=True, sort=False,
+                     keep_url=False)
+    q = PathPlus(iri("http://schema.org/knows"), [iri(entity_iri(0))],
+                 o_var="reached")
+    return evaluate(q, nt)
+
+
+REGISTRY = {
+    "sparql_bgp_filter": (sparql_bgp_filter, SPARQL_BGP_FILTER_SQL),
+    "sparql_group_agg": (sparql_group_agg, SPARQL_GROUP_AGG_SQL),
+    "sparql_optional": (sparql_optional, SPARQL_OPTIONAL_SQL),
+    "sparql_union_distinct": (sparql_union_distinct, SPARQL_UNION_DISTINCT_SQL),
+    "sparql_minus": (sparql_minus, SPARQL_MINUS_SQL),
+    "sparql_order_slice": (sparql_order_slice, SPARQL_ORDER_SLICE_SQL),
+    "sparql_extend_fns": (sparql_extend_fns, SPARQL_EXTEND_SQL),
+    "sparql_path_knows": (sparql_path_knows, None),
+}

@@ -1,0 +1,474 @@
+"""SPARQL algebra nodes → Ray Data operator DAGs.
+
+The reference compiles a spargebra tree into nested lazy iterators over
+FastDataset index scans (``sparql/src/exec.rs:125-181``).  Here the same
+algebra compiles bottom-up into Dataset transformations (SURVEY §2.5-2.7
+mapping table):
+
+    BGP          pattern scans (filtered map_batches) + chained hash
+                 joins on shared variables          (exec.rs:484-518)
+    LeftJoin     left_outer join                    (exec.rs:520-551)
+    Minus        anti join via marker               (exec.rs:754-790)
+    Union        aligned union (bag)                (exec.rs:627-650)
+    Filter/Extend expression map_batches            (expression.rs)
+    Distinct     full-row dedup shuffle             (exec.rs:553-573)
+    OrderBy      sort on encoded term-order key     (exec.rs:826-893)
+    Slice        LIMIT/OFFSET                       (exec.rs:916-941)
+    Group        groupby + aggregate state machine  (aggregate_iter.rs)
+    PathPlus     p+ transitive closure: driver fixpoint of join+dedup
+                 rounds                             (exec.rs:274-482)
+
+Bindings = Dataset with one large_string column per variable (canonical
+NT text; null = unbound).  Algebra nodes are built programmatically (the
+spargebra-equivalent IR); a text front-end is out of scope — the
+reference itself delegates text→algebra to the external spargebra crate.
+
+Scale notes: every join/groupby/sort below is an explicit shuffle whose
+key is the shared-variable tuple; pattern scans push constant positions
+into Arrow filters (and can be served by the materialized shard layouts
+via stages/materialize.triples_matching for bound leading terms).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple, Union as U
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..terms import (XSD, XSD_DOUBLE, XSD_INTEGER, Term, format_term,
+                     sort_key)
+from .expr import (Const, Expr, FnCall, Var, _parse, ebv, eval_expr_batch,
+                   order_key_batch, value_of)
+
+TermOrVar = U[Term, Var]
+
+
+@dataclass
+class BGP:
+    patterns: Sequence[Tuple[TermOrVar, TermOrVar, TermOrVar]]
+
+
+@dataclass
+class Join:
+    left: "Node"
+    right: "Node"
+
+
+@dataclass
+class LeftJoin:
+    left: "Node"
+    right: "Node"
+    # NB: an OPTIONAL-internal FILTER expression guard is not supported;
+    # apply Filter inside `right` when it only references right-side vars.
+
+
+@dataclass
+class Union:
+    left: "Node"
+    right: "Node"
+
+
+@dataclass
+class Minus:
+    left: "Node"
+    right: "Node"
+
+
+@dataclass
+class Filter:
+    expr: Expr
+    child: "Node"
+
+
+@dataclass
+class Extend:
+    var: str
+    expr: Expr
+    child: "Node"
+
+
+@dataclass
+class Project:
+    vars: Sequence[str]
+    child: "Node"
+
+
+@dataclass
+class Distinct:
+    child: "Node"
+
+
+@dataclass
+class OrderBy:
+    keys: Sequence[Tuple[Expr, bool]]  # (expr, ascending)
+    child: "Node"
+
+
+@dataclass
+class Slice:
+    child: "Node"
+    offset: int = 0
+    limit: Optional[int] = None
+
+
+@dataclass
+class Agg:
+    """COUNT/SUM/AVG/MIN/MAX/GROUP_CONCAT/SAMPLE over an expression
+    (None = COUNT(*)) — reference aggregate_iter.rs:80-190."""
+    fn: str
+    expr: Optional[Expr] = None
+    alias: str = "agg"
+    distinct: bool = False
+    separator: str = " "
+
+
+@dataclass
+class Group:
+    group_vars: Sequence[str]
+    aggs: Sequence[Agg]
+    child: "Node"
+
+
+@dataclass
+class PathPlus:
+    """?s pred+ ?o seeded from fixed subjects (bounded frontier loop)."""
+    pred: Term
+    seeds: Sequence[Term]
+    s_var: str = "s"
+    o_var: str = "o"
+    max_rounds: int = 32
+
+
+Node = U[BGP, Join, LeftJoin, Union, Minus, Filter, Extend, Project,
+         Distinct, OrderBy, Slice, Group, PathPlus]
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _vars_of(ds) -> List[str]:
+    return [c for c in ds.schema().names if not c.startswith("__")]
+
+
+def _norm_cols(b: pa.Table) -> pa.Table:
+    """Pin binding columns to plain string for join-key compatibility."""
+    for i, c in enumerate(b.column_names):
+        if pa.types.is_large_string(b.schema.field(i).type):
+            b = b.set_column(i, c, pc.cast(b[c], pa.string()))
+    return b
+
+
+def _scan(triples_ds, pattern) -> "ray.data.Dataset":
+    """One triple pattern → bindings: constant positions filter, variable
+    positions project+rename; repeated variables add equality filters."""
+    pos_cols = ("s", "p", "o")
+    consts: List[Tuple[str, str]] = []
+    var_pos: Dict[str, List[str]] = {}
+    for col, item in zip(pos_cols, pattern):
+        if isinstance(item, Var):
+            var_pos.setdefault(item.name, []).append(col)
+        else:
+            consts.append((col, format_term(item)))
+
+    def body(b: pa.Table) -> pa.Table:
+        mask = None
+        for col, txt in consts:
+            m = pc.equal(b[col], pa.scalar(txt))
+            mask = m if mask is None else pc.and_(mask, m)
+        for name, cols in var_pos.items():
+            for extra in cols[1:]:
+                m = pc.equal(b[cols[0]], b[extra])
+                mask = m if mask is None else pc.and_(mask, m)
+        if mask is not None:
+            b = b.filter(mask)
+        out = {name: pc.cast(b[cols[0]], pa.string())
+               for name, cols in var_pos.items()}
+        if not out:  # all-constant pattern: emit a marker row per match
+            return pa.table({"__match": pa.array([1] * b.num_rows, pa.int64())})
+        return pa.table(out)
+
+    return triples_ds.map_batches(body, batch_format="pyarrow")
+
+
+def _cross_or_join(a, b, *, how: str = "inner", num_partitions: int = 8):
+    """Hash join on shared vars; no shared vars → small-side cross
+    product (only sensible when one side is tiny, e.g. a VALUES row)."""
+    shared = sorted(set(_vars_of(a)) & set(_vars_of(b)))
+    if shared:
+        return a.join(b, how, num_partitions=num_partitions,
+                      on=tuple(shared))
+    bt = pa.Table.from_pylist(b.take_all())
+
+    def cross(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or bt.num_rows == 0:
+            cols = {c: pa.array([], pa.string()) for c in
+                    list(batch.column_names) + list(bt.column_names)}
+            return pa.table(cols)
+        left = batch.take(pa.array([i for i in range(batch.num_rows)
+                                    for _ in range(bt.num_rows)]))
+        right = pa.concat_tables([bt] * batch.num_rows)
+        for name in right.column_names:
+            left = left.append_column(name, right[name])
+        return left
+
+    return a.map_batches(cross, batch_format="pyarrow")
+
+
+def _expr_batch_eval(e: Expr, b: pa.Table) -> List[Optional[str]]:
+    cols = {c: b[c].to_pylist() for c in b.column_names
+            if not c.startswith("__")}
+    return eval_expr_batch(e, cols, b.num_rows)
+
+
+def _distinct(ds, num_partitions: int = 8):
+    """Exact distinct over all binding columns (null-safe: key is the
+    escaped row text)."""
+    cols = _vars_of(ds)
+
+    def key(b: pa.Table) -> pa.Table:
+        import hashlib
+        parts = [b[c].to_pylist() for c in cols]
+        keys = [hashlib.sha256(
+            "\x1e".join("\x00" if x is None else "1" + x for x in row)
+            .encode()).hexdigest() for row in zip(*parts)]
+        return b.append_column("__k", pa.array(keys, pa.string()))
+
+    def first(group: pa.Table) -> pa.Table:
+        return group.slice(0, 1).drop_columns(["__k"])
+
+    return (ds.map_batches(key, batch_format="pyarrow")
+            .groupby("__k").map_groups(first, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
+# evaluator
+# ---------------------------------------------------------------------------
+
+def evaluate(node: Node, triples_ds, *, num_partitions: int = 8):
+    """Compile-and-run: algebra node → Dataset of bindings."""
+    ev = lambda n: evaluate(n, triples_ds, num_partitions=num_partitions)  # noqa: E731
+
+    if isinstance(node, BGP):
+        parts = [_scan(triples_ds, p) for p in node.patterns]
+        out = parts[0]
+        for nxt in parts[1:]:
+            out = _cross_or_join(out, nxt, num_partitions=num_partitions)
+        return out
+
+    if isinstance(node, Join):
+        return _cross_or_join(ev(node.left), ev(node.right),
+                              num_partitions=num_partitions)
+
+    if isinstance(node, LeftJoin):
+        left, right = ev(node.left), ev(node.right)
+        shared = sorted(set(_vars_of(left)) & set(_vars_of(right)))
+        if not shared:
+            raise ValueError("LeftJoin without shared variables")
+        return left.join(right, "left_outer",
+                         num_partitions=num_partitions, on=tuple(shared))
+
+    if isinstance(node, Union):
+        left, right = ev(node.left), ev(node.right)
+        lv, rv = _vars_of(left), _vars_of(right)
+        allv = sorted(set(lv) | set(rv))
+
+        def align(b: pa.Table, have: List[str]) -> pa.Table:
+            cols = {}
+            for c in allv:
+                cols[c] = b[c] if c in have else \
+                    pa.array([None] * b.num_rows, pa.string())
+            return pa.table(cols)
+
+        return left.map_batches(lambda b: align(b, lv), batch_format="pyarrow") \
+            .union(right.map_batches(lambda b: align(b, rv),
+                                     batch_format="pyarrow"))
+
+    if isinstance(node, Minus):
+        left, right = ev(node.left), ev(node.right)
+        shared = sorted(set(_vars_of(left)) & set(_vars_of(right)))
+        if not shared:
+            return left
+        marker = _distinct(
+            right.map_batches(
+                lambda b: pa.table({c: b[c] for c in shared}),
+                batch_format="pyarrow"),
+            num_partitions)
+        marker = marker.map_batches(
+            lambda b: b.append_column("__m", pa.array([1] * b.num_rows,
+                                                      pa.int64())),
+            batch_format="pyarrow")
+        joined = left.join(marker, "left_outer",
+                           num_partitions=num_partitions, on=tuple(shared))
+        return joined.map_batches(
+            lambda b: b.filter(pc.is_null(b["__m"])).drop_columns(["__m"]),
+            batch_format="pyarrow")
+
+    if isinstance(node, Filter):
+        child = ev(node.child)
+
+        def filt(b: pa.Table) -> pa.Table:
+            res = _expr_batch_eval(node.expr, b)
+            keep = [i for i, r in enumerate(res)
+                    if r is not None and ebv(_parse(r)) is True]
+            return b.take(pa.array(keep, pa.int64()))
+
+        return child.map_batches(filt, batch_format="pyarrow")
+
+    if isinstance(node, Extend):
+        child = ev(node.child)
+
+        def ext(b: pa.Table) -> pa.Table:
+            res = _expr_batch_eval(node.expr, b)
+            return b.append_column(node.var, pa.array(res, pa.string()))
+
+        return child.map_batches(ext, batch_format="pyarrow")
+
+    if isinstance(node, Project):
+        child = ev(node.child)
+        keep = list(node.vars)
+        return child.map_batches(
+            lambda b: pa.table({c: b[c] for c in keep}),
+            batch_format="pyarrow")
+
+    if isinstance(node, Distinct):
+        return _distinct(ev(node.child), num_partitions)
+
+    if isinstance(node, OrderBy):
+        child = ev(node.child)
+        keys = list(node.keys)
+
+        def add_keys(b: pa.Table) -> pa.Table:
+            cols = {c: b[c].to_pylist() for c in b.column_names}
+            for i, (e, _asc) in enumerate(keys):
+                kb = order_key_batch(e, cols, b.num_rows)
+                b = b.append_column(f"__o{i}",
+                                    pa.array([k.hex() for k in kb], pa.string()))
+            return b
+
+        sort_cols = [f"__o{i}" for i in range(len(keys))]
+        desc = [not asc for (_e, asc) in keys]
+        out = (child.map_batches(add_keys, batch_format="pyarrow")
+               .sort(sort_cols, descending=desc))
+        return out.map_batches(lambda b: b.drop_columns(sort_cols),
+                               batch_format="pyarrow")
+
+    if isinstance(node, Slice):
+        child = ev(node.child)
+        if node.offset == 0:
+            return child if node.limit is None else child.limit(node.limit)
+        # OFFSET: driver-side skip of a small sorted prefix
+        import ray.data as rd
+        n = node.offset + (node.limit or 0)
+        rows = child.limit(n).take_all() if node.limit else child.take_all()
+        rows = rows[node.offset:]
+        if not rows:
+            return child.limit(0)
+        return rd.from_arrow(pa.Table.from_pylist(rows))
+
+    if isinstance(node, Group):
+        child = ev(node.child)
+        gv = list(node.group_vars)
+        aggs = list(node.aggs)
+
+        def agg_group(group: pa.Table) -> pa.Table:
+            out = {c: [group[c][0].as_py()] for c in gv}
+            for a in aggs:
+                out[a.alias] = [_run_agg(a, group)]
+            return pa.table(out)
+
+        if gv:
+            return child.groupby(gv).map_groups(agg_group,
+                                                batch_format="pyarrow")
+        # single implicit group: reduce driver-side (small)
+        whole = pa.Table.from_pylist(child.take_all())
+        if whole.num_rows == 0:
+            whole = pa.table({c: pa.array([], pa.string())
+                              for c in _vars_of(child)})
+        import ray.data as rd
+        return rd.from_arrow(agg_group(whole))
+
+    if isinstance(node, PathPlus):
+        return _path_plus(node, triples_ds, num_partitions)
+
+    raise TypeError(f"unknown algebra node {type(node)}")
+
+
+def _run_agg(a: Agg, group: pa.Table) -> Optional[str]:
+    """One aggregate over one group (aggregate_iter.rs:80-190)."""
+    if a.fn == "COUNT" and a.expr is None:
+        return format_term((2, str(group.num_rows), XSD_INTEGER, "", 0))
+    vals = [v for v in _expr_batch_eval(a.expr, group) if v is not None]
+    if a.distinct:
+        vals = sorted(set(vals))
+    if a.fn == "COUNT":
+        return format_term((2, str(len(vals)), XSD_INTEGER, "", 0))
+    if a.fn == "SAMPLE":
+        return min(vals) if vals else None
+    if a.fn == "GROUP_CONCAT":
+        parts = []
+        for v in vals:
+            t = _parse(v)
+            parts.append(t[1] if t and t[0] == 2 else v)
+        return format_term((2, a.separator.join(parts), XSD + "string", "", 0))
+    terms = [_parse(v) for v in vals]
+    terms = [t for t in terms if t is not None]
+    if not terms:
+        return None
+    if a.fn in ("MIN", "MAX"):
+        pick = min(terms, key=sort_key) if a.fn == "MIN" else \
+            max(terms, key=sort_key)
+        return format_term(pick)
+    nums = [value_of(t) for t in terms]
+    if any(v is None or v[0] != "num" for v in nums):
+        return None  # type error → aggregate error
+    xs = [v[1] for v in nums]
+    if a.fn == "SUM":
+        s = sum(xs)
+        return format_term(_num_term(s))
+    if a.fn == "AVG":
+        s = sum(xs) / len(xs)
+        return format_term(_num_term(s))
+    raise ValueError(f"unknown aggregate {a.fn}")
+
+
+def _num_term(x) -> Term:
+    if isinstance(x, int):
+        return (2, str(x), XSD_INTEGER, "", 0)
+    if float(x).is_integer():
+        return (2, str(int(x)), XSD_INTEGER, "", 0)
+    return (2, repr(float(x)), XSD_DOUBLE, "", 0)
+
+
+def _path_plus(node: PathPlus, triples_ds, num_partitions: int):
+    """Transitive closure pred+ from seed subjects: frontier loop of
+    hash joins with per-round dedup (exec.rs:274-482 / path_or_more.rs;
+    same shape as the reasoner fixpoint, SURVEY §2.10)."""
+    import ray.data as rd
+
+    pred_txt = format_term(node.pred)
+    edges = triples_ds.map_batches(
+        lambda b: (lambda f: pa.table({
+            "src": pc.cast(f["s"], pa.string()),
+            "dst": pc.cast(f["o"], pa.string())}))(
+            b.filter(pc.equal(b["p"], pa.scalar(pred_txt)))),
+        batch_format="pyarrow").materialize()
+
+    seeds = {format_term(s) for s in node.seeds}
+    reached: set = set()
+    frontier = set(seeds)
+    for _ in range(node.max_rounds):
+        if not frontier:
+            break
+        fr = rd.from_arrow(pa.table({"src": pa.array(sorted(frontier),
+                                                     pa.string())}))
+        step = fr.join(edges, "inner", num_partitions=num_partitions,
+                       on=("src",))
+        nxt = {r["dst"] for r in step.select_columns(["dst"]).take_all()}
+        frontier = nxt - reached - seeds
+        reached |= nxt
+    rows = sorted(reached)
+    tbl = pa.table({node.o_var: pa.array(rows, pa.string())})
+    return rd.from_arrow(tbl)

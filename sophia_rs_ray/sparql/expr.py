@@ -1,0 +1,612 @@
+"""SPARQL expression evaluation with the reference's value semantics.
+
+Mirrors ``sparql/src/function.rs:35-440`` (function dispatch),
+``sparql/src/expression.rs:34-165`` (operators, EBV, error propagation)
+and ``sparql/src/value.rs`` (value- vs term-equality split, numeric
+promotion tower NativeInt→…→Double of ``sparql/src/value/_number.rs``).
+
+Evaluation is per batch over binding columns of canonical-NT term text;
+an evaluation *error* is ``None`` (SPARQL's unbound/error propagation:
+errors make FILTER drop the row and Extend bind nothing —
+``sparql/src/value.rs:98-105``).  ``NOW``/``RAND``/``UUID`` are omitted
+on purpose (SURVEY §4.1 determinism hazards — ``NOW`` is a pinned
+constant the caller injects with ``Const``).
+
+Deliberately row-wise inside a batch (terms are parsed once per distinct
+text via an LRU cache — hub terms repeat massively); the hot relational
+comparisons used by BGP joins never go through this module.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from typing import Callable, Dict, List, Optional, Sequence, Union
+from urllib.parse import quote
+
+from ..ntriples import parse_term_text
+from ..terms import (
+    KIND_BNODE, KIND_IRI, KIND_LITERAL, KIND_TRIPLE, KIND_VARIABLE,
+    RDF_LANGSTRING, XSD, XSD_BOOLEAN, XSD_DATETIME, XSD_DECIMAL,
+    XSD_DOUBLE, XSD_FLOAT, XSD_INTEGER, XSD_STRING, Term, format_term,
+    sort_key,
+)
+
+Text = Optional[str]  # canonical-NT term text; None = unbound/error
+
+
+# plain-dict caches, NOT functools.lru_cache: lru wrappers pickle by
+# module reference, which breaks cloudpickle's pickle-by-value shipping
+# of UDF closures to workers without the repo on sys.path.
+_parse_cache: dict = {}
+
+
+def _parse(text: str) -> Optional[Term]:
+    t = _parse_cache.get(text, 0)
+    if t != 0:
+        return t
+    if len(_parse_cache) > 65536:
+        _parse_cache.clear()
+    try:
+        t = parse_term_text(text)
+    except ValueError:
+        t = None
+    _parse_cache[text] = t
+    return t
+
+
+_INT_DT = frozenset((XSD_INTEGER, XSD + "long", XSD + "int", XSD + "short",
+                     XSD + "byte", XSD + "nonNegativeInteger",
+                     XSD + "positiveInteger", XSD + "unsignedInt",
+                     XSD + "unsignedLong"))
+_NUMERIC_DT = _INT_DT | {XSD_DECIMAL, XSD_FLOAT, XSD_DOUBLE}
+
+
+def value_of(t: Term):
+    """Term → Python value for SPARQL value comparison; None if the
+    literal is ill-formed (error, ``value.rs:98-105``)."""
+    kind, lex, dt, lang, _ = t
+    if kind != KIND_LITERAL:
+        return None
+    if lang:
+        return ("lang", lex, lang.lower())
+    if dt in _NUMERIC_DT:
+        try:
+            if dt in _INT_DT:
+                return ("num", int(lex))
+            return ("num", float(lex))
+        except ValueError:
+            return None
+    if dt == XSD_BOOLEAN:
+        if lex in ("true", "1"):
+            return ("bool", True)
+        if lex in ("false", "0"):
+            return ("bool", False)
+        return None
+    if dt == XSD_DATETIME:
+        dtv = _parse_datetime(lex)
+        return ("dt", dtv) if dtv is not None else None
+    if dt == XSD_STRING:
+        return ("str", lex)
+    return ("other", dt, lex)
+
+
+def _parse_datetime(lex: str):
+    m = re.match(
+        r"^(-?\d{4,})-(\d{2})-(\d{2})T(\d{2}):(\d{2}):(\d{2}(?:\.\d+)?)"
+        r"(Z|[+-]\d{2}:\d{2})?$", lex)
+    if not m:
+        return None
+    y, mo, d, h, mi = (int(m.group(i)) for i in range(1, 6))
+    s = float(m.group(6))
+    tz = m.group(7)
+    off = 0.0
+    if tz and tz != "Z":
+        sign = 1 if tz[0] == "+" else -1
+        off = sign * (int(tz[1:3]) * 60 + int(tz[4:6]))
+    # comparable instant (minutes offset applied); keeps fields for accessors
+    total = (((y * 366 + mo * 31 + d) * 24 + h) * 60 + mi - off) * 60 + s
+    return (total, y, mo, d, h, mi, s, tz)
+
+
+def ebv(t: Optional[Term]) -> Optional[bool]:
+    """Effective boolean value (``sparql/src/value.rs:107-115``)."""
+    if t is None:
+        return None
+    v = value_of(t)
+    if v is None:
+        return None
+    tag = v[0]
+    if tag == "bool":
+        return v[1]
+    if tag == "num":
+        return v[1] == v[1] and v[1] != 0
+    if tag in ("str", "lang"):
+        return len(v[1]) > 0
+    return None
+
+
+def _cmp_values(a: Term, b: Term) -> Optional[int]:
+    """SPARQL value comparison (<,>,<=,>=): numbers, strings, booleans,
+    dateTimes; incomparable → error."""
+    va, vb = value_of(a), value_of(b)
+    if va is None or vb is None or va[0] != vb[0]:
+        return None
+    if va[0] == "num":
+        x, y = va[1], vb[1]
+        if x != x or y != y:
+            return None
+        return (x > y) - (x < y)
+    if va[0] == "str":
+        return (va[1] > vb[1]) - (va[1] < vb[1])
+    if va[0] == "bool":
+        return (va[1] > vb[1]) - (va[1] < vb[1])
+    if va[0] == "dt":
+        return (va[1][0] > vb[1][0]) - (va[1][0] < vb[1][0])
+    return None
+
+
+def _eq_values(a: Term, b: Term) -> Optional[bool]:
+    """SPARQL ``=``: value equality where a value space exists, else term
+    equality; unsupported-datatype pairs with equal terms are equal,
+    differing ones are errors (``value.rs:117``)."""
+    if a[0] != KIND_LITERAL or b[0] != KIND_LITERAL:
+        return a == b
+    va, vb = value_of(a), value_of(b)
+    if va is not None and vb is not None and va[0] == vb[0]:
+        if va[0] == "num":
+            return va[1] == vb[1]
+        if va[0] == "dt":
+            return va[1][0] == vb[1][0]
+        return va[1:] == vb[1:]
+    return True if a == b else None
+
+
+# ---------------------------------------------------------------------------
+# expression tree
+# ---------------------------------------------------------------------------
+
+class Var:
+    def __init__(self, name: str):
+        self.name = name
+
+
+class Const:
+    def __init__(self, term: Term):
+        self.term = term
+
+
+class FnCall:
+    def __init__(self, fn: str, *args):
+        self.fn = fn.upper()
+        self.args = args
+
+
+Expr = Union[Var, Const, FnCall]
+
+
+def _str_value(t: Term) -> Optional[str]:
+    """STR()-able string of a term (IRI text or literal lexical form)."""
+    if t[0] == KIND_IRI:
+        return t[1]
+    if t[0] == KIND_LITERAL:
+        return t[1]
+    return None
+
+
+def _plainish(t: Term) -> Optional[str]:
+    """Argument for string functions: xsd:string or lang literal."""
+    if t[0] == KIND_LITERAL and (t[3] or t[2] == XSD_STRING):
+        return t[1]
+    return None
+
+
+def _mk_str_like(src: Term, lex: str) -> Term:
+    """Result literal carrying src's lang tag (SPARQL string-fn rules)."""
+    if src[3]:
+        return (KIND_LITERAL, lex, src[2], src[3], src[4])
+    return (KIND_LITERAL, lex, XSD_STRING, "", 0)
+
+
+def _num(t: Term) -> Optional[Union[int, float]]:
+    v = value_of(t)
+    return v[1] if v is not None and v[0] == "num" else None
+
+
+def _mk_num(x: Union[int, float], *dts: str) -> Term:
+    """Numeric result with SPARQL promotion: all-integer args → integer,
+    else double (we collapse decimal/float into double)."""
+    if isinstance(x, int) or (all(d == XSD_INTEGER for d in dts) and dts
+                              and float(x).is_integer()):
+        return (KIND_LITERAL, str(int(x)), XSD_INTEGER, "", 0)
+    return (KIND_LITERAL, _fmt_double(float(x)), XSD_DOUBLE, "", 0)
+
+
+def _fmt_double(x: float) -> str:
+    if x != x:
+        return "NaN"
+    if x == math.inf:
+        return "INF"
+    if x == -math.inf:
+        return "-INF"
+    return repr(x)
+
+
+_TRUE = (KIND_LITERAL, "true", XSD_BOOLEAN, "", 0)
+_FALSE = (KIND_LITERAL, "false", XSD_BOOLEAN, "", 0)
+
+
+def _mk_bool(b: Optional[bool]) -> Optional[Term]:
+    if b is None:
+        return None
+    return _TRUE if b else _FALSE
+
+
+_rx_cache: dict = {}
+
+
+def _rx(pattern: str, flags: str) -> Optional[re.Pattern]:
+    key = (pattern, flags)
+    if key in _rx_cache:
+        return _rx_cache[key]
+    if len(_rx_cache) > 512:
+        _rx_cache.clear()
+    f = 0
+    for c in flags:
+        f |= {"i": re.I, "s": re.S, "m": re.M, "x": re.X}.get(c, 0)
+    try:
+        r = re.compile(pattern, f)
+    except re.error:
+        r = None
+    _rx_cache[key] = r
+    return r
+
+
+def eval_expr(e: Expr, row: Dict[str, Optional[Term]]) -> Optional[Term]:
+    """One expression over one parsed binding row; None = error/unbound."""
+    if isinstance(e, Const):
+        return e.term
+    if isinstance(e, Var):
+        return row.get(e.name)
+    fn, args = e.fn, e.args
+
+    # lazy/special forms first (BOUND/IF/COALESCE/&&/||)
+    if fn == "BOUND":
+        return _mk_bool(isinstance(args[0], Var) and row.get(args[0].name) is not None)
+    if fn == "COALESCE":
+        for a in args:
+            v = eval_expr(a, row)
+            if v is not None:
+                return v
+        return None
+    if fn == "IF":
+        c = ebv(eval_expr(args[0], row))
+        if c is None:
+            return None
+        return eval_expr(args[1] if c else args[2], row)
+    if fn in ("&&", "||"):
+        a = ebv(eval_expr(args[0], row))
+        b = ebv(eval_expr(args[1], row))
+        if fn == "&&":
+            if a is False or b is False:
+                return _FALSE
+            return _mk_bool(True) if (a and b) else None
+        if a is True or b is True:
+            return _TRUE
+        return _mk_bool(False) if (a is False and b is False) else None
+
+    vals = [eval_expr(a, row) for a in args]
+    if any(v is None for v in vals):
+        return None
+    return _apply(fn, vals, row)
+
+
+def _apply(fn: str, v: List[Term], row) -> Optional[Term]:  # noqa: C901
+    if fn == "!":
+        b = ebv(v[0])
+        return _mk_bool(None if b is None else not b)
+    if fn == "=":
+        return _mk_bool(_eq_values(v[0], v[1]))
+    if fn == "!=":
+        r = _eq_values(v[0], v[1])
+        return _mk_bool(None if r is None else not r)
+    if fn in ("<", "<=", ">", ">="):
+        c = _cmp_values(v[0], v[1])
+        if c is None:
+            return None
+        return _mk_bool({"<": c < 0, "<=": c <= 0, ">": c > 0, ">=": c >= 0}[fn])
+    if fn == "SAMETERM":
+        return _mk_bool(v[0] == v[1])
+    if fn == "IN":
+        return _mk_bool(any(_eq_values(v[0], x) is True for x in v[1:]))
+
+    if fn in ("+", "-", "*", "/"):
+        if fn == "-" and len(v) == 1:
+            x = _num(v[0])
+            return None if x is None else _mk_num(-x, v[0][2])
+        a, b = _num(v[0]), _num(v[1])
+        if a is None or b is None:
+            return None
+        if fn == "+":
+            return _mk_num(a + b, v[0][2], v[1][2])
+        if fn == "-":
+            return _mk_num(a - b, v[0][2], v[1][2])
+        if fn == "*":
+            return _mk_num(a * b, v[0][2], v[1][2])
+        try:
+            r = a / b
+        except ZeroDivisionError:
+            return None  # numeric division by zero is an error
+        return _mk_num(r, XSD_DOUBLE)
+
+    # term accessors / constructors (function.rs:41-113, 340-440)
+    if fn == "STR":
+        s = _str_value(v[0])
+        return None if s is None else (KIND_LITERAL, s, XSD_STRING, "", 0)
+    if fn == "LANG":
+        if v[0][0] != KIND_LITERAL:
+            return None
+        return (KIND_LITERAL, v[0][3].lower(), XSD_STRING, "", 0)
+    if fn == "DATATYPE":
+        if v[0][0] != KIND_LITERAL:
+            return None
+        dt = v[0][2] if not v[0][3] else RDF_LANGSTRING
+        return (KIND_IRI, dt, "", "", 0)
+    if fn == "IRI" or fn == "URI":
+        if v[0][0] == KIND_IRI:
+            return v[0]
+        s = _plainish(v[0])
+        return None if s is None else (KIND_IRI, s, "", "", 0)
+    if fn == "STRDT":
+        s = _plainish(v[0])
+        if s is None or v[0][3] or v[1][0] != KIND_IRI:
+            return None
+        return (KIND_LITERAL, s, v[1][1], "", 0)
+    if fn == "STRLANG":
+        s = _plainish(v[0])
+        if s is None or v[0][3]:
+            return None
+        lt = _plainish(v[1])
+        return None if not lt else (KIND_LITERAL, s, RDF_LANGSTRING, lt, 0)
+    if fn in ("ISIRI", "ISURI"):
+        return _mk_bool(v[0][0] == KIND_IRI)
+    if fn == "ISBLANK":
+        return _mk_bool(v[0][0] == KIND_BNODE)
+    if fn == "ISLITERAL":
+        return _mk_bool(v[0][0] == KIND_LITERAL)
+    if fn == "ISNUMERIC":
+        return _mk_bool(v[0][0] == KIND_LITERAL and _num(v[0]) is not None)
+    if fn == "ISTRIPLE":
+        return _mk_bool(v[0][0] == KIND_TRIPLE)
+
+    # strings (function.rs:138-246, 389-398)
+    if fn == "STRLEN":
+        s = _plainish(v[0])
+        return None if s is None else (KIND_LITERAL, str(len(s)), XSD_INTEGER, "", 0)
+    if fn == "UCASE":
+        s = _plainish(v[0])
+        return None if s is None else _mk_str_like(v[0], s.upper())
+    if fn == "LCASE":
+        s = _plainish(v[0])
+        return None if s is None else _mk_str_like(v[0], s.lower())
+    if fn in ("CONTAINS", "STRSTARTS", "STRENDS", "STRBEFORE", "STRAFTER"):
+        a, b = _plainish(v[0]), _plainish(v[1])
+        if a is None or b is None:
+            return None
+        if v[0][3] and v[1][3] and v[0][3].lower() != v[1][3].lower():
+            return None  # argument-compatibility error
+        if fn == "CONTAINS":
+            return _mk_bool(b in a)
+        if fn == "STRSTARTS":
+            return _mk_bool(a.startswith(b))
+        if fn == "STRENDS":
+            return _mk_bool(a.endswith(b))
+        if fn == "STRBEFORE":
+            i = a.find(b)
+            return _mk_str_like(v[0], a[:i]) if i >= 0 else \
+                (KIND_LITERAL, "", XSD_STRING, "", 0)
+        i = a.find(b)
+        return _mk_str_like(v[0], a[i + len(b):]) if i >= 0 else \
+            (KIND_LITERAL, "", XSD_STRING, "", 0)
+    if fn == "SUBSTR":
+        s = _plainish(v[0])
+        start = _num(v[1])
+        if s is None or start is None:
+            return None
+        start = int(start) - 1  # SPARQL is 1-based
+        if len(v) > 2:
+            ln = _num(v[2])
+            if ln is None:
+                return None
+            return _mk_str_like(v[0], s[max(start, 0):max(start, 0) + int(ln) + min(start, 0)])
+        return _mk_str_like(v[0], s[max(start, 0):])
+    if fn == "CONCAT":
+        parts = [_plainish(x) for x in v]
+        if any(p is None for p in parts):
+            return None
+        langs = {x[3].lower() for x in v if x[0] == KIND_LITERAL}
+        if len(langs) == 1 and v and v[0][3]:
+            return _mk_str_like(v[0], "".join(parts))
+        return (KIND_LITERAL, "".join(parts), XSD_STRING, "", 0)
+    if fn == "REPLACE":
+        s = _plainish(v[0])
+        pat = _plainish(v[1])
+        rep = _plainish(v[2])
+        flags = _plainish(v[3]) if len(v) > 3 else ""
+        if s is None or pat is None or rep is None or flags is None:
+            return None
+        rxp = _rx(pat, flags)
+        if rxp is None:
+            return None
+        return _mk_str_like(v[0], rxp.sub(_xpath_rep(rep), s))
+    if fn == "REGEX":
+        s = _plainish(v[0])
+        pat = _plainish(v[1])
+        flags = _plainish(v[2]) if len(v) > 2 else ""
+        if s is None or pat is None or flags is None:
+            return None
+        rxp = _rx(pat, flags)
+        return None if rxp is None else _mk_bool(rxp.search(s) is not None)
+    if fn == "ENCODE_FOR_URI":
+        s = _plainish(v[0])
+        return None if s is None else \
+            (KIND_LITERAL, quote(s, safe="-_.~"), XSD_STRING, "", 0)
+    if fn == "LANGMATCHES":
+        tag = _plainish(v[0])
+        rng = _plainish(v[1])
+        if not tag or not rng:
+            return _mk_bool(False) if tag == "" else None
+        tag, rng = tag.lower(), rng.lower()
+        if rng == "*":
+            return _mk_bool(tag != "")
+        return _mk_bool(tag == rng or tag.startswith(rng + "-"))
+
+    # numerics (function.rs:114-137)
+    if fn in ("ABS", "CEIL", "FLOOR", "ROUND"):
+        x = _num(v[0])
+        if x is None:
+            return None
+        if fn == "ABS":
+            r = abs(x)
+        elif fn == "CEIL":
+            r = math.ceil(x)
+        elif fn == "FLOOR":
+            r = math.floor(x)
+        else:
+            r = math.floor(x + 0.5)  # XPath round: half up
+        return _mk_num(r if isinstance(x, int) else float(r), v[0][2])
+
+    # date/time accessors (function.rs:247-295)
+    if fn in ("YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS", "TZ"):
+        val = value_of(v[0])
+        if val is None or val[0] != "dt":
+            return None
+        _tot, y, mo, d, h, mi, s, tz = val[1]
+        if fn == "TZ":
+            return (KIND_LITERAL, tz or "", XSD_STRING, "", 0)
+        x = {"YEAR": y, "MONTH": mo, "DAY": d, "HOURS": h, "MINUTES": mi,
+             "SECONDS": s}[fn]
+        if fn == "SECONDS":
+            return (KIND_LITERAL, str(x), XSD_DECIMAL, "", 0)
+        return (KIND_LITERAL, str(x), XSD_INTEGER, "", 0)
+
+    # constructor casts (function.rs:434-440)
+    if fn.startswith("XSD:"):
+        target = XSD + fn[4:].lower()
+        return _cast(v[0], target)
+    raise ValueError(f"unknown SPARQL function {fn}")
+
+
+def _xpath_rep(rep: str) -> str:
+    """XPath replacement ($1…) → Python (\\1…)."""
+    return re.sub(r"\$(\d)", r"\\\1", rep)
+
+
+def _cast(t: Term, target: str) -> Optional[Term]:
+    v = value_of(t)
+    if v is None:
+        return None
+    try:
+        if target == XSD_STRING:
+            s = _str_value(t)
+            return None if s is None else (KIND_LITERAL, s, XSD_STRING, "", 0)
+        if target == XSD_INTEGER:
+            if v[0] == "num":
+                return (KIND_LITERAL, str(int(v[1])), XSD_INTEGER, "", 0)
+            if v[0] == "bool":
+                return (KIND_LITERAL, str(int(v[1])), XSD_INTEGER, "", 0)
+            if v[0] == "str":
+                return (KIND_LITERAL, str(int(v[1].strip())), XSD_INTEGER, "", 0)
+        if target in (XSD_DOUBLE, XSD_FLOAT, XSD_DECIMAL):
+            if v[0] == "num":
+                return (KIND_LITERAL, _fmt_double(float(v[1])), target, "", 0)
+            if v[0] == "bool":
+                return (KIND_LITERAL, _fmt_double(1.0 * v[1]), target, "", 0)
+            if v[0] == "str":
+                return (KIND_LITERAL, _fmt_double(float(v[1].strip())), target, "", 0)
+        if target == XSD_BOOLEAN:
+            if v[0] == "bool":
+                return _mk_bool(v[1])
+            if v[0] == "num":
+                return _mk_bool(v[1] != 0)
+            if v[0] == "str":
+                if v[1] in ("true", "1"):
+                    return _TRUE
+                if v[1] in ("false", "0"):
+                    return _FALSE
+        if target == XSD_DATETIME and v[0] == "str":
+            return (KIND_LITERAL, v[1], XSD_DATETIME, "", 0) \
+                if _parse_datetime(v[1]) else None
+    except (ValueError, OverflowError):
+        return None
+    return None
+
+
+# ---------------------------------------------------------------------------
+# batch adapter
+# ---------------------------------------------------------------------------
+
+def eval_expr_batch(e: Expr, columns: Dict[str, Sequence[Optional[str]]],
+                    n: int) -> List[Text]:
+    """Evaluate over n rows of NT-text binding columns → NT-text results
+    (None = error/unbound)."""
+    out: List[Text] = []
+    names = list(columns)
+    for i in range(n):
+        row = {}
+        for name in names:
+            txt = columns[name][i]
+            row[name] = _parse(txt) if txt is not None else None
+        t = eval_expr(e, row)
+        out.append(None if t is None else format_term(t))
+    return out
+
+
+def order_key_batch(e: Expr, columns, n) -> List[bytes]:
+    """ORDER BY key bytes: SPARQL order = unbound < bnode < IRI <
+    literal, and *comparable* literals order by VALUE (numbers
+    numerically, dateTimes by instant — ``exec.rs:826-893`` routes
+    through the SPARQL comparator, not Term::cmp), with the term's text
+    as the deterministic tiebreaker."""
+    import struct
+
+    out = []
+    names = list(columns)
+    for i in range(n):
+        row = {name: (_parse(columns[name][i])
+                      if columns[name][i] is not None else None)
+               for name in names}
+        t = eval_expr(e, row)
+        out.append(_order_key(t))
+    return out
+
+
+def _order_key(t: Optional[Term]) -> bytes:
+    import struct
+
+    if t is None:
+        return b"\x00"
+    kind = t[0]
+    if kind != KIND_LITERAL:
+        return bytes([1 + kind]) + t[1].encode()
+    v = value_of(t)
+    tail = format_term(t).encode()
+    if v is not None and v[0] == "num":
+        return b"\x10" + _float_key(float(v[1])) + b"\x00" + tail
+    if v is not None and v[0] == "dt":
+        return b"\x11" + _float_key(float(v[1][0])) + b"\x00" + tail
+    if v is not None and v[0] == "bool":
+        return b"\x12" + bytes([1 if v[1] else 0]) + tail
+    if v is not None and v[0] in ("str", "lang"):
+        return b"\x13" + v[1].encode() + b"\x00" + tail
+    return b"\x14" + tail
+
+
+def _float_key(x: float) -> bytes:
+    """Order-preserving big-endian encoding of a float."""
+    import struct
+
+    b = struct.unpack(">Q", struct.pack(">d", x))[0]
+    b = b ^ ((1 << 63) | ((1 << 64) - 1) if b >> 63 else (1 << 63))
+    # NB: for negative floats flip ALL bits, for positive flip sign bit
+    return struct.pack(">Q", b & ((1 << 64) - 1))

@@ -3,37 +3,54 @@
 The distributed mirror of sophia's ``FastGraph`` (reference
 ``inmem/src/graph.rs:164-169``: term index + three BTreeSets ``spo, pos,
 osp``) and its 9-way pattern-lookup dispatch
-(``inmem/src/graph.rs:207-299``): here each BTree order becomes a
-hash-partitioned, internally *sorted* Parquet layout
+(``inmem/src/graph.rs:207-299``): each BTree order becomes a
+hash-partitioned, per-file *sorted* Parquet layout
 
-    out_dir/{order}/shard=K/data.parquet      (K = h(leading term) % n)
-    out_dir/{order}/_manifest.jsonl           (one line per shard)
+    out_dir/{order}/shard=K/part-J.parquet     K = h(leading term) % n
+    out_dir/{order}/shard=K/_manifest-J.json   J = salt (see below)
 
 and a BTree range scan becomes partition pruning (pick the shard of the
 bound leading term) + Parquet predicate pushdown on the sorted columns.
 
-**Lineage / checkpoint-resume (north rule).**  Every shard writes a
-manifest line ``{order, shard, rows, min_key, max_key, digest, wall_ms}``
-*after* its data file is complete; a re-run loads the manifest, verifies
-the data file exists, and filters already-done shards out of the input —
-only missing/failed shards are recomputed (tested in
-tests/test_materialize.py by deleting one shard).
+**Skew / salting (SURVEY §7.4).**  RDF predicates are few; the POS
+layout's leading term is therefore massively skewed (``rdf:type`` alone
+covers ~¼ of a typical web graph).  Skewed orders split each shard into
+``salt`` sub-partitions by the hash of the SECOND term — same pruning
+(a bound leading term still selects one shard directory), but hub keys
+fan out over ``salt`` parallel writers instead of one straggler task.
+Defaults: ``pos`` salt 8, ``spo``/``osp`` salt 1 (IRI subjects/objects
+are high-cardinality).
 
-**Scale notes.**  One ``groupby(shard).map_groups`` shuffle per order;
-each shard must fit a worker (choose ``num_shards`` ≈ data_size /
-~1 GiB; sub-shard splitting is the extension point).  The digest is a
-*commutative* per-row hash sum, so it is computed streaming inside the
-shard writer without a second pass, and two layouts of the same graph
-can be compared shard-free (order-insensitive dataset digest = sum of
-shard digests mod 2^64).
+**Lineage / checkpoint-resume (north rule).**  Every (shard, salt)
+partition writes its manifest atomically AFTER its data file; a re-run
+loads manifests, verifies data files exist, and recomputes only missing
+partitions (tested by deleting one shard in tests/test_materialize.py).
+
+**Exchange.**  Default is a two-stage raw-task exchange (split blocks →
+per-partition objects → one write task per partition).  SURVEY §2
+"custom operators" option (c), chosen on measurement: Ray Data's
+sort-based ``groupby().map_groups`` exchange costs O(blocks×partitions)
+tiny objects, serializes against the upstream stage, and capped the
+8→32-CPU speedup of the flagship at ~1.3-2×; the direct hash exchange
+needs no sort and scales with the task pool.  The Dataset-native
+``groupby`` path is kept (``exchange="groupby"``) and covered by the
+same tests.  Partitioning assumption, relied on for dedup and resume: a
+triple's partition is a pure function of its content (crc32 hash) — no
+coordination, deterministic across runs.
+
+**Scale notes.**  ``num_shards`` must grow with data (shard ≈ ≤1 GiB);
+the salt bound is per-order and static.  The digest is a *commutative*
+per-row hash sum — computed streaming in the writer, and two layouts of
+the same graph compare equal shard-free (dataset digest = Σ partition
+digests mod 2^64).
 """
 
 from __future__ import annotations
 
-import hashlib
 import json
 import os
 import time
+import zlib
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import pyarrow as pa
@@ -46,110 +63,303 @@ ORDERS: Dict[str, Tuple[str, str, str]] = {
     "osp": ("o", "s", "p"),
 }
 
+#: default sub-partition (salt) factor per order.  The salt key is the
+#: hash of the two NON-leading terms, so ANY hub leading term (rdf:type
+#: predicates in POS, schema:Person-style objects in OSP, celebrity
+#: subjects in SPO) fans out over `salt` balanced writers while a bound
+#: leading term still prunes to one shard directory (SURVEY §7.4).
+#: POS gets the largest factor (predicates are the most skewed term).
+DEFAULT_SALTS: Dict[str, int] = {"spo": 1, "pos": 4, "osp": 1}
+
 _MASK64 = (1 << 64) - 1
+_FIB = 0x9E3779B97F4A7C15  # Fibonacci multiplier spreads crc32's 32 bits
+
+
+def _h(text: str) -> int:
+    return (zlib.crc32(text.encode()) * _FIB) & _MASK64
 
 
 def shard_of(term_nt: str, num_shards: int) -> int:
     """Deterministic cross-process shard id of a canonical-NT term (the
-    content-hash analogue of BasicTermIndex ids, SURVEY §1.5)."""
-    h = hashlib.sha256(term_nt.encode()).digest()
-    return int.from_bytes(h[:4], "big") % num_shards
+    content-hash analogue of BasicTermIndex ids, SURVEY §1.5).  crc32,
+    not sha256: the shard id only needs determinism + spread, and it is
+    on the per-row hot path of every materialize exchange."""
+    return (_h(term_nt) >> 40) % num_shards
+
+
+def shards_of(arr, num_shards: int) -> List[int]:
+    """Batch shard ids for a pyarrow string array (one tight loop)."""
+    crc = zlib.crc32
+    return [(((crc(t.encode()) * _FIB) & _MASK64) >> 40) % num_shards
+            for t in arr.to_pylist()]
 
 
 def _row_digests(tbl: pa.Table, cols: Sequence[str]) -> int:
+    """Commutative 64-bit content digest (lineage/equality checks, not
+    crypto): sum over rows of crc32(row)·FIB."""
     acc = 0
+    crc = zlib.crc32
     its = [tbl[c].to_pylist() for c in cols]
     for parts in zip(*its):
-        h = hashlib.sha256("\x1f".join(parts).encode()).digest()
-        acc = (acc + int.from_bytes(h[:8], "big")) & _MASK64
+        acc = (acc + crc("\x1f".join(parts).encode()) * _FIB) & _MASK64
     return acc
 
 
-def load_manifest(out_dir: str, order: str) -> Dict[int, dict]:
-    """shard → manifest row. One ``_manifest.json`` per shard directory,
-    written atomically AFTER the data file (no cross-writer appends —
-    each shard's lineage is self-contained, object-store friendly).  A
-    crashed writer leaves either nothing or a data file without a
-    manifest; both read as "not done"."""
+def load_manifest(out_dir: str, order: str) -> Dict[Tuple[int, int], dict]:
+    """(shard, salt) → manifest row.  One ``_manifest-J.json`` per
+    partition, written atomically AFTER the data file (no cross-writer
+    appends — each partition's lineage is self-contained).  A crashed
+    writer leaves either nothing or a data file without a manifest;
+    both read as "not done"."""
     base = os.path.join(out_dir, order)
-    done: Dict[int, dict] = {}
+    done: Dict[Tuple[int, int], dict] = {}
     if not os.path.isdir(base):
         return done
     for d in os.listdir(base):
         if not d.startswith("shard="):
             continue
-        mp = os.path.join(base, d, "_manifest.json")
-        fp = os.path.join(base, d, "data.parquet")
-        if os.path.exists(mp) and os.path.exists(fp):
-            with open(mp) as f:
-                row = json.load(f)
-            done[row["shard"]] = row
+        sd = os.path.join(base, d)
+        for f in os.listdir(sd):
+            if not (f.startswith("_manifest-") and f.endswith(".json")):
+                continue
+            salt = int(f[len("_manifest-"):-len(".json")])
+            fp = os.path.join(sd, f"part-{salt}.parquet")
+            if os.path.exists(fp):
+                with open(os.path.join(sd, f)) as fh:
+                    row = json.load(fh)
+                done[(row["shard"], row["salt"])] = row
     return done
+
+
+# ---------------------------------------------------------------------------
+# partition writer (shared by both exchanges)
+# ---------------------------------------------------------------------------
+
+def _write_one_partition(tbl: pa.Table, out_dir: str, order: str,
+                         shard: int, salt: int, distinct: bool) -> dict:
+    """Dedup/sort/write one (shard, salt) partition + manifest; all
+    kernels are Arrow (group_by/take/sort_by/parquet)."""
+    cols = ORDERS[order]
+    t0 = time.perf_counter()
+    tbl = tbl.select(["s", "p", "o"])
+    if distinct:
+        tbl = tbl.group_by(["s", "p", "o"]).aggregate([])
+    tbl = tbl.sort_by([(c, "ascending") for c in cols])
+    d = os.path.join(out_dir, order, f"shard={shard}")
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f"part-{salt}.parquet.tmp")
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, os.path.join(d, f"part-{salt}.parquet"))
+    row = {
+        "order": order, "shard": shard, "salt": salt, "rows": tbl.num_rows,
+        "min_key": tbl[cols[0]][0].as_py(),
+        "max_key": tbl[cols[0]][tbl.num_rows - 1].as_py(),
+        "digest": _row_digests(tbl, ("s", "p", "o")),
+        "wall_ms": round(1000 * (time.perf_counter() - t0), 1),
+    }
+    mtmp = os.path.join(d, f"_manifest-{salt}.json.tmp")
+    with open(mtmp, "w") as f:
+        f.write(json.dumps(row) + "\n")
+    os.replace(mtmp, os.path.join(d, f"_manifest-{salt}.json"))
+    return row
+
+
+def _report(orders: Sequence[str], written: Dict[str, Dict[Tuple[int, int], int]],
+            done: Dict[str, Dict[Tuple[int, int], dict]]) -> Dict[str, dict]:
+    return {
+        o: {"written": sorted(written[o]),
+            "skipped": sorted(done[o]),
+            "rows": sum(written[o].values()) + sum(r["rows"] for r in done[o].values())}
+        for o in orders
+    }
+
+
+# ---------------------------------------------------------------------------
+# exchange A (default): raw-task hash exchange
+# ---------------------------------------------------------------------------
+
+def _partition_layout(orders: Sequence[str], num_shards: int,
+                      salts: Dict[str, int]):
+    """Flat partition index ↔ (order_idx, shard, salt)."""
+    layout = []
+    for oi, o in enumerate(orders):
+        for shard in range(num_shards):
+            for salt in range(salts.get(o, 1)):
+                layout.append((oi, shard, salt))
+    return layout
+
+
+def _split_block(tbl: pa.Table, orders: Tuple[str, ...], num_shards: int,
+                 salts: Dict[str, int], done_keys: frozenset):
+    """Map side: one input block → one (possibly None) sub-table per
+    partition, returned as separate objects so each write task fetches
+    ONLY its partition.  One stable argsort + zero-copy slices per
+    order — NOT a filter per partition (that is O(partitions × rows))."""
+    import numpy as np
+
+    tbl = tbl.select(["s", "p", "o"])
+    out = []
+    crc = zlib.crc32
+    for oi, order in enumerate(orders):
+        lead, second, third = ORDERS[order]
+        n_salt = salts.get(order, 1)
+        sh = np.fromiter((((((crc(t.encode()) * _FIB) & _MASK64) >> 40)
+                           % num_shards) for t in tbl[lead].to_pylist()),
+                         dtype=np.int64, count=tbl.num_rows)
+        if n_salt > 1:
+            # salt on BOTH remaining terms: splits any hub lead evenly
+            sa = np.fromiter(
+                ((((crc(b.encode(), crc(a.encode())) * _FIB) & _MASK64)
+                  >> 24) % n_salt
+                 for a, b in zip(tbl[second].to_pylist(),
+                                 tbl[third].to_pylist())),
+                dtype=np.int64, count=tbl.num_rows)
+            part = sh * n_salt + sa
+        else:
+            part = sh
+        order_idx = np.argsort(part, kind="stable")
+        sorted_tbl = tbl.take(pa.array(order_idx))
+        bounds = np.searchsorted(part[order_idx],
+                                 np.arange(num_shards * n_salt + 1))
+        for shard in range(num_shards):
+            for salt in range(n_salt):
+                j = shard * n_salt + salt
+                if (oi, shard, salt) in done_keys:
+                    out.append(None)
+                    continue
+                lo, hi = int(bounds[j]), int(bounds[j + 1])
+                out.append(sorted_tbl.slice(lo, hi - lo) if hi > lo else None)
+    return tuple(out)
+
+
+def _write_partition(out_dir: str, order: str, shard: int, salt: int,
+                     distinct: bool, *parts):
+    parts = [p for p in parts if p is not None and p.num_rows]
+    if not parts:
+        return None
+    return _write_one_partition(pa.concat_tables(parts), out_dir, order,
+                                shard, salt, distinct)
+
+
+def _materialize_exchange(nt_ds, out_dir: str, orders: List[str],
+                          num_shards: int, salts: Dict[str, int],
+                          resume: bool, distinct: bool) -> Dict[str, dict]:
+    import ray
+
+    done = {o: (load_manifest(out_dir, o) if resume else {}) for o in orders}
+    for o in orders:
+        os.makedirs(os.path.join(out_dir, o), exist_ok=True)
+    done_keys = frozenset((oi, shard, salt) for oi, o in enumerate(orders)
+                          for (shard, salt) in done[o])
+    layout = _partition_layout(orders, num_shards, salts)
+    npart = len(layout)
+
+    block_refs = nt_ds.to_arrow_refs()
+    split = ray.remote(num_returns=npart)(_split_block)
+    write = ray.remote(_write_partition)
+    part_refs = [split.remote(r, tuple(orders), num_shards, salts, done_keys)
+                 for r in block_refs]
+    cols = list(zip(*part_refs)) if part_refs else [[]] * npart
+
+    futures = {}
+    for j, (oi, shard, salt) in enumerate(layout):
+        if (oi, shard, salt) in done_keys:
+            continue
+        futures[(oi, shard, salt)] = write.remote(
+            out_dir, orders[oi], shard, salt, distinct, *cols[j])
+    rows = ray.get(list(futures.values()))
+    written: Dict[str, Dict[Tuple[int, int], int]] = {o: {} for o in orders}
+    for (oi, shard, salt), row in zip(futures, rows):
+        if row is not None:
+            written[orders[oi]][(shard, salt)] = row["rows"]
+    return _report(orders, written, done)
+
+
+# ---------------------------------------------------------------------------
+# exchange B: Dataset-native groupby (reference path)
+# ---------------------------------------------------------------------------
+
+def _materialize_groupby(nt_ds, out_dir: str, orders: List[str],
+                         num_shards: int, salts: Dict[str, int],
+                         resume: bool, distinct: bool) -> Dict[str, dict]:
+    """Single-pass ``groupby((order, shard, salt)).map_groups`` over the
+    exploded rows — the pure-Dataset expression of the same exchange."""
+    done = {o: (load_manifest(out_dir, o) if resume else {}) for o in orders}
+    for o in orders:
+        os.makedirs(os.path.join(out_dir, o), exist_ok=True)
+    done_sets = {oi: frozenset(done[o]) for oi, o in enumerate(orders)}
+    crc = zlib.crc32
+
+    def explode(b: pa.Table) -> pa.Table:
+        b = b.select(["s", "p", "o"])
+        parts = []
+        for oi, order in enumerate(orders):
+            lead, second, third = ORDERS[order]
+            n_salt = salts.get(order, 1)
+            sh = shards_of(b[lead], num_shards)
+            if n_salt > 1:
+                sa = [(((crc(y.encode(), crc(x.encode())) * _FIB)
+                        & _MASK64) >> 24) % n_salt
+                      for x, y in zip(b[second].to_pylist(),
+                                      b[third].to_pylist())]
+            else:
+                sa = [0] * b.num_rows
+            t = (b.append_column("ord", pa.array([oi] * b.num_rows, pa.int8()))
+                  .append_column("shard", pa.array(sh, pa.int32()))
+                  .append_column("salt", pa.array(sa, pa.int32())))
+            skip = done_sets[oi]
+            if skip:
+                keep = pa.array([(s, a) not in skip for s, a in zip(sh, sa)])
+                t = t.filter(keep)
+            parts.append(t)
+        return pa.concat_tables(parts)
+
+    def write_group(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({"ord": pa.array([], pa.int8()),
+                             "shard": pa.array([], pa.int32()),
+                             "salt": pa.array([], pa.int32()),
+                             "rows": pa.array([], pa.int64())})
+        oi = group["ord"][0].as_py()
+        row = _write_one_partition(group, out_dir, orders[oi],
+                                   group["shard"][0].as_py(),
+                                   group["salt"][0].as_py(), distinct)
+        return pa.table({"ord": pa.array([oi], pa.int8()),
+                         "shard": pa.array([row["shard"]], pa.int32()),
+                         "salt": pa.array([row["salt"]], pa.int32()),
+                         "rows": pa.array([row["rows"]], pa.int64())})
+
+    out = (nt_ds.materialize()
+           .map_batches(explode, batch_format="pyarrow")
+           .groupby(["ord", "shard", "salt"])
+           .map_groups(write_group, batch_format="pyarrow"))
+    written: Dict[str, Dict[Tuple[int, int], int]] = {o: {} for o in orders}
+    for r in out.take_all():
+        written[orders[r["ord"]]][(r["shard"], r["salt"])] = r["rows"]
+    return _report(orders, written, done)
 
 
 def materialize_graph(nt_ds, out_dir: str, *,
                       orders: Sequence[str] = ("spo", "pos", "osp"),
                       num_shards: int = 16,
-                      resume: bool = True) -> Dict[str, dict]:
+                      salts: Optional[Dict[str, int]] = None,
+                      resume: bool = True,
+                      distinct: bool = False,
+                      exchange: str = "tasks") -> Dict[str, dict]:
     """(s, p, o) NT rows → the sorted shard layouts. Returns a report
-    ``{order: {"written": [...], "skipped": [...], "rows": N}}``."""
-    report: Dict[str, dict] = {}
-    for order in orders:
-        cols = ORDERS[order]
-        lead = cols[0]
-        done = load_manifest(out_dir, order) if resume else {}
-        os.makedirs(os.path.join(out_dir, order), exist_ok=True)
+    ``{order: {"written": [(shard, salt), …], "skipped": […], "rows": N}}``.
 
-        def add_shard(b: pa.Table, lead=lead) -> pa.Table:
-            sh = [shard_of(t, num_shards) for t in b[lead].to_pylist()]
-            return b.select(["s", "p", "o"]).append_column(
-                "shard", pa.array(sh, pa.int32()))
-
-        ds = nt_ds.map_batches(add_shard, batch_format="pyarrow")
-        if done:
-            done_arr = list(done)
-            ds = ds.map_batches(
-                lambda b, d=done_arr: b.filter(
-                    pc.invert(pc.is_in(b["shard"],
-                                       value_set=pa.array(d, pa.int32())))),
-                batch_format="pyarrow")
-
-        def write_shard(group: pa.Table, order=order, cols=cols) -> pa.Table:
-            t0 = time.perf_counter()
-            if group.num_rows == 0:
-                return pa.table({"shard": pa.array([], pa.int32()),
-                                 "rows": pa.array([], pa.int64())})
-            shard = group["shard"][0].as_py()
-            tbl = group.select(["s", "p", "o"]).sort_by(
-                [(c, "ascending") for c in cols])
-            d = os.path.join(out_dir, order, f"shard={shard}")
-            os.makedirs(d, exist_ok=True)
-            tmp = os.path.join(d, "data.parquet.tmp")
-            pq.write_table(tbl, tmp)
-            os.replace(tmp, os.path.join(d, "data.parquet"))
-            row = {
-                "order": order, "shard": shard, "rows": tbl.num_rows,
-                "min_key": tbl[cols[0]][0].as_py(),
-                "max_key": tbl[cols[0]][tbl.num_rows - 1].as_py(),
-                "digest": _row_digests(tbl, ("s", "p", "o")),
-                "wall_ms": round(1000 * (time.perf_counter() - t0), 1),
-            }
-            mtmp = os.path.join(d, "_manifest.json.tmp")
-            with open(mtmp, "w") as f:
-                f.write(json.dumps(row) + "\n")
-            os.replace(mtmp, os.path.join(d, "_manifest.json"))
-            return pa.table({"shard": pa.array([shard], pa.int32()),
-                             "rows": pa.array([tbl.num_rows], pa.int64())})
-
-        out = ds.groupby("shard").map_groups(write_shard,
-                                             batch_format="pyarrow")
-        written = {r["shard"]: r["rows"] for r in out.take_all()}
-        report[order] = {
-            "written": sorted(written),
-            "skipped": sorted(done),
-            "rows": sum(written.values()) + sum(r["rows"] for r in done.values()),
-        }
-    return report
+    ``distinct=True`` folds SetGraph dedup (``inmem/src/graph.rs:111-143``)
+    into the partition writer: identical triples always hash to the same
+    partition (the key is a pure content hash), so within-partition
+    dedup IS global dedup."""
+    salts = dict(DEFAULT_SALTS if salts is None else salts)
+    orders = list(orders)
+    if exchange == "tasks":
+        return _materialize_exchange(nt_ds, out_dir, orders, num_shards,
+                                     salts, resume, distinct)
+    return _materialize_groupby(nt_ds, out_dir, orders, num_shards,
+                                salts, resume, distinct)
 
 
 # ---------------------------------------------------------------------------
@@ -173,9 +383,10 @@ def triples_matching(out_dir: str, *, s: Optional[str] = None,
                      num_shards: int = 16):
     """Distributed pattern match over the materialized layouts.
 
-    Bound leading term → read ONE shard directory (partition pruning);
-    remaining bound terms → Arrow dataset filter (row-group predicate
-    pushdown on the sorted column). Returns a ray Dataset of (s, p, o).
+    Bound leading term → read ONE shard directory (partition pruning;
+    salted sub-files are all under it); remaining bound terms → Arrow
+    dataset filter (row-group predicate pushdown on the sorted column).
+    Returns a ray Dataset of (s, p, o).
     """
     import ray.data as rd
 
@@ -187,8 +398,11 @@ def triples_matching(out_dir: str, *, s: Optional[str] = None,
     else:
         dirs = [os.path.join(base, d) for d in sorted(os.listdir(base))
                 if d.startswith("shard=")]
-    paths = [os.path.join(pth, "data.parquet") for pth in dirs
-             if os.path.exists(os.path.join(pth, "data.parquet"))]
+    paths = []
+    for pth in dirs:
+        if os.path.isdir(pth):
+            paths.extend(os.path.join(pth, f) for f in sorted(os.listdir(pth))
+                         if f.startswith("part-") and f.endswith(".parquet"))
     if not paths:
         return rd.from_arrow(pa.table(
             {"s": pa.array([], pa.large_string()),
@@ -201,11 +415,11 @@ def triples_matching(out_dir: str, *, s: Optional[str] = None,
         if val is not None:
             e = pds.field(col) == val
             expr = e if expr is None else expr & e
-    ds = rd.read_parquet(paths, columns=["s", "p", "o"], filter=expr)
-    return ds
+    return rd.read_parquet(paths, columns=["s", "p", "o"], filter=expr)
 
 
 def dataset_digest(out_dir: str, order: str = "spo") -> int:
-    """Order-insensitive digest of the materialized graph = sum of shard
-    digests (isomorphism-style cheap equality between two layouts)."""
+    """Order-insensitive digest of the materialized graph = sum of
+    partition digests (isomorphism-style cheap equality between two
+    layouts)."""
     return sum(r["digest"] for r in load_manifest(out_dir, order).values()) & _MASK64

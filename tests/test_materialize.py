@@ -1,10 +1,12 @@
 """SPO/POS/OSP materialization, lineage manifests, checkpoint-resume,
-and pruned pattern scans (the FastGraph mirror, SURVEY §1.4/§2.3)."""
+salted skew split, and pruned pattern scans (the FastGraph mirror,
+SURVEY §1.4/§2.3/§7.4)."""
 
 import os
 import shutil
 
 import pyarrow as pa
+import pyarrow.parquet as pq
 import pytest
 
 from sophia_rs_ray.stages.materialize import (
@@ -13,6 +15,7 @@ from sophia_rs_ray.stages.materialize import (
 )
 
 N_SHARDS = 4
+SALTS = {"spo": 1, "pos": 3, "osp": 1}
 
 
 def _nt_table():
@@ -36,31 +39,31 @@ def graph_dir(ray_session, tmp_path_factory):
 
     out = str(tmp_path_factory.mktemp("graph"))
     ds = rd.from_arrow(_nt_table()).repartition(3)
-    report = materialize_graph(ds, out, num_shards=N_SHARDS)
+    report = materialize_graph(ds, out, num_shards=N_SHARDS, salts=SALTS)
     return out, report
 
 
 def test_layouts_sorted_and_complete(graph_dir):
-    import pyarrow.parquet as pq
-
     out, report = graph_dir
     tbl = _nt_table()
     for order, cols in ORDERS.items():
         assert report[order]["rows"] == tbl.num_rows
         seen = 0
-        for shard, row in load_manifest(out, order).items():
-            data = pq.read_table(os.path.join(out, order, f"shard={shard}",
-                                              "data.parquet"))
+        for (shard, salt), row in load_manifest(out, order).items():
+            data = pq.read_table(os.path.join(
+                out, order, f"shard={shard}", f"part-{salt}.parquet"))
             seen += data.num_rows
             assert data.num_rows == row["rows"]
             # every row hashed to this shard by its leading term
             lead = data[cols[0]].to_pylist()
             assert all(shard_of(t, N_SHARDS) == shard for t in lead)
-            # sorted by the layout's column order
+            # each partition file is sorted by the layout's column order
             keys = list(zip(*[data[c].to_pylist() for c in cols]))
             assert keys == sorted(keys)
             assert row["min_key"] == min(lead) and row["max_key"] == max(lead)
         assert seen == tbl.num_rows
+    # pos salted into >N_SHARDS partitions (skew split)
+    assert len(load_manifest(out, "pos")) > len(load_manifest(out, "spo"))
 
 
 def test_digest_is_layout_invariant(graph_dir):
@@ -92,6 +95,23 @@ def test_pattern_scans_match_brute_force(graph_dir):
         assert got == want, pat
 
 
+def test_distinct_and_groupby_exchange_agree(ray_session, tmp_path):
+    import ray.data as rd
+
+    ds = rd.from_arrow(_nt_table()).repartition(3)
+    out_a = str(tmp_path / "a")
+    out_b = str(tmp_path / "b")
+    rep_a = materialize_graph(ds, out_a, num_shards=N_SHARDS, salts=SALTS,
+                              distinct=True, exchange="tasks")
+    rep_b = materialize_graph(ds, out_b, num_shards=N_SHARDS, salts=SALTS,
+                              distinct=True, exchange="groupby")
+    n_distinct = _nt_table().num_rows - 1  # one duplicated row
+    for rep in (rep_a, rep_b):
+        assert all(rep[o]["rows"] == n_distinct for o in ORDERS)
+    for o in ORDERS:
+        assert dataset_digest(out_a, o) == dataset_digest(out_b, o)
+
+
 def test_resume_skips_done_and_repairs_missing(graph_dir, ray_session):
     import ray.data as rd
 
@@ -100,14 +120,14 @@ def test_resume_skips_done_and_repairs_missing(graph_dir, ray_session):
     victims = [d for d in os.listdir(os.path.join(out, "pos"))
                if d.startswith("shard=")]
     victim = sorted(victims)[0]
+    vshard = int(victim.split("=")[1])
     shutil.rmtree(os.path.join(out, "pos", victim))
 
     ds = rd.from_arrow(_nt_table())
-    report = materialize_graph(ds, out, num_shards=N_SHARDS)
-    vshard = int(victim.split("=")[1])
-    assert report["pos"]["written"] == [vshard]
-    assert vshard not in report["pos"]["skipped"]
-    assert len(report["spo"]["written"]) == 0  # fully skipped
+    report = materialize_graph(ds, out, num_shards=N_SHARDS, salts=SALTS)
+    assert report["spo"]["written"] == []  # fully skipped
+    assert all(shard == vshard for shard, _salt in report["pos"]["written"])
+    assert vshard not in {s for s, _ in report["pos"]["skipped"]}
     assert report["pos"]["rows"] == _nt_table().num_rows
     # repaired layout answers scans again
     got = triples_matching(out, p="<http://ex.org/p/2>",

@@ -1,0 +1,244 @@
+"""SPARQL expression + algebra tests (reference semantics:
+sparql/src/function.rs, expression.rs, exec.rs, aggregate_iter.rs —
+golden expectations derived from the spec behavior those implement)."""
+
+import pyarrow as pa
+import pytest
+
+from sophia_rs_ray.sparql import (
+    BGP, Const, Distinct, Extend, Filter, FnCall, Group, Join, LeftJoin,
+    Minus, OrderBy, PathPlus, Project, Slice, Union, Var, ebv, evaluate,
+)
+from sophia_rs_ray.sparql.algebra import Agg
+from sophia_rs_ray.sparql.expr import eval_expr
+from sophia_rs_ray.terms import (
+    bool_literal, double_literal, format_term, int_literal, iri, langlit,
+    literal,
+)
+
+
+def _t(txt):
+    from sophia_rs_ray.ntriples import parse_term_text
+    return parse_term_text(txt)
+
+
+def E(expr, **binds):
+    row = {k: _t(v) for k, v in binds.items()}
+    t = eval_expr(expr, row)
+    return None if t is None else format_term(t)
+
+
+# ---------------------------------------------------------------------------
+# scalar functions (function.rs:35-440)
+# ---------------------------------------------------------------------------
+
+def test_string_functions():
+    v = Var("x")
+    assert E(FnCall("STRLEN", v), x='"hello"') == '"5"^^<http://www.w3.org/2001/XMLSchema#integer>'
+    assert E(FnCall("UCASE", v), x='"aB"@en') == '"AB"@en'
+    assert E(FnCall("CONTAINS", v, Const(literal("ell"))), x='"hello"') \
+        == '"true"^^<http://www.w3.org/2001/XMLSchema#boolean>'
+    assert E(FnCall("STRBEFORE", v, Const(literal("l"))), x='"hello"') == '"he"'
+    assert E(FnCall("STRAFTER", v, Const(literal("l"))), x='"hello"') == '"lo"'
+    assert E(FnCall("SUBSTR", v, Const(int_literal(2)), Const(int_literal(3))),
+             x='"hello"') == '"ell"'
+    assert E(FnCall("CONCAT", v, Const(literal("!"))), x='"hi"') == '"hi!"'
+    assert E(FnCall("REPLACE", v, Const(literal("l+")), Const(literal("L"))),
+             x='"hello"') == '"heLo"'
+    assert E(FnCall("REGEX", v, Const(literal("^h.*o$"))), x='"hello"') \
+        == '"true"^^<http://www.w3.org/2001/XMLSchema#boolean>'
+    assert E(FnCall("ENCODE_FOR_URI", v), x='"a b/c"') == '"a%20b%2Fc"'
+    # type error → None (error propagation, value.rs:98-105)
+    assert E(FnCall("STRLEN", v), x='<http://iri>') is None
+
+
+def test_term_functions():
+    v = Var("x")
+    assert E(FnCall("STR", v), x='<http://a>') == '"http://a"'
+    assert E(FnCall("LANG", v), x='"a"@en-GB') == '"en-gb"'
+    assert E(FnCall("DATATYPE", v), x='"5"^^<http://www.w3.org/2001/XMLSchema#integer>') \
+        == '<http://www.w3.org/2001/XMLSchema#integer>'
+    assert E(FnCall("DATATYPE", v), x='"a"@en') \
+        == '<http://www.w3.org/1999/02/22-rdf-syntax-ns#langString>'
+    assert E(FnCall("IRI", v), x='"http://x"') == '<http://x>'
+    assert E(FnCall("STRDT", v, Const(iri("http://dt"))), x='"val"') == '"val"^^<http://dt>'
+    assert E(FnCall("STRLANG", v, Const(literal("en"))), x='"v"') == '"v"@en'
+    assert E(FnCall("ISIRI", v), x='<http://a>').startswith('"true"')
+    assert E(FnCall("ISBLANK", v), x='_:b').startswith('"true"')
+    assert E(FnCall("ISNUMERIC", v), x='"5"^^<http://www.w3.org/2001/XMLSchema#integer>').startswith('"true"')
+    assert E(FnCall("ISNUMERIC", v), x='"5"').startswith('"false"')
+
+
+def test_numeric_and_comparison():
+    a, b = Var("a"), Var("b")
+    INT = '^^<http://www.w3.org/2001/XMLSchema#integer>'
+    assert E(FnCall("+", a, b), a=f'"2"{INT}', b=f'"3"{INT}') == f'"5"{INT}'
+    assert E(FnCall("*", a, b), a=f'"2"{INT}',
+             b='"1.5"^^<http://www.w3.org/2001/XMLSchema#double>') \
+        == '"3.0"^^<http://www.w3.org/2001/XMLSchema#double>'
+    assert E(FnCall("/", a, b), a=f'"1"{INT}', b=f'"0"{INT}') is None
+    assert E(FnCall("ABS", a), a=f'"-4"{INT}') == f'"4"{INT}'
+    assert E(FnCall("ROUND", a), a='"2.5"^^<http://www.w3.org/2001/XMLSchema#double>') \
+        == '"3.0"^^<http://www.w3.org/2001/XMLSchema#double>'
+    # value comparison: "02"^^int == "2"^^int (value), != at term level
+    assert E(FnCall("=", a, b), a=f'"02"{INT}', b=f'"2"{INT}').startswith('"true"')
+    assert E(FnCall("SAMETERM", a, b), a=f'"02"{INT}', b=f'"2"{INT}').startswith('"false"')
+    # numeric comparison is by VALUE (10 > 2)…
+    assert E(FnCall("<", a, b), a=f'"10"{INT}', b=f'"2"{INT}').startswith('"false"')
+    # …while plain strings compare by codepoint ("10" < "2")
+    assert E(FnCall("<", a, b), a='"10"', b='"2"').startswith('"true"')
+    # incomparable → error
+    assert E(FnCall("<", a, b), a=f'"1"{INT}', b='"x"') is None
+
+
+def test_logic_and_conditionals():
+    a, b = Var("a"), Var("b")
+    T = '"true"^^<http://www.w3.org/2001/XMLSchema#boolean>'
+    F = '"false"^^<http://www.w3.org/2001/XMLSchema#boolean>'
+    assert E(FnCall("&&", a, b), a=T, b=F) == F
+    # error && false = false ; error && true = error (expression.rs)
+    assert E(FnCall("&&", Var("missing"), b), b=F) == F
+    assert E(FnCall("&&", Var("missing"), b), b=T) is None
+    assert E(FnCall("||", Var("missing"), b), b=T) == T
+    assert E(FnCall("IF", a, Const(literal("y")), Const(literal("n"))), a=T) == '"y"'
+    assert E(FnCall("COALESCE", Var("missing"), Const(literal("d")))) == '"d"'
+    assert E(FnCall("BOUND", a), a='"1"').startswith('"true"')
+    assert E(FnCall("BOUND", Var("missing"))).startswith('"false"')
+
+
+def test_datetime_accessors():
+    v = Var("x")
+    DT = '^^<http://www.w3.org/2001/XMLSchema#dateTime>'
+    x = f'"2024-03-05T10:20:30Z"{DT}'
+    assert E(FnCall("YEAR", v), x=x) == '"2024"^^<http://www.w3.org/2001/XMLSchema#integer>'
+    assert E(FnCall("MONTH", v), x=x) == '"3"^^<http://www.w3.org/2001/XMLSchema#integer>'
+    assert E(FnCall("TZ", v), x=x) == '"Z"'
+    assert E(FnCall("<", Var("x"), Var("y")), x=x,
+             y=f'"2024-03-05T11:00:00Z"{DT}').startswith('"true"')
+
+
+def test_casts():
+    v = Var("x")
+    assert E(FnCall("xsd:integer", v), x='"42"') == \
+        '"42"^^<http://www.w3.org/2001/XMLSchema#integer>'
+    assert E(FnCall("xsd:boolean", v), x='"1"').startswith('"true"')
+    assert E(FnCall("xsd:string", v), x='"5"^^<http://www.w3.org/2001/XMLSchema#integer>') == '"5"'
+    assert E(FnCall("xsd:integer", v), x='"abc"') is None
+
+
+# ---------------------------------------------------------------------------
+# algebra over a small in-memory graph
+# ---------------------------------------------------------------------------
+
+T_ = "http://t"
+LANG_ = "http://lang"
+N_ = "http://n"
+EXTRA_ = "http://extra"
+KNOWS_ = "http://knows"
+
+
+@pytest.fixture(scope="module")
+def graph(ray_session):
+    import ray.data as rd
+
+    rows = []
+
+    def add(s, p, o):
+        rows.append((format_term(s), format_term(p), format_term(o)))
+
+    for i in range(6):
+        d = iri(f"http://d/{i}")
+        add(d, iri(T_), iri("http://Doc"))
+        add(d, iri(LANG_), literal("en" if i % 2 else "fr"))
+        add(d, iri(N_), int_literal(100 + i * 50))
+        if i < 2:
+            add(d, iri(EXTRA_), literal(f"x{i}"))
+    # chain 0→1→2→3 plus shortcut 0→3 (for knows+)
+    for a, b in ((0, 1), (1, 2), (2, 3), (0, 3)):
+        add(iri(f"http://d/{a}"), iri(KNOWS_), iri(f"http://d/{b}"))
+    return rd.from_arrow(pa.table({
+        "s": pa.array([r[0] for r in rows], pa.large_string()),
+        "p": pa.array([r[1] for r in rows], pa.large_string()),
+        "o": pa.array([r[2] for r in rows], pa.large_string())}))
+
+
+def test_bgp_join_and_filter(graph):
+    q = Project(["d"], Filter(
+        FnCall(">", Var("n"), Const(int_literal(150))),
+        BGP([(Var("d"), iri(T_), iri("http://Doc")),
+             (Var("d"), iri(N_), Var("n"))])))
+    got = sorted(r["d"] for r in evaluate(q, graph).take_all())
+    assert got == [f"<http://d/{i}>" for i in (2, 3, 4, 5)]
+
+
+def test_bgp_repeated_variable(graph):
+    # ?x knows ?x — nobody knows themselves
+    q = BGP([(Var("x"), iri(KNOWS_), Var("x"))])
+    assert evaluate(q, graph).count() == 0
+
+
+def test_left_join_optional(graph):
+    q = LeftJoin(BGP([(Var("d"), iri(T_), iri("http://Doc"))]),
+                 BGP([(Var("d"), iri(EXTRA_), Var("x"))]))
+    rows = evaluate(q, graph).take_all()
+    assert len(rows) == 6
+    bound = {r["d"]: r["x"] for r in rows if r["x"] is not None}
+    assert bound == {"<http://d/0>": '"x0"', "<http://d/1>": '"x1"'}
+
+
+def test_union_and_distinct(graph):
+    en = BGP([(Var("d"), iri(LANG_), literal("en"))])
+    fr = BGP([(Var("d"), iri(LANG_), literal("fr"))])
+    q = Distinct(Project(["d"], Union(en, Union(fr, fr))))
+    assert evaluate(q, graph).count() == 6
+
+
+def test_minus(graph):
+    q = Minus(BGP([(Var("d"), iri(T_), iri("http://Doc"))]),
+              BGP([(Var("d"), iri(EXTRA_), Var("x"))]))
+    got = sorted(r["d"] for r in evaluate(q, graph).take_all())
+    assert got == [f"<http://d/{i}>" for i in (2, 3, 4, 5)]
+
+
+def test_extend(graph):
+    q = Extend("len", FnCall("STRLEN", FnCall("STR", Var("d"))),
+               BGP([(Var("d"), iri(LANG_), literal("en"))]))
+    rows = evaluate(q, graph).take_all()
+    assert all(r["len"] == '"10"^^<http://www.w3.org/2001/XMLSchema#integer>'
+               for r in rows)
+
+
+def test_order_by_value_and_slice(graph):
+    q = Slice(OrderBy([(Var("n"), False)],
+                      BGP([(Var("d"), iri(N_), Var("n"))])), 1, 3)
+    got = [r["n"] for r in evaluate(q, graph).take_all()]
+    # numeric DESC: 350, [300, 250, 200], ... — offset 1, limit 3
+    assert [g.split('"')[1] for g in got] == ["300", "250", "200"]
+
+
+def test_group_aggregates(graph):
+    q = Group(["lang"],
+              [Agg("COUNT", None, "cnt"), Agg("SUM", Var("n"), "total"),
+               Agg("MAX", Var("n"), "hi"),
+               Agg("GROUP_CONCAT", Var("d"), "ds", separator="|")],
+              BGP([(Var("d"), iri(LANG_), Var("lang")),
+                   (Var("d"), iri(N_), Var("n"))]))
+    rows = {r["lang"]: r for r in evaluate(q, graph).take_all()}
+    INT = '^^<http://www.w3.org/2001/XMLSchema#integer>'
+    assert rows['"en"']["cnt"] == f'"3"{INT}'
+    assert rows['"en"']["total"] == f'"750"{INT}'   # 150+250+350
+    assert rows['"fr"']["total"] == f'"600"{INT}'   # 100+200+300
+    # MAX by term order within xsd:integer bucket is lexical ("300">"250")
+    assert rows['"fr"']["hi"] == f'"300"{INT}'
+
+
+def test_path_plus(graph):
+    q = PathPlus(iri(KNOWS_), [iri("http://d/0")], o_var="o")
+    got = sorted(r["o"] for r in evaluate(q, graph).take_all())
+    assert got == ["<http://d/1>", "<http://d/2>", "<http://d/3>"]
+
+
+def test_join_node(graph):
+    q = Join(BGP([(Var("d"), iri(LANG_), Var("lang"))]),
+             BGP([(Var("d"), iri(N_), Var("n"))]))
+    assert evaluate(q, graph).count() == 6
