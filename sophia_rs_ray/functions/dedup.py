@@ -132,3 +132,56 @@ def simhash_batch(b: pa.Table) -> pa.Table:
 
 def hamming64(a: int, b: int) -> int:
     return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+
+def _trigram_set(text: str) -> Set[str]:
+    """Whitespace-token 3-grams (matches the DuckDB oracle's
+    string_split_regex('\\s+') tokenization — no lowercasing)."""
+    toks = [t for t in re.split(r"\s+", text or "") if t]
+    return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+
+def trigram_jaccard_consecutive(docs_ds, *, num_partitions: int = 4):
+    """(doc_id, text) → (id_a, id_b, jac) for consecutive doc_ids —
+    the exact-verification kernel of near-dup dedup, as a join +
+    vectorized set ops.  Pairing by id+1 keeps the oracle join
+    deterministic; in the real pipeline the pair list comes from LSH
+    blocking instead (stages/neardup)."""
+    import pyarrow.compute as pc
+
+    def grams(b: pa.Table) -> pa.Table:
+        # grams ride through the join as one \x1f-joined string: Arrow's
+        # acero join rejects list<> payload columns
+        ids = [int(x) for x in b["doc_id"].to_pylist()]
+        gs = ["\x1f".join(sorted(_trigram_set(t)))
+              for t in b["text"].to_pylist()]
+        return pa.table({
+            "id": pa.array(ids, pa.int64()),
+            "grams": pa.array(gs, pa.large_string()),
+        })
+
+    left = docs_ds.map_batches(grams, batch_format="pyarrow")
+    right = left.map_batches(
+        lambda b: pa.table({"id": pc.subtract(b["id"], 1),
+                            "grams_b": b["grams"]}),
+        batch_format="pyarrow")
+    joined = left.join(right, "inner", num_partitions=num_partitions,
+                       on=("id",))
+
+    def jac(b: pa.Table) -> pa.Table:
+        out_a, out_b, out_j = [], [], []
+        for i, (ga, gb) in enumerate(zip(b["grams"].to_pylist(),
+                                         b["grams_b"].to_pylist())):
+            sa = set(ga.split("\x1f")) if ga else set()
+            sb = set(gb.split("\x1f")) if gb else set()
+            union = sa | sb
+            if not union:
+                continue
+            out_a.append(b["id"][i].as_py())
+            out_b.append(b["id"][i].as_py() + 1)
+            out_j.append(round(len(sa & sb) / len(union), 4))
+        return pa.table({"id_a": pa.array(out_a, pa.int64()),
+                         "id_b": pa.array(out_b, pa.int64()),
+                         "jac": pa.array(out_j, pa.float64())})
+
+    return joined.map_batches(jac, batch_format="pyarrow")

@@ -248,6 +248,74 @@ ORDER BY sim DESC, vec_id LIMIT 10
 # rows-only entries (non-SQL-expressible; pytest carries their oracles)
 # ---------------------------------------------------------------------------
 
+def _embedding_near_dup(sf_dir: str):
+    """Embedding-cosine near-duplicate pairs (sim ≥ 0.4): broadcast
+    normalized matrix + per-batch matmul in an actor pool (SURVEY
+    training-data ops; LSH/IVF bucketing is the 10^12-scale path)."""
+    import ray.data as rd
+
+    from ..functions.ann import cosine_near_dup
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return cosine_near_dup(ds, threshold=0.4)
+
+
+EMBEDDING_NEAR_DUP_SQL = """
+SELECT cast(a.vec_id AS BIGINT) AS id_a, cast(b.vec_id AS BIGINT) AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
+FROM embeddings a JOIN embeddings b ON cast(a.vec_id AS BIGINT) < cast(b.vec_id AS BIGINT)
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+"""
+
+
+def _ivf_knn(sf_dir: str):
+    """IVF-bucketed approximate top-10 for vec_id 0 (rows-only; recall
+    vs brute force asserted in tests/test_ann.py)."""
+    import ray.data as rd
+
+    from ..functions.ann import ivf_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    q = None
+    for b in ds.iter_batches(batch_size=256, batch_format="pyarrow"):
+        ids = b["vec_id"].to_pylist()
+        if 0 in ids:
+            q = b["embedding"].to_pylist()[ids.index(0)]
+            break
+    return ivf_topk(ds, q, k=10, exclude_id=0)
+
+
+def _ngram_jaccard(sf_dir: str):
+    """3-gram token Jaccard between consecutive doc_ids — the
+    verification kernel of near-dup dedup, oracle-checked exactly."""
+    import ray.data as rd
+
+    from ..functions.dedup import trigram_jaccard_consecutive
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return trigram_jaccard_consecutive(ds)
+
+
+NGRAM_JACCARD_SQL = r"""
+WITH g AS (
+  SELECT cast(doc_id AS BIGINT) AS id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        FROM documents)
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       round(cast(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.grams, b.grams))), 4) AS jac
+FROM g a JOIN g b ON a.id + 1 = b.id
+WHERE len(list_concat(a.grams, b.grams)) > 0
+"""
+
+
 def _sf_of(sf_dir: str) -> str:
     import re
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -344,6 +412,59 @@ def _indexed_pattern_scan(sf_dir: str):
 
 INDEXED_SCAN_SQL = TRIPLES_MATCHING_SQL
 
+_KG = "http://kg.example/"
+_RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+_ONTOLOGY = [
+    (f"<{_KG}Document>", f"<{_RDFS}subClassOf>", f"<{_KG}Work>"),
+    (f"<{_KG}Work>", f"<{_RDFS}subClassOf>", f"<{_KG}Thing>"),
+    (f"<{_KG}Sourced>", f"<{_RDFS}subClassOf>", f"<{_KG}Work>"),
+    ("<http://purl.org/dc/terms/language>", f"<{_RDFS}subPropertyOf>",
+     f"<{_KG}attribute>"),
+    ("<http://purl.org/dc/terms/source>", f"<{_RDFS}domain>",
+     f"<{_KG}Sourced>"),
+]
+
+
+def _rdfs_entailment(sf_dir: str):
+    """RDFS saturation (rdfs2/3/5/7/9/11) of doc_triples ∪ a static test
+    ontology: schema collected + closed driver-side, broadcast into one
+    expansion pass, exact dedup (reasoner/src/ruleset/_rdfs.rs:35-97).
+    The SQL oracle expands the fixed ontology by hand."""
+    import ray.data as rd
+
+    from ..reasoner import rdfs_saturate
+
+    onto = rd.from_arrow(pa.table({
+        "s": pa.array([t[0] for t in _ONTOLOGY], pa.large_string()),
+        "p": pa.array([t[1] for t in _ONTOLOGY], pa.large_string()),
+        "o": pa.array([t[2] for t in _ONTOLOGY], pa.large_string())}))
+    return rdfs_saturate(doc_triples(sf_dir).union(onto))
+
+
+RDFS_ENTAILMENT_SQL = f"""
+WITH d AS (SELECT '<http://kg.example/doc/' || doc_id || '>' AS d,
+                  lang, source, n_chars FROM documents)
+SELECT DISTINCT s, p, o FROM (
+  {DOC_TRIPLES_SQL}
+  UNION ALL SELECT * FROM (VALUES
+    ('<{_KG}Document>', '<{_RDFS}subClassOf>', '<{_KG}Work>'),
+    ('<{_KG}Work>', '<{_RDFS}subClassOf>', '<{_KG}Thing>'),
+    ('<{_KG}Sourced>', '<{_RDFS}subClassOf>', '<{_KG}Work>'),
+    ('<http://purl.org/dc/terms/language>', '<{_RDFS}subPropertyOf>', '<{_KG}attribute>'),
+    ('<http://purl.org/dc/terms/source>', '<{_RDFS}domain>', '<{_KG}Sourced>'),
+    -- rdfs11 closure
+    ('<{_KG}Document>', '<{_RDFS}subClassOf>', '<{_KG}Thing>'),
+    ('<{_KG}Sourced>', '<{_RDFS}subClassOf>', '<{_KG}Thing>')) t(s, p, o)
+  -- rdfs9: supertypes of rdf:type Document
+  UNION ALL SELECT d, '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>', '<{_KG}Work>' FROM d
+  UNION ALL SELECT d, '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>', '<{_KG}Thing>' FROM d
+  -- rdfs2 (+rdfs9): domain of dc:source
+  UNION ALL SELECT d, '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>', '<{_KG}Sourced>' FROM d
+  -- rdfs7: dc:language ⊑ kg:attribute
+  UNION ALL SELECT d, '<{_KG}attribute>', '"' || lang || '"' FROM d
+)
+"""
+
 GAZETTEER = ["hash value", "customer", "query", "spark"]
 
 
@@ -406,6 +527,28 @@ def _mention_triples(sf_dir: str):
     return links_to_triples(links)
 
 
+def _media_features(sf_dir: str):
+    """Multimodal plumbing: synthetic binary media → actor-pool decode
+    (deterministic fake codec) + resize + feature extraction. Rows-only;
+    determinism and shapes asserted in tests/test_multimodal.py."""
+    from ..stages.multimodal import media_features, synthetic_media_dataset
+
+    n = {"0.001": 100, "0.01": 1000, "0.1": 10000}.get(_sf_of(sf_dir), 1000)
+    out = media_features(synthetic_media_dataset(n), concurrency=2)
+
+    def flat(b: pa.Table) -> pa.Table:
+        feats = b["feature"].to_pylist()
+        return pa.table({
+            "media_id": b["media_id"],
+            "f_r": pa.array([f[0] for f in feats], pa.float64()),
+            "f_g": pa.array([f[1] for f in feats], pa.float64()),
+            "f_b": pa.array([f[2] for f in feats], pa.float64()),
+            "f_grad": pa.array([f[3] for f in feats], pa.float64()),
+        })
+
+    return out.map_batches(flat, batch_format="pyarrow")
+
+
 def _minhash_bands(sf_dir: str):
     """MinHash-LSH banding rows (doc_id, band_id, band_hash) — the
     blocking stage of near-dup dedup (SURVEY §2.8)."""
@@ -434,6 +577,7 @@ def registry() -> Registry:
         "triples_matching": (_triples_matching, TRIPLES_MATCHING_SQL),
         "sort_spo_limit": (_sort_spo_limit, SORT_SPO_SQL),
         "indexed_pattern_scan": (_indexed_pattern_scan, INDEXED_SCAN_SQL),
+        "rdfs_entailment": (_rdfs_entailment, RDFS_ENTAILMENT_SQL),
         "turtle_roundtrip": (_turtle_roundtrip, TURTLE_ROUNDTRIP_SQL),
         "c14n_normalize": (_c14n_normalize, C14N_NORMALIZE_SQL),
         # SPARQL-ish relational operators
@@ -454,6 +598,10 @@ def registry() -> Registry:
         "quality_features": (_quality, QUALITY_SQL),
         "knn_cosine": (_knn, KNN_SQL),
         "gazetteer_mentions": (_gazetteer_mentions, GAZETTEER_SQL),
+        "embedding_near_dup": (_embedding_near_dup, EMBEDDING_NEAR_DUP_SQL),
+        "ngram_jaccard": (_ngram_jaccard, NGRAM_JACCARD_SQL),
+        "ivf_knn": (_ivf_knn, None),
+        "media_features": (_media_features, None),
         # rows-only
         "kg_pipeline": (_kg_pipeline, None),
         "extract_text": (_extract_text, None),
