@@ -35,10 +35,13 @@ import json
 from typing import Any, Dict, List, Optional, Tuple
 
 from .iri import is_absolute_iri, resolve
+from .ntriples import parse_term_text
 from .terms import (
     DIR_LTR,
     DIR_RTL,
+    KIND_BNODE,
     KIND_IRI,
+    KIND_LITERAL,
     RDF,
     Term,
     XSD_BOOLEAN,
@@ -323,3 +326,58 @@ def jsonld_to_triples(
         return JsonLdExpander(base).to_rdf(doc), None
     except (RecursionError, ValueError, TypeError, KeyError) as e:
         return [], f"jsonld: {e}"
+
+
+# ---------------------------------------------------------------------------
+# serializer (reference jsonld/src/serializer.rs:26 — quads → JSON-LD;
+# we emit the FLATTENED-EXPANDED form: one node object per subject,
+# "@type" for rdf:type IRIs, value objects for literals)
+# ---------------------------------------------------------------------------
+
+_RDF_TYPE_IRI = RDF + "type"
+_XSD_STRING_IRI = "http://www.w3.org/2001/XMLSchema#string"
+
+
+def _term_to_jsonld(t: Term):
+
+    if t[0] == KIND_IRI:
+        return {"@id": t[1]}
+    if t[0] == KIND_BNODE:
+        return {"@id": "_:" + t[1]}
+    if t[0] == KIND_LITERAL:
+        kind, lex, dt, lang, _dir = t
+        if lang:
+            return {"@value": lex, "@language": lang}
+        if dt and dt != _XSD_STRING_IRI:
+            return {"@value": lex, "@type": dt}
+        return {"@value": lex}
+    raise ValueError(f"JSON-LD cannot serialize term kind {t[0]}")
+
+
+def serialize_jsonld(triples) -> str:
+    """Triples (Term tuples) → flattened expanded JSON-LD text.
+    Deterministic: nodes in first-seen subject order, values in input
+    order, keys sorted inside each node."""
+
+    nodes: dict = {}
+    order: list = []
+    for s, p, o in triples:
+        sid = ("_:" + s[1]) if s[0] == KIND_BNODE else s[1]
+        if sid not in nodes:
+            nodes[sid] = {"@id": sid}
+            order.append(sid)
+        node = nodes[sid]
+        if p[1] == _RDF_TYPE_IRI and o[0] == KIND_IRI:
+            node.setdefault("@type", []).append(o[1])
+        else:
+            node.setdefault(p[1], []).append(_term_to_jsonld(o))
+    out = [dict(sorted(nodes[sid].items())) for sid in order]
+    return json.dumps(out, ensure_ascii=False, sort_keys=False)
+
+
+def format_jsonld_batch(batch):
+    """NT-text (s, p, o) batch → one JSON-LD document per batch."""
+
+    trs = [(parse_term_text(s), parse_term_text(p), parse_term_text(o))
+           for s, p, o in zip(batch["s"], batch["p"], batch["o"])]
+    return {"jsonld": [serialize_jsonld(trs)]}

@@ -125,6 +125,63 @@ def _turtle_roundtrip(sf_dir: str):
 TURTLE_ROUNDTRIP_SQL = f"SELECT s, p, o FROM ({DOC_TRIPLES_SQL})"
 
 
+def _rdfxml_roundtrip(sf_dir: str):
+    """doc_triples → RDF/XML document per batch (subject-grouped
+    serializer) → RDF/XML parser → NT rows; oracle-checked end-to-end
+    parity (xml/src/{parser,serializer}.rs)."""
+    from ..rdfxml import format_rdfxml_batch, parse_rdfxml_batch
+
+    ds = doc_triples(sf_dir)
+    docs = ds.map_batches(
+        lambda b: pa.table(format_rdfxml_batch(
+            {c: b[c].to_pylist() for c in ("s", "p", "o")})),
+        batch_format="pyarrow")
+
+    def parse_chunk(b: pa.Table) -> pa.Table:
+        out = parse_rdfxml_batch(b["xml"].to_pylist())
+        ok = [i for i, e in enumerate(out["error"]) if not e]
+        return pa.table({
+            "s": pa.array([out["s"][i] for i in ok], pa.large_string()),
+            "p": pa.array([out["p"][i] for i in ok], pa.large_string()),
+            "o": pa.array([out["o"][i] for i in ok], pa.large_string())})
+
+    return docs.map_batches(parse_chunk, batch_format="pyarrow")
+
+
+RDFXML_ROUNDTRIP_SQL = f"SELECT s, p, o FROM ({DOC_TRIPLES_SQL})"
+
+
+def _jsonld_roundtrip(sf_dir: str):
+    """doc_triples → flattened-expanded JSON-LD per batch → our JSON-LD
+    expander → NT rows; end-to-end serializer/parser parity
+    (jsonld/src/{serializer,parser}.rs)."""
+    from ..jsonld import format_jsonld_batch, jsonld_to_triples
+
+    ds = doc_triples(sf_dir)
+    docs = ds.map_batches(
+        lambda b: pa.table(format_jsonld_batch(
+            {c: b[c].to_pylist() for c in ("s", "p", "o")})),
+        batch_format="pyarrow")
+
+    def parse_chunk(b: pa.Table) -> pa.Table:
+        s_out, p_out, o_out = [], [], []
+        for text in b["jsonld"].to_pylist():
+            trs, err = jsonld_to_triples(text)
+            assert err is None, err
+            for (s, p, o, _g) in trs:
+                s_out.append(format_term(s))
+                p_out.append(format_term(p))
+                o_out.append(format_term(o))
+        return pa.table({"s": pa.array(s_out, pa.large_string()),
+                         "p": pa.array(p_out, pa.large_string()),
+                         "o": pa.array(o_out, pa.large_string())})
+
+    return docs.map_batches(parse_chunk, batch_format="pyarrow")
+
+
+JSONLD_ROUNDTRIP_SQL = f"SELECT s, p, o FROM ({DOC_TRIPLES_SQL})"
+
+
 def _c14n_normalize(sf_dir: str):
     """Whole-dataset RDFC-1.0 over the (bnode-free) doc-triples table →
     sorted canonical N-Quads lines (c14n/src/rdfc10.rs:28-105)."""
@@ -579,6 +636,8 @@ def registry() -> Registry:
         "indexed_pattern_scan": (_indexed_pattern_scan, INDEXED_SCAN_SQL),
         "rdfs_entailment": (_rdfs_entailment, RDFS_ENTAILMENT_SQL),
         "turtle_roundtrip": (_turtle_roundtrip, TURTLE_ROUNDTRIP_SQL),
+        "rdfxml_roundtrip": (_rdfxml_roundtrip, RDFXML_ROUNDTRIP_SQL),
+        "jsonld_roundtrip": (_jsonld_roundtrip, JSONLD_ROUNDTRIP_SQL),
         "c14n_normalize": (_c14n_normalize, C14N_NORMALIZE_SQL),
         # SPARQL-ish relational operators
         "tpch_q1": (R.tpch_q1, R.TPCH_Q1_SQL),

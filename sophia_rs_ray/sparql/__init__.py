@@ -14,8 +14,8 @@ holding the canonical-NT term text; null = unbound.
 """
 
 from .algebra import (  # noqa: F401
-    BGP, Distinct, Extend, Filter, Group, Join, LeftJoin, Minus, OrderBy,
-    PathPlus, Project, Slice, Union, evaluate,
+    BGP, Distinct, Exists, Extend, Filter, Group, Join, LeftJoin, Minus,
+    OrderBy, PathPlus, PathStar, Project, Slice, Union, evaluate,
 )
 from .expr import (  # noqa: F401
     Const, FnCall, Var, ebv, eval_expr_batch, value_of,

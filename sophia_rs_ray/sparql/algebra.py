@@ -141,8 +141,27 @@ class PathPlus:
     max_rounds: int = 32
 
 
+@dataclass
+class PathStar:
+    """pred* — reflexive-transitive: the seeds themselves plus the
+    pred+ closure (exec.rs path_zero + path_or_more)."""
+    pred: Term
+    seeds: Sequence[Term]
+    o_var: str = "o"
+    max_rounds: int = 32
+
+
+@dataclass
+class Exists:
+    """Semi-join: keep left rows with ≥1 compatible right row — the
+    EXISTS expression probe (sparql/src/expression.rs:60)."""
+    left: "Node"
+    right: "Node"
+    negated: bool = False
+
+
 Node = U[BGP, Join, LeftJoin, Union, Minus, Filter, Extend, Project,
-         Distinct, OrderBy, Slice, Group, PathPlus]
+         Distinct, OrderBy, Slice, Group, PathPlus, PathStar, Exists]
 
 
 # ---------------------------------------------------------------------------
@@ -392,6 +411,37 @@ def evaluate(node: Node, triples_ds, *, num_partitions: int = 8):
 
     if isinstance(node, PathPlus):
         return _path_plus(node, triples_ds, num_partitions)
+
+    if isinstance(node, PathStar):
+        import ray.data as rd
+
+        plus = _path_plus(
+            PathPlus(node.pred, node.seeds, o_var=node.o_var,
+                     max_rounds=node.max_rounds),
+            triples_ds, num_partitions)
+        seeds = pa.table({node.o_var: pa.array(
+            sorted({format_term(s) for s in node.seeds}), pa.string())})
+        return _distinct(plus.union(rd.from_arrow(seeds)), num_partitions)
+
+    if isinstance(node, Exists):
+        left, right = ev(node.left), ev(node.right)
+        shared = sorted(set(_vars_of(left)) & set(_vars_of(right)))
+        if not shared:
+            raise ValueError("Exists without shared variables")
+        marker = _distinct(
+            right.map_batches(lambda b: pa.table({c: b[c] for c in shared}),
+                              batch_format="pyarrow"),
+            num_partitions)
+        marker = marker.map_batches(
+            lambda b: b.append_column("__m", pa.array([1] * b.num_rows,
+                                                      pa.int64())),
+            batch_format="pyarrow")
+        joined = left.join(marker, "left_outer",
+                           num_partitions=num_partitions, on=tuple(shared))
+        pred = pc.is_null if node.negated else pc.is_valid
+        return joined.map_batches(
+            lambda b: b.filter(pred(b["__m"])).drop_columns(["__m"]),
+            batch_format="pyarrow")
 
     raise TypeError(f"unknown algebra node {type(node)}")
 

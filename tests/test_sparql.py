@@ -242,3 +242,23 @@ def test_join_node(graph):
     q = Join(BGP([(Var("d"), iri(LANG_), Var("lang"))]),
              BGP([(Var("d"), iri(N_), Var("n"))]))
     assert evaluate(q, graph).count() == 6
+
+
+def test_path_star_includes_seeds(graph):
+    from sophia_rs_ray.sparql import PathStar
+
+    q = PathStar(iri(KNOWS_), [iri("http://d/2")], o_var="o")
+    got = sorted(r["o"] for r in evaluate(q, graph).take_all())
+    assert got == ["<http://d/2>", "<http://d/3>"]
+
+
+def test_exists_and_not_exists(graph):
+    from sophia_rs_ray.sparql import Exists
+
+    left = BGP([(Var("d"), iri(T_), iri("http://Doc"))])
+    right = BGP([(Var("d"), iri(EXTRA_), Var("x"))])
+    got = sorted(r["d"] for r in evaluate(Exists(left, right), graph).take_all())
+    assert got == ["<http://d/0>", "<http://d/1>"]
+    got_n = sorted(r["d"] for r in
+                   evaluate(Exists(left, right, negated=True), graph).take_all())
+    assert got_n == [f"<http://d/{i}>" for i in (2, 3, 4, 5)]
