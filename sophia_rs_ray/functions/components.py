@@ -20,9 +20,29 @@ avoids the per-round shuffle entirely.
 from __future__ import annotations
 
 from typing import Dict, Iterable, List, Tuple
+import zlib
 
 import pyarrow as pa
 import pyarrow.compute as pc
+
+from ..util import safe_join
+
+_FIB = 0x9E3779B97F4A7C15  # Fibonacci multiplier: mixes crc32 into 64 bits
+_MASK = (1 << 61) - 1
+
+
+def _label_checksum(labels) -> int:
+    """Order-independent 61-bit digest of the (node,label) multiset.
+    Labels only ever decrease, so an unchanged digest ⟺ a fixpoint
+    (up to a ~2^-61 collision); replaces a per-round join+compare."""
+
+    def h(b: pa.Table) -> pa.Table:
+        vals = [(zlib.crc32(f"{n}\x1f{l}".encode()) * _FIB) & _MASK
+                for n, l in zip(b["node"].to_pylist(),
+                                b["label"].to_pylist())]
+        return pa.table({"h": pa.array(vals, pa.int64())})
+
+    return labels.map_batches(h, batch_format="pyarrow").sum("h") or 0
 
 
 def union_find(edges: Iterable[Tuple[str, str]]) -> Dict[str, str]:
@@ -79,10 +99,11 @@ def connected_components(
     labels = edges.groupby("node").aggregate(
         Min("nbr", alias_name="label")).materialize()
 
+    chk = _label_checksum(labels)
     for _ in range(max_rounds):
         # propagate: each edge ships its src's current label to dst
-        msgs = edges.join(
-            labels, "inner", num_partitions, on=("node",),
+        msgs = safe_join(
+            edges, labels, "inner", num_partitions, on=("node",),
         ).map_batches(
             lambda b: pa.table({"node": b["nbr"], "cand": b["label"]}),
             batch_format="pyarrow",
@@ -90,19 +111,12 @@ def connected_components(
         both = msgs.union(labels.map_batches(
             lambda b: pa.table({"node": b["node"], "cand": b["label"]}),
             batch_format="pyarrow"))
-        new_labels = both.groupby("node").aggregate(
+        labels = both.groupby("node").aggregate(
             Min("cand", alias_name="label")).materialize()
-        # convergence: any label strictly decreased?
-        joined = new_labels.join(labels, "inner", num_partitions,
-                                 on=("node",), right_suffix="_old")
-        changed = joined.map_batches(
-            lambda b: pa.table({"c": pc.cast(
-                pc.not_equal(b["label"], b["label_old"]), pa.int64())}),
-            batch_format="pyarrow",
-        ).sum("c")
-        labels = new_labels
-        if not changed:
+        new_chk = _label_checksum(labels)
+        if new_chk == chk:
             break
+        chk = new_chk
     return labels.map_batches(
         lambda b: pa.table({"node": b["node"], "component": b["label"]}),
         batch_format="pyarrow")

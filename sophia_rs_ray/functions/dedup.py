@@ -17,6 +17,7 @@ from typing import List, Set, Tuple
 
 import numpy as np
 import pyarrow as pa
+from ..util import safe_join
 
 _MERSENNE = (1 << 61) - 1
 _TOKEN = re.compile(r"\W+", re.U)
@@ -90,7 +91,7 @@ def band_rows(batch: pa.Table, n_bands: int, rows_per_band: int) -> pa.Table:
             ids.append(doc_id)
             bands.append(bi)
             hashes.append(int.from_bytes(h, "big") - (1 << 63))
-    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+    return pa.table({"doc_id": pa.array(ids, batch["doc_id"].type),
                      "band_id": pa.array(bands, pa.int32()),
                      "band_hash": pa.array(hashes, pa.int64())})
 
@@ -165,7 +166,7 @@ def trigram_jaccard_consecutive(docs_ds, *, num_partitions: int = 4):
         lambda b: pa.table({"id": pc.subtract(b["id"], 1),
                             "grams_b": b["grams"]}),
         batch_format="pyarrow")
-    joined = left.join(right, "inner", num_partitions=num_partitions,
+    joined = safe_join(left, right, "inner", num_partitions,
                        on=("id",))
 
     def jac(b: pa.Table) -> pa.Table:

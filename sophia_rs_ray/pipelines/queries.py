@@ -19,6 +19,7 @@ from ..terms import format_term
 
 from . import relational as R
 from .doc_triples import DC_LANGUAGE, DOC_TRIPLES_SQL, doc_triples
+from ..util import safe_join
 
 Registry = Dict[str, Tuple[Callable, Optional[str]]]
 
@@ -418,8 +419,7 @@ def _simhash(sf_dir: str):
                          columns=["doc_id", "text"])
     sh = ds.map_batches(simhash_batch, batch_format="pyarrow")
     fp = ds.map_batches(fingerprint_batch, batch_format="pyarrow")
-    return sh.join(fp, "inner", num_partitions=4,
-                   on=("doc_id",))
+    return safe_join(sh, fp, "inner", 4, on=("doc_id",))
 
 
 def _near_dup_clusters(sf_dir: str):
@@ -606,6 +606,48 @@ def _media_features(sf_dir: str):
     return out.map_batches(flat, batch_format="pyarrow")
 
 
+def _entity_dedup_exact(sf_dir: str):
+    """Canonical entity dedup, exact-name flavor (SURVEY §2.8 /
+    north-rule canonicalization): doc entities sharing a dc:source name
+    collapse onto the min IRI via groupby(name).min; every triple is
+    rewritten through the broadcast mapping and exact-deduped."""
+    from ..stages.entity_dedup import canonicalize_entities
+    from .doc_triples import DC_SOURCE, DOC
+
+    out, _mapping = canonicalize_entities(
+        doc_triples(sf_dir), subject_prefix=DOC,
+        name_predicate=DC_SOURCE, method="exact")
+    return out
+
+
+ENTITY_DEDUP_EXACT_SQL = f"""
+WITH t AS ({DOC_TRIPLES_SQL}),
+names AS (SELECT s, o FROM t WHERE p = '<http://purl.org/dc/terms/source>'),
+canon AS (SELECT o AS name, min(s) AS c FROM names GROUP BY o),
+map AS (SELECT n.s AS s, c.c AS canon FROM names n
+        JOIN canon c ON n.o = c.name WHERE n.s <> c.c)
+SELECT DISTINCT coalesce(m1.canon, t.s) AS s, t.p,
+                coalesce(m2.canon, t.o) AS o
+FROM t LEFT JOIN map m1 ON t.s = m1.s LEFT JOIN map m2 ON t.o = m2.s
+"""
+
+
+def _entity_dedup_lsh(sf_dir: str):
+    """Canonical entity dedup, MinHash-LSH flavor over schema:name
+    surface forms from the flagship KG triples (rows-only; exact-match
+    oracle is `entity_dedup`, LSH recall asserted in
+    tests/test_entity_dedup.py)."""
+    from ..pipelines.kg import kg_pipeline
+    from ..sources.pages import ENT, SF_PAGE_COUNTS, pages_dataset
+    from ..stages.entity_dedup import canonicalize_entities
+
+    n = SF_PAGE_COUNTS.get(_sf_of(sf_dir), 5000)
+    nt = kg_pipeline(pages_dataset(n))
+    out, _mapping = canonicalize_entities(
+        nt, subject_prefix=ENT, threshold=0.9, num_partitions=8)
+    return out
+
+
 def _minhash_bands(sf_dir: str):
     """MinHash-LSH banding rows (doc_id, band_id, band_hash) — the
     blocking stage of near-dup dedup (SURVEY §2.8)."""
@@ -658,6 +700,8 @@ def registry() -> Registry:
         "knn_cosine": (_knn, KNN_SQL),
         "gazetteer_mentions": (_gazetteer_mentions, GAZETTEER_SQL),
         "embedding_near_dup": (_embedding_near_dup, EMBEDDING_NEAR_DUP_SQL),
+        "entity_dedup": (_entity_dedup_exact, ENTITY_DEDUP_EXACT_SQL),
+        "entity_dedup_lsh": (_entity_dedup_lsh, None),
         "ngram_jaccard": (_ngram_jaccard, NGRAM_JACCARD_SQL),
         "ivf_knn": (_ivf_knn, None),
         "media_features": (_media_features, None),

@@ -24,6 +24,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..util import round_away
+from ..util import safe_join
 
 
 def _read(sf_dir: str, table: str, columns=None):
@@ -194,7 +195,7 @@ def orders_per_segment(sf_dir: str):
                              batch_format="pyarrow")
                 .groupby("o_custkey")
                 .aggregate(Sum("count_all", alias_name="cnt")))
-    joined = cust.join(per_cust, "left_outer", num_partitions=8,
+    joined = safe_join(cust, per_cust, "left_outer", 8,
                        on=("c_custkey",), right_on=("o_custkey",))
 
     def partial(b: pa.Table) -> pa.Table:

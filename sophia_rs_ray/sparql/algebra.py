@@ -39,6 +39,7 @@ import pyarrow.compute as pc
 
 from ..terms import (XSD, XSD_DOUBLE, XSD_INTEGER, Term, format_term,
                      sort_key)
+from ..util import safe_join
 from .expr import (Const, Expr, FnCall, Var, _parse, ebv, eval_expr_batch,
                    order_key_batch, value_of)
 
@@ -217,8 +218,7 @@ def _cross_or_join(a, b, *, how: str = "inner", num_partitions: int = 8):
     product (only sensible when one side is tiny, e.g. a VALUES row)."""
     shared = sorted(set(_vars_of(a)) & set(_vars_of(b)))
     if shared:
-        return a.join(b, how, num_partitions=num_partitions,
-                      on=tuple(shared))
+        return safe_join(a, b, how, num_partitions, on=tuple(shared))
     bt = pa.Table.from_pylist(b.take_all())
 
     def cross(batch: pa.Table) -> pa.Table:
@@ -286,8 +286,8 @@ def evaluate(node: Node, triples_ds, *, num_partitions: int = 8):
         shared = sorted(set(_vars_of(left)) & set(_vars_of(right)))
         if not shared:
             raise ValueError("LeftJoin without shared variables")
-        return left.join(right, "left_outer",
-                         num_partitions=num_partitions, on=tuple(shared))
+        return safe_join(left, right, "left_outer", num_partitions,
+                         on=tuple(shared))
 
     if isinstance(node, Union):
         left, right = ev(node.left), ev(node.right)
@@ -319,8 +319,8 @@ def evaluate(node: Node, triples_ds, *, num_partitions: int = 8):
             lambda b: b.append_column("__m", pa.array([1] * b.num_rows,
                                                       pa.int64())),
             batch_format="pyarrow")
-        joined = left.join(marker, "left_outer",
-                           num_partitions=num_partitions, on=tuple(shared))
+        joined = safe_join(left, marker, "left_outer", num_partitions,
+                           on=tuple(shared))
         return joined.map_batches(
             lambda b: b.filter(pc.is_null(b["__m"])).drop_columns(["__m"]),
             batch_format="pyarrow")
@@ -436,8 +436,8 @@ def evaluate(node: Node, triples_ds, *, num_partitions: int = 8):
             lambda b: b.append_column("__m", pa.array([1] * b.num_rows,
                                                       pa.int64())),
             batch_format="pyarrow")
-        joined = left.join(marker, "left_outer",
-                           num_partitions=num_partitions, on=tuple(shared))
+        joined = safe_join(left, marker, "left_outer", num_partitions,
+                           on=tuple(shared))
         pred = pc.is_null if node.negated else pc.is_valid
         return joined.map_batches(
             lambda b: b.filter(pred(b["__m"])).drop_columns(["__m"]),
@@ -514,8 +514,8 @@ def _path_plus(node: PathPlus, triples_ds, num_partitions: int):
             break
         fr = rd.from_arrow(pa.table({"src": pa.array(sorted(frontier),
                                                      pa.string())}))
-        step = fr.join(edges, "inner", num_partitions=num_partitions,
-                       on=("src",))
+        step = safe_join(fr, edges, "inner", num_partitions,
+                         on=("src",))
         nxt = {r["dst"] for r in step.select_columns(["dst"]).take_all()}
         frontier = nxt - reached - seeds
         reached |= nxt

@@ -1,0 +1,139 @@
+"""Canonical entity dedup: MinHash-LSH blocking over entity names →
+verified edges → connected components → subject/object rewrite.
+
+The north-star canonicalization stage (SURVEY §7.2 step 5): entities
+whose surface names are near-duplicates collapse onto one canonical IRI
+(min IRI in the component), and the triple table is rewritten through a
+broadcast mapping — the KG analogue of document near-dup dedup, sharing
+its MinHash/LSH/CC machinery (stages/neardup).
+
+Scale notes: the *entity name table* is the small side (O(#entities)),
+so the LSH pipeline runs over it, not the corpus; the resulting
+mapping contains ONLY merged entities (non-identity rows) and is
+broadcast with ``ray.put`` once, read per actor in ``__init__``.  Hub
+surfaces are capped by the LSH ``pair_cap``; the rewrite pass itself is
+embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..util import safe_join
+from .ner import SCHEMA_NAME, _unescape_nt_literal
+
+
+def entity_name_table(nt_ds, *, subject_prefix: str = "",
+                      name_predicate: str = SCHEMA_NAME):
+    """(doc_id=NT-IRI, text=name) rows for IRI-subject entities — the
+    LSH input.  Distinct per (entity, name)."""
+    pred = f"<{name_predicate}>"
+
+    def pick(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(b["p"], pa.scalar(pred)),
+                    pc.starts_with(b["s"], "<" + subject_prefix))
+        f = b.filter(m)
+        names = [_unescape_nt_literal(o) or "" for o in f["o"].to_pylist()]
+        t = pa.table({"doc_id": pc.cast(f["s"], pa.string()),
+                      "text": pa.array(names, pa.string())})
+        return t.group_by(["doc_id", "text"]).aggregate([])
+
+    return nt_ds.map_batches(pick, batch_format="pyarrow")
+
+
+def entity_mapping(nt_ds, *, subject_prefix: str = "",
+                   name_predicate: str = SCHEMA_NAME,
+                   threshold: float = 0.9,
+                   **neardup_kwargs) -> Dict[str, str]:
+    """NT-IRI → canonical NT-IRI for MERGED entities only (identity
+    rows omitted).  Name near-dup at ``threshold`` Jaccard over word
+    shingles; canonical = min IRI in the component."""
+    from .neardup import near_dup_clusters
+
+    ents = entity_name_table(nt_ds, subject_prefix=subject_prefix,
+                             name_predicate=name_predicate)
+    clusters = near_dup_clusters(ents, threshold=threshold,
+                                 **neardup_kwargs)
+    mapping: Dict[str, str] = {}
+    for r in clusters.take_all():
+        if r["cluster"] != r["doc_id"]:
+            mapping[r["doc_id"]] = r["cluster"]
+    return mapping
+
+
+def exact_entity_mapping(nt_ds, *, subject_prefix: str = "",
+                         name_predicate: str = SCHEMA_NAME) -> Dict[str, str]:
+    """NT-IRI → canonical NT-IRI for entities whose names are *exactly*
+    equal (canonical = min IRI per name group) — the SQL-checkable
+    sibling of ``entity_mapping``; same shape as `SetGraph`-style exact
+    dedup (groupby key → min, SURVEY §2.8).  The mapping is the small
+    side (only entities, only merged rows) and is broadcast."""
+    from ray.data.aggregate import Min
+
+    ents = entity_name_table(nt_ds, subject_prefix=subject_prefix,
+                             name_predicate=name_predicate)
+    canon = ents.groupby("text").aggregate(Min("doc_id", alias_name="canon"))
+    pairs = safe_join(ents, canon, "inner", 8, on=("text",))
+    mapping: Dict[str, str] = {}
+    for r in pairs.take_all():
+        if r["doc_id"] != r["canon"]:
+            mapping[r["doc_id"]] = r["canon"]
+    return mapping
+
+
+class RewriteTerms:
+    """Actor-pool stage: rewrite s/o through the broadcast mapping."""
+
+    def __init__(self, mapping_ref):
+        import ray
+
+        self.map = ray.get(mapping_ref) \
+            if not isinstance(mapping_ref, dict) else mapping_ref
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = self.map
+        cols = dict.fromkeys(batch.column_names)
+        for c in batch.column_names:
+            if c in ("s", "o") and m:
+                vals = batch[c].to_pylist()
+                cols[c] = pa.array([m.get(v, v) for v in vals],
+                                   pa.large_string())
+            else:
+                cols[c] = batch[c]
+        return pa.table(cols)
+
+
+def canonicalize_entities(nt_ds, *, subject_prefix: str = "",
+                          name_predicate: str = SCHEMA_NAME,
+                          threshold: float = 0.9,
+                          concurrency=2,
+                          dedup: bool = True,
+                          method: str = "lsh",
+                          **neardup_kwargs):
+    """Full stage: triples → (mapping via LSH+CC, or exact name match
+    with ``method="exact"``) → rewritten, deduped triples.
+    Returns (dataset, mapping)."""
+    import ray
+
+    nt_ds = nt_ds.materialize()  # consumed twice: mapping build + rewrite
+    if method == "exact":
+        mapping = exact_entity_mapping(nt_ds, subject_prefix=subject_prefix,
+                                       name_predicate=name_predicate)
+    else:
+        mapping = entity_mapping(nt_ds, subject_prefix=subject_prefix,
+                                 name_predicate=name_predicate,
+                                 threshold=threshold, **neardup_kwargs)
+    ref = ray.put(mapping)
+    out = nt_ds.map_batches(RewriteTerms,
+                            fn_constructor_kwargs={"mapping_ref": ref},
+                            batch_format="pyarrow",
+                            concurrency=concurrency)
+    if dedup:
+        from .dedup import dedup_triples
+
+        carry = tuple(c for c in ("url",) if c in nt_ds.schema().names)
+        out = dedup_triples(out, carry_min=carry)
+    return out, mapping

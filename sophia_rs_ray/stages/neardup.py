@@ -27,6 +27,7 @@ import pyarrow.compute as pc
 
 from ..functions.dedup import MinHasher, band_rows
 from ..functions.components import connected_components
+from ..util import safe_join
 
 
 def minhash_signatures(docs_ds, *, n_perm: int = 64, k: int = 3,
@@ -56,8 +57,9 @@ def lsh_candidate_pairs(sigs_ds, *, n_bands: int = 16, rows_per_band: int = 4,
             for y in ids[i + 1:]:
                 a_out.append(x)
                 b_out.append(y)
-        return pa.table({"a": pa.array(a_out, pa.int64()),
-                         "b": pa.array(b_out, pa.int64())})
+        typ = b["doc_id"].type
+        return pa.table({"a": pa.array(a_out, typ),
+                         "b": pa.array(b_out, typ)})
 
     pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
         bucket_pairs, batch_format="pyarrow")
@@ -84,8 +86,9 @@ def verify_pairs(pairs_ds, sigs_ds, *, threshold: float = 0.5,
                              batch_format="pyarrow")
     sb = sigs_ds.map_batches(lambda b: pack(b, "b", "sig_b"),
                              batch_format="pyarrow")
-    joined = (pairs_ds.join(sa, "inner", num_partitions, on=("a",))
-              .join(sb, "inner", num_partitions, on=("b",)))
+    joined = safe_join(
+        safe_join(pairs_ds, sa, "inner", num_partitions, on=("a",)),
+        sb, "inner", num_partitions, on=("b",))
 
     def est(b: pa.Table) -> pa.Table:
         A = np.array([np.frombuffer(x, np.int64)
@@ -133,9 +136,17 @@ def near_dup_clusters(docs_ds, *, n_perm: int = 64, k: int = 3,
             lambda b: pa.table({"doc_id": b["doc_id"],
                                 "cluster": b["doc_id"]}),
             batch_format="pyarrow")
+    sch = docs_ds.schema()  # Ray Schema wrapper: parallel names/types
+    id_type = sch.types[sch.names.index("doc_id")]
+    numeric = pa.types.is_integer(id_type)
+
     def pad(col):
-        # CC picks the lexicographic min — zero-pad so that equals numeric
-        return pc.utf8_lpad(pc.cast(col, pa.string()), 20, "0")
+        # CC picks the lexicographic-min node as representative; zero-pad
+        # integer ids so lexicographic == numeric order.  String ids
+        # (e.g. entity IRIs) already have a deterministic lexicographic
+        # min — pass through.
+        col = pc.cast(col, pa.string())
+        return pc.utf8_lpad(col, 20, "0") if numeric else col
 
     comp = connected_components(
         edges.map_batches(
@@ -144,10 +155,11 @@ def near_dup_clusters(docs_ds, *, n_perm: int = 64, k: int = 3,
         num_partitions=num_partitions)
     comp = comp.map_batches(
         lambda b: pa.table({
-            "doc_id": pc.cast(b["node"], pa.int64()),
-            "_comp": pc.cast(b["component"], pa.int64())}),
+            "doc_id": pc.cast(b["node"], id_type),
+            "_comp": pc.cast(b["component"], id_type)}),
         batch_format="pyarrow")
-    out = ids.join(comp, "left_outer", num_partitions, on=("doc_id",))
+    out = safe_join(ids, comp, "left_outer", num_partitions,
+                    on=("doc_id",))
 
     def finish(b: pa.Table) -> pa.Table:
         comp_col = b["_comp"].combine_chunks()

@@ -41,6 +41,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import pyarrow as pa
 import pyarrow.compute as pc
+from ..util import safe_join
 
 SCHEMA_NAME = "http://schema.org/name"
 SCHEMA_MENTIONS = "http://schema.org/mentions"
@@ -231,10 +232,10 @@ def score_links(mentions_ds, context_ds, *, key_col: str = "url",
                 b = b.set_column(i, c, pc.cast(b[c], pa.string()))
         return b
 
-    joined = mentions_ds.map_batches(norm, batch_format="pyarrow").join(
+    joined = safe_join(
+        mentions_ds.map_batches(norm, batch_format="pyarrow"),
         context_ds.map_batches(norm, batch_format="pyarrow"),
-        "left_outer", num_partitions=num_partitions,
-        on=(key_col, "cand"))
+        "left_outer", num_partitions, on=(key_col, "cand"))
 
     def pick_best(group: pa.Table) -> pa.Table:
         in_ctx = group["in_ctx"].to_pylist()

@@ -5,6 +5,37 @@ from __future__ import annotations
 import numpy as np
 
 
+def squash_empty_blocks(ds, target_rows: int = 65536):
+    """Coalesce a Dataset's blocks so no leading block is empty.
+
+    Works around a Ray 2.49 hash-shuffle-join defect: schema-carrying
+    empty shards are broadcast only by the FIRST shuffle task of each
+    join side, and ``_shuffle_block`` returns early for an empty input
+    block *without* broadcasting (hash_shuffle.py:223-225) while the
+    driver still marks schemas as sent (hash_shuffle.py:588-589).  A
+    join partition that then receives no rows builds a schema-less
+    table and pyarrow raises ``No match ... FieldRef`` on the key.
+    Sparse upstreams (e.g. a groupby emitting mostly-empty blocks)
+    therefore crash joins nondeterministically.  Re-bundling through
+    ``map_batches`` with an explicit ``batch_size`` merges away empty
+    blocks (zero-row bundles contribute nothing), so the first shuffle
+    task always carries a schema.
+    """
+    return ds.map_batches(lambda t: t, batch_format="pyarrow",
+                          batch_size=target_rows)
+
+
+def safe_join(left, right, join_type: str, num_partitions: int, *,
+              on, right_on=None, left_suffix=None, right_suffix=None):
+    """``Dataset.join`` with both sides squashed of empty blocks (see
+    ``squash_empty_blocks``).  Use this instead of raw ``.join`` —
+    the raw operator crashes when either side's first block is empty."""
+    return squash_empty_blocks(left).join(
+        squash_empty_blocks(right), join_type, num_partitions,
+        on=tuple(on), right_on=tuple(right_on) if right_on else None,
+        left_suffix=left_suffix, right_suffix=right_suffix)
+
+
 def round_away(x, digits: int):
     """Round half away from zero — matches DuckDB's ``round()`` so Ray
     results hash-compare equal to the SQL oracle (numpy/pyarrow default
