@@ -169,6 +169,52 @@ def sparql_path_knows(sf_dir: str):
     return evaluate(q, nt)
 
 
+def sparql_text_select(sf_dir: str):
+    """Query-string front end (parser.py → algebra → Dataset): grouped
+    aggregate over doc triples, parsed from SPARQL text like the
+    reference's prepare_query (api/src/sparql.rs:39-70)."""
+    from ..sparql.run import select
+
+    q = f"""
+      PREFIX dc: <http://purl.org/dc/terms/>
+      PREFIX ex: <http://kg.example/>
+      SELECT ?src (COUNT(*) AS ?cnt) (MIN(?lang) AS ?min_lang)
+      WHERE {{ ?d dc:language ?lang ; dc:source ?src }}
+      GROUP BY ?src
+    """
+    return select(q, doc_triples(sf_dir))
+
+
+SPARQL_TEXT_SELECT_SQL = f"""
+SELECT '"' || source || '"' AS src,
+       '"' || count(*) || '"{INT_DT}' AS cnt,
+       '"' || min(lang) || '"' AS min_lang
+FROM documents GROUP BY source
+"""
+
+
+def sparql_text_construct(sf_dir: str):
+    """CONSTRUCT from query text: rewrite dc:language links into a new
+    predicate; output is canonical-NT (s, p, o) rows."""
+    from ..sparql.run import construct
+
+    q = """
+      PREFIX dc: <http://purl.org/dc/terms/>
+      PREFIX ex: <http://kg.example/>
+      CONSTRUCT { ?d ex:inLanguage ?lang }
+      WHERE { ?d dc:language ?lang }
+    """
+    return construct(q, doc_triples(sf_dir))
+
+
+SPARQL_TEXT_CONSTRUCT_SQL = f"""
+SELECT DISTINCT {_D} AS s,
+       '<http://kg.example/inLanguage>' AS p,
+       '"' || lang || '"' AS o
+FROM documents
+"""
+
+
 REGISTRY = {
     "sparql_bgp_filter": (sparql_bgp_filter, SPARQL_BGP_FILTER_SQL),
     "sparql_group_agg": (sparql_group_agg, SPARQL_GROUP_AGG_SQL),
@@ -178,4 +224,7 @@ REGISTRY = {
     "sparql_order_slice": (sparql_order_slice, SPARQL_ORDER_SLICE_SQL),
     "sparql_extend_fns": (sparql_extend_fns, SPARQL_EXTEND_SQL),
     "sparql_path_knows": (sparql_path_knows, None),
+    "sparql_text_select": (sparql_text_select, SPARQL_TEXT_SELECT_SQL),
+    "sparql_text_construct": (sparql_text_construct,
+                              SPARQL_TEXT_CONSTRUCT_SQL),
 }

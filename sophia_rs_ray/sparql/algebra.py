@@ -161,8 +161,16 @@ class Exists:
     negated: bool = False
 
 
+@dataclass
+class InlineData:
+    """VALUES ?v { t1 t2 … } — inline binding table (single variable)."""
+    var: str
+    rows: Sequence[Term]
+
+
 Node = U[BGP, Join, LeftJoin, Union, Minus, Filter, Extend, Project,
-         Distinct, OrderBy, Slice, Group, PathPlus, PathStar, Exists]
+         Distinct, OrderBy, Slice, Group, PathPlus, PathStar, Exists,
+         InlineData]
 
 
 # ---------------------------------------------------------------------------
@@ -269,6 +277,13 @@ def _distinct(ds, num_partitions: int = 8):
 def evaluate(node: Node, triples_ds, *, num_partitions: int = 8):
     """Compile-and-run: algebra node → Dataset of bindings."""
     ev = lambda n: evaluate(n, triples_ds, num_partitions=num_partitions)  # noqa: E731
+
+    if isinstance(node, InlineData):
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            node.var: pa.array([format_term(t) for t in node.rows],
+                               pa.string())}))
 
     if isinstance(node, BGP):
         parts = [_scan(triples_ds, p) for p in node.patterns]

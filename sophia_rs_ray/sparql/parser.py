@@ -1,0 +1,638 @@
+"""SPARQL 1.1 text → algebra compiler (SELECT / ASK / CONSTRUCT subset).
+
+The reference parses query strings with spargebra and walks the algebra
+tree (`sparql/src/lib.rs`, exec dispatch `sparql/src/exec.rs:125-181`);
+our equivalent compiles the same surface into the Dataset-DAG algebra of
+`sophia_rs_ray.sparql.algebra`, evaluated by `evaluate()`.
+
+Supported grammar (the operator inventory of SURVEY §2.5-2.9):
+  PREFIX/BASE prologue; SELECT [DISTINCT] (?v | (expr AS ?v) | *) /
+  ASK / CONSTRUCT {template}; group graph patterns with triple blocks
+  (`;` `,` `a`, collections NOT supported), OPTIONAL, UNION, MINUS,
+  FILTER (incl. [NOT] EXISTS), BIND, VALUES (single-var); GROUP BY +
+  COUNT/SUM/AVG/MIN/MAX/SAMPLE/GROUP_CONCAT([DISTINCT] …; SEPARATOR=…),
+  HAVING, ORDER BY ASC/DESC, LIMIT/OFFSET; property paths `iri+` /
+  `iri*` with a constant subject (the seeded PathPlus/PathStar shape).
+
+Restrictions are explicit errors, not silent misparses.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from ..terms import (
+    KIND_BNODE, KIND_IRI, KIND_LITERAL, KIND_VARIABLE, RDF_TYPE, XSD,
+    XSD_BOOLEAN, XSD_DECIMAL, XSD_DOUBLE, XSD_INTEGER, Term, format_term,
+    iri, langlit, literal,
+)
+from ..ntriples import unescape_string
+from .algebra import (
+    Agg, BGP, Distinct, Exists, Extend, Filter, Group, Join, LeftJoin,
+    Minus, Node, OrderBy, PathPlus, PathStar, Project, Slice, Union,
+)
+from .expr import Const, Expr, FnCall, Var
+
+__all__ = ["parse_query", "SparqlParseError", "SelectQuery", "AskQuery",
+           "ConstructQuery"]
+
+
+class SparqlParseError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# tokenizer
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(r"""
+    (?P<WS>\s+|\#[^\n]*)
+  | (?P<IRIREF><[^<>"{}|^`\\\s]*>)
+  | (?P<STRING>"(?:[^"\\\n]|\\.)*"|'(?:[^'\\\n]|\\.)*')
+  | (?P<LANGTAG>@[A-Za-z][A-Za-z0-9-]*)
+  | (?P<NUMBER>[+-]?(?:\d+\.\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?
+                    |\d+(?:[eE][+-]?\d+)?))
+  | (?P<VAR>[?$][A-Za-z_][A-Za-z0-9_]*)
+  | (?P<BNODE>_:[A-Za-z0-9_][A-Za-z0-9_.-]*)
+  | (?P<PNAME>[A-Za-z_][A-Za-z0-9_.-]*?:[A-Za-z0-9_][A-Za-z0-9_.%-]*
+             |[A-Za-z_][A-Za-z0-9_.-]*?:)
+  | (?P<KEYWORD>[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<OP>\^\^|&&|\|\||!=|<=|>=|[{}()\[\];,.=<>!+*/-])
+""", re.VERBOSE)
+
+
+def _tokenize(text: str) -> List[Tuple[str, str]]:
+    out: List[Tuple[str, str]] = []
+    pos = 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if not m:
+            raise SparqlParseError(
+                f"unexpected character {text[pos]!r} at offset {pos}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind != "WS":
+            out.append((kind, m.group()))
+    out.append(("EOF", ""))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# query result containers
+# ---------------------------------------------------------------------------
+
+class SelectQuery:
+    def __init__(self, node: Node, vars_: List[str]):
+        self.node = node
+        self.vars = vars_
+
+
+class AskQuery:
+    def __init__(self, node: Node):
+        self.node = node
+
+
+class ConstructQuery:
+    def __init__(self, node: Node, template: List[Tuple]):
+        self.node = node
+        self.template = template  # triples of Term | Var
+
+
+_AGG_FNS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT"}
+
+# builtins usable in expressions (names as expr._apply expects)
+_BUILTINS = {
+    "STR", "LANG", "LANGMATCHES", "DATATYPE", "BOUND", "IRI", "URI",
+    "STRDT", "STRLANG", "ISIRI", "ISURI", "ISBLANK", "ISLITERAL",
+    "ISNUMERIC", "ISTRIPLE", "SAMETERM", "STRLEN", "UCASE", "LCASE",
+    "CONTAINS", "STRSTARTS", "STRENDS", "STRBEFORE", "STRAFTER",
+    "SUBSTR", "CONCAT", "REPLACE", "REGEX", "ENCODE_FOR_URI", "ABS",
+    "CEIL", "FLOOR", "ROUND", "COALESCE", "IF", "YEAR", "MONTH", "DAY",
+    "HOURS", "MINUTES", "SECONDS", "TIMEZONE", "TZ", "MD5", "SHA1",
+    "SHA256", "SHA384", "SHA512", "SUBJECT", "PREDICATE", "OBJECT",
+    "TRIPLE", "BNODE", "UUID", "STRUUID", "NOW",
+}
+
+
+class _Parser:
+    def __init__(self, text: str):
+        self.toks = _tokenize(text)
+        self.i = 0
+        self.prefixes: Dict[str, str] = {}
+        self.base = ""
+        self._bind_ctr = 0
+
+    # --- token helpers -----------------------------------------------------
+    def peek(self, k: int = 0) -> Tuple[str, str]:
+        return self.toks[min(self.i + k, len(self.toks) - 1)]
+
+    def next(self) -> Tuple[str, str]:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def at_kw(self, *words: str) -> bool:
+        k, v = self.peek()
+        return k == "KEYWORD" and v.upper() in words
+
+    def eat_kw(self, word: str):
+        if not self.at_kw(word):
+            raise SparqlParseError(f"expected {word}, got {self.peek()[1]!r}")
+        self.next()
+
+    def at_op(self, op: str) -> bool:
+        k, v = self.peek()
+        return k == "OP" and v == op
+
+    def eat_op(self, op: str):
+        if not self.at_op(op):
+            raise SparqlParseError(f"expected {op!r}, got {self.peek()[1]!r}")
+        self.next()
+
+    # --- prologue ----------------------------------------------------------
+    def parse_prologue(self):
+        while True:
+            if self.at_kw("PREFIX"):
+                self.next()
+                k, v = self.next()
+                if k != "PNAME" or not v.endswith(":"):
+                    raise SparqlParseError(f"bad PREFIX name {v!r}")
+                pfx = v[:-1] + ":"
+                k2, v2 = self.next()
+                if k2 != "IRIREF":
+                    raise SparqlParseError(f"bad PREFIX iri {v2!r}")
+                self.prefixes[pfx] = v2[1:-1]
+            elif self.at_kw("BASE"):
+                self.next()
+                k2, v2 = self.next()
+                if k2 != "IRIREF":
+                    raise SparqlParseError(f"bad BASE iri {v2!r}")
+                self.base = v2[1:-1]
+            else:
+                return
+
+    # --- terms -------------------------------------------------------------
+    def _expand_pname(self, v: str) -> str:
+        if ":" not in v:
+            raise SparqlParseError(f"not a prefixed name: {v!r}")
+        pfx, local = v.split(":", 1)
+        key = pfx + ":"
+        if key not in self.prefixes:
+            raise SparqlParseError(f"unknown prefix {key!r}")
+        return self.prefixes[key] + local
+
+    def parse_term(self):
+        """Term | Var for triple positions and expression primaries."""
+        k, v = self.peek()
+        if k == "VAR":
+            self.next()
+            return Var(v[1:])
+        if k == "IRIREF":
+            self.next()
+            t = v[1:-1]
+            if self.base and not re.match(r"[A-Za-z][A-Za-z0-9+.-]*:", t):
+                from ..iri import resolve
+                t = resolve(self.base, t)
+            return iri(t)
+        if k == "PNAME":
+            self.next()
+            return iri(self._expand_pname(v))
+        if k == "BNODE":
+            self.next()
+            return (KIND_BNODE, v[2:], "", "", 0)
+        if k == "STRING":
+            self.next()
+            lex = unescape_string(v[1:-1])
+            nk, nv = self.peek()
+            if nk == "LANGTAG":
+                self.next()
+                return langlit(lex, nv[1:])
+            if nk == "OP" and nv == "^^":
+                self.next()
+                dt = self.parse_term()
+                if not isinstance(dt, tuple) or dt[0] != KIND_IRI:
+                    raise SparqlParseError("datatype must be an IRI")
+                return literal(lex, dt[1])
+            return literal(lex)
+        if k == "NUMBER":
+            self.next()
+            if re.search(r"[eE]", v):
+                return literal(v, XSD_DOUBLE)
+            if "." in v:
+                return literal(v, XSD_DECIMAL)
+            return literal(v, XSD_INTEGER)
+        if k == "KEYWORD" and v.upper() in ("TRUE", "FALSE"):
+            self.next()
+            return literal(v.lower(), XSD_BOOLEAN)
+        if k == "KEYWORD" and v == "a":
+            self.next()
+            return iri(RDF_TYPE)
+        raise SparqlParseError(f"expected term, got {v!r}")
+
+    # --- expressions (precedence climbing) ---------------------------------
+    def parse_expr(self) -> Expr:
+        return self._or_expr()
+
+    def _or_expr(self) -> Expr:
+        e = self._and_expr()
+        while self.at_op("||"):
+            self.next()
+            e = FnCall("||", e, self._and_expr())
+        return e
+
+    def _and_expr(self) -> Expr:
+        e = self._rel_expr()
+        while self.at_op("&&"):
+            self.next()
+            e = FnCall("&&", e, self._rel_expr())
+        return e
+
+    def _rel_expr(self) -> Expr:
+        e = self._add_expr()
+        k, v = self.peek()
+        if k == "OP" and v in ("=", "!=", "<", "<=", ">", ">="):
+            self.next()
+            return FnCall(v, e, self._add_expr())
+        if self.at_kw("IN"):
+            self.next()
+            return FnCall("IN", e, *self._expr_list())
+        if self.at_kw("NOT"):
+            self.next()
+            self.eat_kw("IN")
+            return FnCall("!", FnCall("IN", e, *self._expr_list()))
+        return e
+
+    def _expr_list(self) -> List[Expr]:
+        self.eat_op("(")
+        out = []
+        if not self.at_op(")"):
+            out.append(self.parse_expr())
+            while self.at_op(","):
+                self.next()
+                out.append(self.parse_expr())
+        self.eat_op(")")
+        return out
+
+    def _add_expr(self) -> Expr:
+        e = self._mul_expr()
+        while self.at_op("+") or self.at_op("-"):
+            op = self.next()[1]
+            e = FnCall(op, e, self._mul_expr())
+        return e
+
+    def _mul_expr(self) -> Expr:
+        e = self._unary_expr()
+        while self.at_op("*") or self.at_op("/"):
+            op = self.next()[1]
+            e = FnCall(op, e, self._unary_expr())
+        return e
+
+    def _unary_expr(self) -> Expr:
+        if self.at_op("!"):
+            self.next()
+            return FnCall("!", self._unary_expr())
+        if self.at_op("-"):
+            self.next()
+            return FnCall("-", self._unary_expr())
+        if self.at_op("+"):
+            self.next()
+            return self._unary_expr()
+        return self._primary_expr()
+
+    def _primary_expr(self) -> Expr:
+        k, v = self.peek()
+        if k == "OP" and v == "(":
+            self.next()
+            e = self.parse_expr()
+            self.eat_op(")")
+            return e
+        if k == "KEYWORD":
+            up = v.upper()
+            if up in _BUILTINS:
+                self.next()
+                args = self._expr_list() if self.at_op("(") else []
+                return FnCall(up, *args)
+            if up in _AGG_FNS:
+                raise SparqlParseError(
+                    f"aggregate {up} only allowed in SELECT/HAVING")
+        t = self.parse_term()
+        if isinstance(t, Var):
+            return t
+        return Const(t)
+
+    # --- group graph pattern ------------------------------------------------
+    def parse_group(self) -> Node:
+        """`{ ... }` → algebra node. FILTERs apply at group end (SPARQL
+        scoping); EXISTS filters become Exists semi-joins."""
+        self.eat_op("{")
+        acc: Optional[Node] = None
+        filters: List[Expr] = []
+        exists: List[Tuple[Node, bool]] = []
+
+        def join(n: Optional[Node], m: Node) -> Node:
+            return m if n is None else Join(n, m)
+
+        while not self.at_op("}"):
+            if self.at_kw("OPTIONAL"):
+                self.next()
+                right = self.parse_group()
+                if acc is None:
+                    raise SparqlParseError("OPTIONAL cannot start a group")
+                acc = LeftJoin(acc, right)
+            elif self.at_kw("MINUS"):
+                self.next()
+                acc = Minus(acc if acc is not None else BGP([]),
+                            self.parse_group())
+            elif self.at_kw("FILTER"):
+                self.next()
+                if self.at_kw("EXISTS"):
+                    self.next()
+                    exists.append((self.parse_group(), False))
+                elif self.at_kw("NOT"):
+                    self.next()
+                    self.eat_kw("EXISTS")
+                    exists.append((self.parse_group(), True))
+                else:
+                    filters.append(self.parse_expr())
+            elif self.at_kw("BIND"):
+                self.next()
+                self.eat_op("(")
+                e = self.parse_expr()
+                self.eat_kw("AS")
+                k, v = self.next()
+                if k != "VAR":
+                    raise SparqlParseError("BIND needs ?var")
+                self.eat_op(")")
+                acc = Extend(v[1:], e, acc if acc is not None else BGP([]))
+            elif self.at_kw("VALUES"):
+                acc = join(acc, self._parse_values())
+            elif self.at_op("{"):
+                sub = self.parse_group()
+                while self.at_kw("UNION"):
+                    self.next()
+                    sub = Union(sub, self.parse_group())
+                acc = join(acc, sub)
+            else:
+                acc = join(acc, self._parse_triples_block())
+            if self.at_op("."):
+                self.next()
+        self.eat_op("}")
+
+        node = acc if acc is not None else BGP([])
+        for pat, neg in exists:
+            node = Exists(node, pat, negated=neg)
+        for f in filters:
+            node = Filter(f, node)
+        return node
+
+    def _parse_values(self) -> Node:
+        """VALUES ?v { term… } — inline data, single variable form."""
+        self.eat_kw("VALUES")
+        k, v = self.next()
+        if k != "VAR":
+            raise SparqlParseError("only single-variable VALUES supported")
+        var = v[1:]
+        self.eat_op("{")
+        rows: List[Term] = []
+        while not self.at_op("}"):
+            if self.at_kw("UNDEF"):
+                raise SparqlParseError("UNDEF not supported in VALUES")
+            t = self.parse_term()
+            if isinstance(t, Var):
+                raise SparqlParseError("VALUES data must be constant terms")
+            rows.append(t)
+        self.eat_op("}")
+        from .algebra import InlineData
+        return InlineData(var, rows)
+
+    def _parse_triples_block(self) -> Node:
+        """Triple patterns with `;`/`,` sugar; seeded property paths."""
+        patterns: List[Tuple] = []
+        paths: List[Node] = []
+        s = self.parse_term()
+        while True:
+            p = self.parse_term()
+            # seeded property path: constant subject + iri+/iri*
+            if (self.at_op("+") or self.at_op("*")) and isinstance(p, tuple) \
+                    and p[0] == KIND_IRI:
+                star = self.next()[1] == "*"
+                o = self.parse_term()
+                if not isinstance(o, Var):
+                    raise SparqlParseError("path object must be a variable")
+                if isinstance(s, Var):
+                    raise SparqlParseError(
+                        "property paths need a constant subject "
+                        "(seeded PathPlus/PathStar shape)")
+                if star:
+                    paths.append(PathStar(p, [s], o_var=o.name))
+                else:
+                    paths.append(PathPlus(p, [s], s_var="__ps",
+                                          o_var=o.name))
+            else:
+                o = self.parse_term()
+                patterns.append((s, p, o))
+                while self.at_op(","):
+                    self.next()
+                    patterns.append((s, p, self.parse_term()))
+            if self.at_op(";"):
+                self.next()
+                while self.at_op(";"):
+                    self.next()
+                if self.at_op(".") or self.at_op("}"):
+                    break  # trailing ';'
+                continue
+            break
+        node: Node = BGP(patterns) if patterns else None
+        for pnode in paths:
+            node = pnode if node is None else Join(node, pnode)
+        return node if node is not None else BGP([])
+
+    # --- SELECT clause ------------------------------------------------------
+    def _parse_select_items(self):
+        """→ (star, [(alias, Expr|None agg-free, Agg|None)])"""
+        items = []
+        if self.at_op("*"):
+            self.next()
+            return True, items
+        while True:
+            k, v = self.peek()
+            if k == "VAR":
+                self.next()
+                items.append((v[1:], Var(v[1:]), None))
+            elif self.at_op("("):
+                self.next()
+                agg = self._try_parse_agg()
+                e = None if agg else self.parse_expr()
+                self.eat_kw("AS")
+                k2, v2 = self.next()
+                if k2 != "VAR":
+                    raise SparqlParseError("(expr AS ?var) needs ?var")
+                self.eat_op(")")
+                items.append((v2[1:], e, agg))
+            else:
+                break
+        if not items:
+            raise SparqlParseError("empty SELECT clause")
+        return False, items
+
+    def _try_parse_agg(self) -> Optional[Agg]:
+        k, v = self.peek()
+        if k != "KEYWORD" or v.upper() not in _AGG_FNS:
+            return None
+        fn = self.next()[1].upper()
+        self.eat_op("(")
+        distinct = False
+        if self.at_kw("DISTINCT"):
+            self.next()
+            distinct = True
+        expr: Optional[Expr] = None
+        sep = " "
+        if self.at_op("*"):
+            self.next()
+        else:
+            expr = self.parse_expr()
+        if self.at_op(";"):
+            self.next()
+            self.eat_kw("SEPARATOR")
+            self.eat_op("=")
+            k2, v2 = self.next()
+            if k2 != "STRING":
+                raise SparqlParseError("SEPARATOR needs a string")
+            sep = unescape_string(v2[1:-1])
+        self.eat_op(")")
+        return Agg(fn, expr, alias="_agg", distinct=distinct, separator=sep)
+
+    # --- solution modifiers -------------------------------------------------
+    def _parse_modifiers(self, node: Node, group_vars, aggs,
+                         select_items, star, distinct):
+        having: List[Expr] = []
+        if self.at_kw("HAVING"):
+            self.next()
+            having.append(self.parse_expr())
+        order: List[Tuple[Expr, bool]] = []
+        if self.at_kw("ORDER"):
+            self.next()
+            self.eat_kw("BY")
+            while True:
+                if self.at_kw("ASC") or self.at_kw("DESC"):
+                    asc = self.next()[1].upper() == "ASC"
+                    self.eat_op("(")
+                    e = self.parse_expr()
+                    self.eat_op(")")
+                    order.append((e, asc))
+                elif self.peek()[0] == "VAR":
+                    order.append((Var(self.next()[1][1:]), True))
+                elif self.at_op("("):
+                    self.next()
+                    e = self.parse_expr()
+                    self.eat_op(")")
+                    order.append((e, True))
+                else:
+                    break
+        limit = offset = None
+        while self.at_kw("LIMIT") or self.at_kw("OFFSET"):
+            kw = self.next()[1].upper()
+            k, v = self.next()
+            if k != "NUMBER":
+                raise SparqlParseError(f"{kw} needs a number")
+            if kw == "LIMIT":
+                limit = int(v)
+            else:
+                offset = int(v)
+
+        # assemble: Group → HAVING → Extend/Project → Distinct → Order → Slice
+        if aggs or group_vars:
+            node = Group(group_vars, aggs, node)
+        for h in having:
+            node = Filter(h, node)
+        proj: List[str] = []
+        for alias, e, agg in select_items:
+            if agg is not None:
+                proj.append(alias)
+            elif isinstance(e, Var) and e.name == alias:
+                proj.append(alias)
+            else:
+                node = Extend(alias, e, node)
+                proj.append(alias)
+        if not star:
+            node = Project(proj, node)
+        if distinct:
+            node = Distinct(node)
+        if order:
+            node = OrderBy(order, node)
+        if limit is not None or offset:
+            node = Slice(node, offset=offset or 0, limit=limit)
+        return node, proj
+
+    # --- top level ----------------------------------------------------------
+    def parse(self):
+        self.parse_prologue()
+        if self.at_kw("SELECT"):
+            self.next()
+            distinct = False
+            if self.at_kw("DISTINCT"):
+                self.next()
+                distinct = True
+            elif self.at_kw("REDUCED"):
+                self.next()  # REDUCED may drop dups — Distinct is allowed
+                distinct = True
+            star, items = self._parse_select_items()
+            if self.at_kw("WHERE"):
+                self.next()
+            node = self.parse_group()
+            group_vars: List[str] = []
+            aggs: List[Agg] = []
+            if self.at_kw("GROUP"):
+                self.next()
+                self.eat_kw("BY")
+                while self.peek()[0] == "VAR":
+                    group_vars.append(self.next()[1][1:])
+            for idx, (alias, e, agg) in enumerate(items):
+                if agg is not None:
+                    agg.alias = alias
+                    aggs.append(agg)
+            if aggs and star:
+                raise SparqlParseError("SELECT * with aggregates")
+            node, proj = self._parse_modifiers(
+                node, group_vars, aggs, items, star, distinct)
+            self._expect_eof()
+            return SelectQuery(node, proj)
+        if self.at_kw("ASK"):
+            self.next()
+            if self.at_kw("WHERE"):
+                self.next()
+            node = self.parse_group()
+            self._expect_eof()
+            return AskQuery(Slice(node, limit=1))
+        if self.at_kw("CONSTRUCT"):
+            self.next()
+            self.eat_op("{")
+            template: List[Tuple] = []
+            while not self.at_op("}"):
+                s = self.parse_term()
+                p = self.parse_term()
+                o = self.parse_term()
+                template.append((s, p, o))
+                if self.at_op("."):
+                    self.next()
+            self.eat_op("}")
+            if self.at_kw("WHERE"):
+                self.next()
+            node = self.parse_group()
+            node, _ = self._parse_modifiers(node, [], [],
+                                            [], True, False)
+            self._expect_eof()
+            return ConstructQuery(node, template)
+        raise SparqlParseError(
+            f"expected SELECT/ASK/CONSTRUCT, got {self.peek()[1]!r}")
+
+    def _expect_eof(self):
+        if self.peek()[0] != "EOF":
+            raise SparqlParseError(
+                f"trailing input at {self.peek()[1]!r}")
+
+
+def parse_query(text: str):
+    """SPARQL text → SelectQuery | AskQuery | ConstructQuery."""
+    return _Parser(text).parse()

@@ -1,0 +1,117 @@
+"""Execute SPARQL query text over an NT triples Dataset.
+
+The user-facing equivalent of the reference's
+``SparqlWrapper(&dataset).query(text)`` (`api/src/sparql.rs:39-70`,
+`sophia/examples/sparql.rs:13-52`): parse → algebra → Dataset DAG.
+
+- ``select()``  → Dataset of bindings (one column per projected var)
+- ``ask()``     → bool (LIMIT-1 probe, driver-side)
+- ``construct()`` → Dataset of canonical-NT (s, p, o) rows built from
+  the template; template bnodes get per-solution deterministic labels
+  (hash of the binding row — reproducible, unlike the reference's
+  UUID-suffixed labels, per SURVEY §7.0 determinism invariant).
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import List, Optional, Tuple
+
+import pyarrow as pa
+
+from ..terms import KIND_BNODE, KIND_IRI, format_term
+from .algebra import evaluate
+from .expr import Var
+from .parser import (
+    AskQuery, ConstructQuery, SelectQuery, SparqlParseError, parse_query,
+)
+
+__all__ = ["select", "ask", "construct", "sparql"]
+
+
+def select(text: str, triples_ds, *, num_partitions: int = 8):
+    q = parse_query(text)
+    if not isinstance(q, SelectQuery):
+        raise SparqlParseError("not a SELECT query")
+    return evaluate(q.node, triples_ds, num_partitions=num_partitions)
+
+
+def ask(text: str, triples_ds, *, num_partitions: int = 8) -> bool:
+    q = parse_query(text)
+    if not isinstance(q, AskQuery):
+        raise SparqlParseError("not an ASK query")
+    out = evaluate(q.node, triples_ds, num_partitions=num_partitions)
+    return len(out.take(1)) > 0
+
+
+def construct(text: str, triples_ds, *, num_partitions: int = 8):
+    q = parse_query(text)
+    if not isinstance(q, ConstructQuery):
+        raise SparqlParseError("not a CONSTRUCT query")
+    bindings = evaluate(q.node, triples_ds, num_partitions=num_partitions)
+
+    # pre-format the template: each position is either a fixed NT string,
+    # a variable name, or a bnode label to freshen per solution
+    tmpl: List[Tuple[Tuple[str, str], ...]] = []
+    for (s, p, o) in q.template:
+        row = []
+        for t in (s, p, o):
+            if isinstance(t, Var):
+                row.append(("var", t.name))
+            elif t[0] == KIND_BNODE:
+                row.append(("bnode", t[1]))
+            else:
+                row.append(("const", format_term(t)))
+        tmpl.append(tuple(row))
+
+    def instantiate(b: pa.Table) -> pa.Table:
+        cols = {c: b[c].to_pylist() for c in b.column_names}
+        n = b.num_rows
+        s_out: List[str] = []
+        p_out: List[str] = []
+        o_out: List[str] = []
+        for i in range(n):
+            # deterministic per-solution bnode scope: hash the binding row
+            key = None
+            for (kind_s, val_s), (kind_p, val_p), (kind_o, val_o) in tmpl:
+                vals = []
+                ok = True
+                for kind, val in ((kind_s, val_s), (kind_p, val_p),
+                                  (kind_o, val_o)):
+                    if kind == "const":
+                        vals.append(val)
+                    elif kind == "var":
+                        x = cols.get(val, [None] * n)[i]
+                        if x is None:
+                            ok = False
+                            break
+                        vals.append(x)
+                    else:  # bnode — freshen per solution
+                        if key is None:
+                            key = zlib.crc32("\x1f".join(
+                                str(cols[c][i]) for c in sorted(cols)
+                            ).encode())
+                        vals.append(f"_:{val}_{key:08x}")
+                if ok:
+                    s_out.append(vals[0])
+                    p_out.append(vals[1])
+                    o_out.append(vals[2])
+        return pa.table({"s": pa.array(s_out, pa.large_string()),
+                         "p": pa.array(p_out, pa.large_string()),
+                         "o": pa.array(o_out, pa.large_string())})
+
+    out = bindings.map_batches(instantiate, batch_format="pyarrow")
+    from ..stages.dedup import dedup_triples
+    return dedup_triples(out, carry_min=())
+
+
+def sparql(text: str, triples_ds, *, num_partitions: int = 8):
+    """Dispatch on query form (SELECT → Dataset, ASK → bool,
+    CONSTRUCT → triples Dataset)."""
+    q = parse_query(text)
+    if isinstance(q, SelectQuery):
+        return evaluate(q.node, triples_ds, num_partitions=num_partitions)
+    if isinstance(q, AskQuery):
+        out = evaluate(q.node, triples_ds, num_partitions=num_partitions)
+        return len(out.take(1)) > 0
+    return construct(text, triples_ds, num_partitions=num_partitions)

@@ -1,0 +1,206 @@
+"""SPARQL text queries end-to-end: parse → algebra → Dataset, with
+results checked against hand-computed expectations on a small graph
+(reference behavior: sparql/src/test.rs query-string → result-list
+tables)."""
+
+import pyarrow as pa
+import pytest
+
+from sophia_rs_ray.sparql import (
+    SparqlParseError, ask, construct, parse_query, select,
+)
+
+EX = "http://example.org/"
+FOAF = "http://xmlns.com/foaf/0.1/"
+
+TRIPLES = [
+    (f"<{EX}alice>", f"<{FOAF}name>", '"Alice"'),
+    (f"<{EX}alice>", f"<{FOAF}age>",
+     '"30"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+    (f"<{EX}alice>", f"<{FOAF}knows>", f"<{EX}bob>"),
+    (f"<{EX}bob>", f"<{FOAF}name>", '"Bob"'),
+    (f"<{EX}bob>", f"<{FOAF}age>",
+     '"25"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+    (f"<{EX}bob>", f"<{FOAF}knows>", f"<{EX}carol>"),
+    (f"<{EX}carol>", f"<{FOAF}name>", '"Carol"'),
+    (f"<{EX}alice>",
+     "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>",
+     f"<{FOAF}Person>"),
+]
+
+
+@pytest.fixture()
+def graph(ray_session):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "s": pa.array([t[0] for t in TRIPLES], pa.large_string()),
+        "p": pa.array([t[1] for t in TRIPLES], pa.large_string()),
+        "o": pa.array([t[2] for t in TRIPLES], pa.large_string()),
+    }))
+
+
+def rows(ds):
+    return sorted(tuple(sorted(r.items())) for r in ds.take_all())
+
+
+def test_select_bgp(graph):
+    out = select(f"""
+        PREFIX foaf: <{FOAF}>
+        SELECT ?n WHERE {{ ?x foaf:knows ?y . ?y foaf:name ?n }}
+    """, graph)
+    got = sorted(r["n"] for r in out.take_all())
+    assert got == ['"Bob"', '"Carol"']
+
+
+def test_select_filter_expr(graph):
+    out = select(f"""
+        PREFIX foaf: <{FOAF}>
+        SELECT ?x ?a WHERE {{
+            ?x foaf:age ?a .
+            FILTER (?a > 26 && BOUND(?x))
+        }}
+    """, graph)
+    got = [(r["x"], r["a"]) for r in out.take_all()]
+    assert got == [(f"<{EX}alice>",
+                    '"30"^^<http://www.w3.org/2001/XMLSchema#integer>')]
+
+
+def test_select_optional_and_order(graph):
+    out = select(f"""
+        PREFIX foaf: <{FOAF}>
+        SELECT ?x ?other WHERE {{
+            ?x foaf:name ?n .
+            OPTIONAL {{ ?x foaf:knows ?other }}
+        }} ORDER BY ?x
+    """, graph)
+    got = [(r["x"], r["other"]) for r in out.take_all()]
+    assert got == [
+        (f"<{EX}alice>", f"<{EX}bob>"),
+        (f"<{EX}bob>", f"<{EX}carol>"),
+        (f"<{EX}carol>", None),
+    ]
+
+
+def test_select_union_distinct_limit(graph):
+    out = select(f"""
+        PREFIX foaf: <{FOAF}>
+        SELECT DISTINCT ?p WHERE {{
+            {{ <{EX}alice> ?p ?o }} UNION {{ <{EX}bob> ?p ?o }}
+        }} ORDER BY ?p LIMIT 3
+    """, graph)
+    got = [r["p"] for r in out.take_all()]
+    assert got == [
+        "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>",
+        f"<{FOAF}age>", f"<{FOAF}knows>"]
+
+
+def test_select_group_agg(graph):
+    out = select(f"""
+        PREFIX foaf: <{FOAF}>
+        SELECT ?x (COUNT(*) AS ?cnt) WHERE {{ ?x ?p ?o }}
+        GROUP BY ?x ORDER BY ?x
+    """, graph)
+    got = [(r["x"], r["cnt"]) for r in out.take_all()]
+    it = "^^<http://www.w3.org/2001/XMLSchema#integer>"
+    assert got == [(f"<{EX}alice>", f'"4"{it}'),
+                   (f"<{EX}bob>", f'"3"{it}'),
+                   (f"<{EX}carol>", f'"1"{it}')]
+
+
+def test_select_bind_and_values(graph):
+    out = select(f"""
+        PREFIX foaf: <{FOAF}>
+        SELECT ?x ?up WHERE {{
+            VALUES ?x {{ <{EX}alice> <{EX}bob> }}
+            ?x foaf:name ?n .
+            BIND (UCASE(STR(?n)) AS ?up)
+        }} ORDER BY ?x
+    """, graph)
+    got = [(r["x"], r["up"]) for r in out.take_all()]
+    assert got == [(f"<{EX}alice>", '"ALICE"'), (f"<{EX}bob>", '"BOB"')]
+
+
+def test_minus_and_not_exists(graph):
+    q = f"""
+        PREFIX foaf: <{FOAF}>
+        SELECT ?x WHERE {{
+            ?x foaf:name ?n .
+            FILTER NOT EXISTS {{ ?x foaf:knows ?y }}
+        }}
+    """
+    got = [r["x"] for r in select(q, graph).take_all()]
+    assert got == [f"<{EX}carol>"]
+
+    q2 = f"""
+        PREFIX foaf: <{FOAF}>
+        SELECT ?x WHERE {{
+            ?x foaf:name ?n .
+            MINUS {{ ?x foaf:age ?a }}
+        }}
+    """
+    got2 = [r["x"] for r in select(q2, graph).take_all()]
+    assert got2 == [f"<{EX}carol>"]
+
+
+def test_property_path_plus(graph):
+    out = select(f"""
+        PREFIX foaf: <{FOAF}>
+        SELECT ?o WHERE {{ <{EX}alice> foaf:knows+ ?o }}
+    """, graph)
+    got = sorted(r["o"] for r in out.take_all())
+    assert got == [f"<{EX}bob>", f"<{EX}carol>"]
+
+
+def test_ask(graph):
+    assert ask(f"ASK {{ <{EX}alice> <{FOAF}knows> ?x }}", graph) is True
+    assert ask(f"ASK {{ <{EX}carol> <{FOAF}knows> ?x }}", graph) is False
+
+
+def test_construct(graph):
+    out = construct(f"""
+        PREFIX foaf: <{FOAF}>
+        CONSTRUCT {{ ?y <{EX}knownBy> ?x }}
+        WHERE {{ ?x foaf:knows ?y }}
+    """, graph)
+    got = sorted((r["s"], r["p"], r["o"]) for r in out.take_all())
+    assert got == [
+        (f"<{EX}bob>", f"<{EX}knownBy>", f"<{EX}alice>"),
+        (f"<{EX}carol>", f"<{EX}knownBy>", f"<{EX}bob>"),
+    ]
+
+
+def test_construct_bnode_template(graph):
+    out = construct(f"""
+        PREFIX foaf: <{FOAF}>
+        CONSTRUCT {{ _:m <{EX}of> ?x . _:m <{EX}label> ?n }}
+        WHERE {{ ?x foaf:name ?n }}
+    """, graph)
+    got = out.take_all()
+    # 2 triples per solution; the _:m label is shared within a solution
+    # and distinct across solutions
+    assert len(got) == 6
+    by_s = {}
+    for r in got:
+        by_s.setdefault(r["s"], set()).add(r["p"])
+    assert len(by_s) == 3
+    for preds in by_s.values():
+        assert preds == {f"<{EX}of>", f"<{EX}label>"}
+
+
+def test_parse_errors():
+    with pytest.raises(SparqlParseError):
+        parse_query("SELECT ?x WHERE { ?x }")
+    with pytest.raises(SparqlParseError):
+        parse_query("FROB ?x")
+    with pytest.raises(SparqlParseError):
+        parse_query("SELECT ?x WHERE { ?x <p> ?y } trailing")
+    with pytest.raises(SparqlParseError):
+        parse_query("PREFIX f <x>\nSELECT ?x WHERE { ?x f:p ?y }")
+
+
+def test_parse_forms():
+    q = parse_query("SELECT DISTINCT ?x WHERE { ?x <urn:p> 3.5 } LIMIT 2")
+    assert q.vars == ["x"]
+    q2 = parse_query('ASK { ?x <urn:p> "lit"@en }')
+    assert q2.__class__.__name__ == "AskQuery"
