@@ -606,6 +606,69 @@ def _media_features(sf_dir: str):
     return out.map_batches(flat, batch_format="pyarrow")
 
 
+def _graph_literals(sf_dir: str):
+    """Kind-filtered projection `Graph::literals()` over every term
+    position (api/src/graph.rs:249-312)."""
+    from .. import graph as G
+
+    return G.literals(doc_triples(sf_dir))
+
+
+GRAPH_LITERALS_SQL = f"""
+SELECT DISTINCT o AS term FROM ({DOC_TRIPLES_SQL}) WHERE o LIKE '"%'
+"""
+
+
+def _graph_remove_matching(sf_dir: str):
+    """`remove_matching(Any, rdf:type, Any)` bulk delete
+    (api/src/graph.rs:512-530)."""
+    from .. import graph as G
+    from ..terms import RDF_TYPE
+
+    return G.remove_matching(doc_triples(sf_dir), p=f"<{RDF_TYPE}>")
+
+
+GRAPH_REMOVE_MATCHING_SQL = f"""
+SELECT s, p, o FROM ({DOC_TRIPLES_SQL})
+WHERE p <> '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>'
+"""
+
+
+def _graph_names(sf_dir: str):
+    """Quad adapters: triples → named quads (one graph per source) →
+    `Dataset::graph_names()` (api/src/dataset.rs:207-233)."""
+    from .. import graph as G
+
+    return G.graph_names(_doc_quads(sf_dir))
+
+
+def _doc_quads(sf_dir: str):
+    """doc triples placed into one named graph per document source —
+    the graph name is derived inside the batch (no driver-side lookup;
+    doc_triples_batch emits 4 groups of n rows, so g tiles ×4)."""
+    import ray.data as rd
+
+    from .doc_triples import doc_triples_batch
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "lang", "source",
+                                    "n_chars"])
+
+    def to_quads(b: pa.Table) -> pa.Table:
+        t = doc_triples_batch(b)
+        gs = [f"<http://kg.example/graph/{s}>"
+              for s in b["source"].to_pylist()] * 4
+        return t.append_column("g", pa.array(gs, pa.large_string()))
+
+    return docs.map_batches(to_quads, batch_format="pyarrow")
+
+
+GRAPH_NAMES_SQL = """
+SELECT DISTINCT '<http://kg.example/graph/' || source || '>' AS term
+FROM documents
+"""
+
+
 def _entity_dedup_exact(sf_dir: str):
     """Canonical entity dedup, exact-name flavor (SURVEY §2.8 /
     north-rule canonicalization): doc entities sharing a dc:source name
@@ -701,6 +764,10 @@ def registry() -> Registry:
         "gazetteer_mentions": (_gazetteer_mentions, GAZETTEER_SQL),
         "embedding_near_dup": (_embedding_near_dup, EMBEDDING_NEAR_DUP_SQL),
         "entity_dedup": (_entity_dedup_exact, ENTITY_DEDUP_EXACT_SQL),
+        "graph_literals": (_graph_literals, GRAPH_LITERALS_SQL),
+        "graph_remove_matching": (_graph_remove_matching,
+                                  GRAPH_REMOVE_MATCHING_SQL),
+        "graph_names": (_graph_names, GRAPH_NAMES_SQL),
         "entity_dedup_lsh": (_entity_dedup_lsh, None),
         "ngram_jaccard": (_ngram_jaccard, NGRAM_JACCARD_SQL),
         "ivf_knn": (_ivf_knn, None),
