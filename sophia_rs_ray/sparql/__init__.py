@@ -14,8 +14,9 @@ holding the canonical-NT term text; null = unbound.
 """
 
 from .algebra import (  # noqa: F401
-    BGP, Distinct, Exists, Extend, Filter, Group, Join, LeftJoin, Minus,
-    OrderBy, PathPlus, PathStar, Project, Slice, Union, evaluate,
+    BGP, Distinct, Exists, Extend, Filter, GraphPattern, Group, InlineData,
+    Join, LeftJoin, Minus, OrderBy, PathPlus, PathStar, Project, Slice,
+    Union, evaluate,
 )
 from .expr import (  # noqa: F401
     Const, FnCall, Var, ebv, eval_expr_batch, value_of,

@@ -168,9 +168,22 @@ class InlineData:
     rows: Sequence[Term]
 
 
+@dataclass
+class GraphPattern:
+    """GRAPH ?g { … } / GRAPH <iri> { … } (exec.rs:652-707).
+
+    Dataset semantics over a quad table (g column, '' = default graph):
+    plain BGPs match ONLY the default graph; GraphPattern scopes its
+    child to one named graph (constant) or iterates all named graphs
+    binding the name (variable — threaded through every scan as an
+    extra binding column so joins unify on it)."""
+    name: U["Var", Term]
+    child: "Node"
+
+
 Node = U[BGP, Join, LeftJoin, Union, Minus, Filter, Extend, Project,
          Distinct, OrderBy, Slice, Group, PathPlus, PathStar, Exists,
-         InlineData]
+         InlineData, GraphPattern]
 
 
 # ---------------------------------------------------------------------------
@@ -189,9 +202,14 @@ def _norm_cols(b: pa.Table) -> pa.Table:
     return b
 
 
-def _scan(triples_ds, pattern) -> "ray.data.Dataset":
+def _scan(triples_ds, pattern, graph_var: Optional[str] = None
+          ) -> "ray.data.Dataset":
     """One triple pattern → bindings: constant positions filter, variable
-    positions project+rename; repeated variables add equality filters."""
+    positions project+rename; repeated variables add equality filters.
+
+    Quad-table semantics: with a ``g`` column present, plain scans match
+    only the default graph (``g == ''``); with ``graph_var`` set, scans
+    match only NAMED graphs and emit the graph name as that variable."""
     pos_cols = ("s", "p", "o")
     consts: List[Tuple[str, str]] = []
     var_pos: Dict[str, List[str]] = {}
@@ -210,10 +228,22 @@ def _scan(triples_ds, pattern) -> "ray.data.Dataset":
             for extra in cols[1:]:
                 m = pc.equal(b[cols[0]], b[extra])
                 mask = m if mask is None else pc.and_(mask, m)
+        if "g" in b.column_names:
+            if graph_var is None:
+                m = pc.equal(b["g"], pa.scalar(""))
+            else:
+                m = pc.not_equal(b["g"], pa.scalar(""))
+                if graph_var in var_pos:  # GRAPH ?g { ?g … }
+                    m = pc.and_(m, pc.equal(
+                        b["g"], b[var_pos[graph_var][0]]))
+            mask = m if mask is None else pc.and_(mask, m)
         if mask is not None:
             b = b.filter(mask)
         out = {name: pc.cast(b[cols[0]], pa.string())
                for name, cols in var_pos.items()}
+        if graph_var is not None and graph_var not in out \
+                and "g" in b.column_names:
+            out[graph_var] = pc.cast(b["g"], pa.string())
         if not out:  # all-constant pattern: emit a marker row per match
             return pa.table({"__match": pa.array([1] * b.num_rows, pa.int64())})
         return pa.table(out)
@@ -274,9 +304,24 @@ def _distinct(ds, num_partitions: int = 8):
 # evaluator
 # ---------------------------------------------------------------------------
 
-def evaluate(node: Node, triples_ds, *, num_partitions: int = 8):
+def evaluate(node: Node, triples_ds, *, num_partitions: int = 8,
+             graph_var: Optional[str] = None):
     """Compile-and-run: algebra node → Dataset of bindings."""
-    ev = lambda n: evaluate(n, triples_ds, num_partitions=num_partitions)  # noqa: E731
+    ev = lambda n: evaluate(n, triples_ds, num_partitions=num_partitions,  # noqa: E731
+                            graph_var=graph_var)
+
+    if isinstance(node, GraphPattern):
+        if isinstance(node.name, Var):
+            return evaluate(node.child, triples_ds,
+                            num_partitions=num_partitions,
+                            graph_var=node.name.name)
+        name_txt = format_term(node.name)
+        scoped = triples_ds.map_batches(
+            lambda b: b.filter(pc.equal(b["g"], pa.scalar(name_txt)))
+            .drop_columns(["g"]),
+            batch_format="pyarrow")
+        return evaluate(node.child, scoped,
+                        num_partitions=num_partitions)
 
     if isinstance(node, InlineData):
         import ray.data as rd
@@ -286,7 +331,8 @@ def evaluate(node: Node, triples_ds, *, num_partitions: int = 8):
                                pa.string())}))
 
     if isinstance(node, BGP):
-        parts = [_scan(triples_ds, p) for p in node.patterns]
+        parts = [_scan(triples_ds, p, graph_var=graph_var)
+                 for p in node.patterns]
         out = parts[0]
         for nxt in parts[1:]:
             out = _cross_or_join(out, nxt, num_partitions=num_partitions)

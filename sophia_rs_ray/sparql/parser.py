@@ -365,6 +365,13 @@ class _Parser:
                     raise SparqlParseError("BIND needs ?var")
                 self.eat_op(")")
                 acc = Extend(v[1:], e, acc if acc is not None else BGP([]))
+            elif self.at_kw("GRAPH"):
+                self.next()
+                name = self.parse_term()
+                if not isinstance(name, Var) and name[0] != KIND_IRI:
+                    raise SparqlParseError("GRAPH needs a ?var or IRI")
+                from .algebra import GraphPattern
+                acc = join(acc, GraphPattern(name, self.parse_group()))
             elif self.at_kw("VALUES"):
                 acc = join(acc, self._parse_values())
             elif self.at_op("{"):

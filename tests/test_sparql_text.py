@@ -204,3 +204,54 @@ def test_parse_forms():
     assert q.vars == ["x"]
     q2 = parse_query('ASK { ?x <urn:p> "lit"@en }')
     assert q2.__class__.__name__ == "AskQuery"
+
+
+GRAPHS = [
+    ("<urn:x>", "<urn:p>", '"default"', ""),
+    ("<urn:x>", "<urn:p>", '"one"', "<urn:g1>"),
+    ("<urn:y>", "<urn:p>", '"two"', "<urn:g2>"),
+]
+
+
+@pytest.fixture()
+def quadset(ray_session):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "s": pa.array([t[0] for t in GRAPHS], pa.large_string()),
+        "p": pa.array([t[1] for t in GRAPHS], pa.large_string()),
+        "o": pa.array([t[2] for t in GRAPHS], pa.large_string()),
+        "g": pa.array([t[3] for t in GRAPHS], pa.large_string()),
+    }))
+
+
+def test_default_graph_only_bgp(quadset):
+    got = select("SELECT ?o WHERE { ?s <urn:p> ?o }", quadset).take_all()
+    assert [r["o"] for r in got] == ['"default"']
+
+
+def test_graph_var(quadset):
+    out = select("""
+        SELECT ?g ?o WHERE { GRAPH ?g { ?s <urn:p> ?o } } ORDER BY ?g
+    """, quadset)
+    got = [(r["g"], r["o"]) for r in out.take_all()]
+    assert got == [("<urn:g1>", '"one"'), ("<urn:g2>", '"two"')]
+
+
+def test_graph_const(quadset):
+    out = select("""
+        SELECT ?o WHERE { GRAPH <urn:g2> { ?s <urn:p> ?o } }
+    """, quadset)
+    assert [r["o"] for r in out.take_all()] == ['"two"']
+
+
+def test_graph_join_default(quadset):
+    # join a named-graph binding with a default-graph pattern on ?s
+    out = select("""
+        SELECT ?o ?d WHERE {
+            GRAPH <urn:g1> { ?s <urn:p> ?o }
+            ?s <urn:p> ?d
+        }
+    """, quadset)
+    got = [(r["o"], r["d"]) for r in out.take_all()]
+    assert got == [('"one"', '"default"')]
