@@ -22,6 +22,7 @@ from .expr import (  # noqa: F401
     Const, FnCall, Var, ebv, eval_expr_batch, value_of,
 )
 from .parser import (  # noqa: F401
-    AskQuery, ConstructQuery, SelectQuery, SparqlParseError, parse_query,
+    AskQuery, ConstructQuery, DescribeQuery, SelectQuery, SparqlParseError,
+    parse_query,
 )
-from .run import ask, construct, select, sparql  # noqa: F401
+from .run import ask, construct, describe, select, sparql  # noqa: F401

@@ -35,7 +35,7 @@ from .algebra import (
 from .expr import Const, Expr, FnCall, Var
 
 __all__ = ["parse_query", "SparqlParseError", "SelectQuery", "AskQuery",
-           "ConstructQuery"]
+           "ConstructQuery", "DescribeQuery"]
 
 
 class SparqlParseError(ValueError):
@@ -58,7 +58,7 @@ _TOKEN_RE = re.compile(r"""
   | (?P<PNAME>[A-Za-z_][A-Za-z0-9_.-]*?:[A-Za-z0-9_][A-Za-z0-9_.%-]*
              |[A-Za-z_][A-Za-z0-9_.-]*?:)
   | (?P<KEYWORD>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<OP>\^\^|&&|\|\||!=|<=|>=|[{}()\[\];,.=<>!+*/-])
+  | (?P<OP>\^\^|&&|\|\||!=|<=|>=|[{}()\[\];,.=<>!+*/|^-])
 """, re.VERBOSE)
 
 
@@ -97,6 +97,13 @@ class ConstructQuery:
     def __init__(self, node: Node, template: List[Tuple]):
         self.node = node
         self.template = template  # triples of Term | Var
+
+
+class DescribeQuery:
+    def __init__(self, node: Optional[Node], terms: List, vars_: List[str]):
+        self.node = node      # None when only constant IRIs are described
+        self.terms = terms    # constant Terms to describe
+        self.vars = vars_     # variables bound by node to describe
 
 
 _AGG_FNS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT"}
@@ -413,35 +420,111 @@ class _Parser:
         from .algebra import InlineData
         return InlineData(var, rows)
 
+    # --- property paths (sparql/src/exec.rs:274-482) ------------------------
+    # AST: ("term", Term|Var) | ("inv", p) | ("seq", [p…]) | ("alt", [p…])
+    #    | ("plus", p) | ("star", p)
+
+    def _parse_path(self):
+        alts = [self._parse_path_seq()]
+        while self.at_op("|"):
+            self.next()
+            alts.append(self._parse_path_seq())
+        return alts[0] if len(alts) == 1 else ("alt", alts)
+
+    def _parse_path_seq(self):
+        elts = [self._parse_path_elt()]
+        while self.at_op("/"):
+            self.next()
+            elts.append(self._parse_path_elt())
+        return elts[0] if len(elts) == 1 else ("seq", elts)
+
+    def _parse_path_elt(self):
+        inv = False
+        if self.at_op("^"):
+            self.next()
+            inv = True
+        if self.at_op("("):
+            self.next()
+            p = self._parse_path()
+            self.eat_op(")")
+        else:
+            p = ("term", self.parse_term())
+        if self.at_op("+"):
+            self.next()
+            p = ("plus", p)
+        elif self.at_op("*"):
+            self.next()
+            p = ("star", p)
+        return ("inv", p) if inv else p
+
+    def _fresh_var(self) -> Var:
+        # single underscore on purpose: '__'-prefixed columns are
+        # internal markers invisible to _vars_of / join detection, and
+        # path chain vars MUST join
+        self._bind_ctr += 1
+        return Var(f"_path_{self._bind_ctr}")
+
+    def _compile_path(self, s, path, o) -> Node:
+        """Recursive rewriting: ^p swaps endpoints, p1/p2 chains through
+        a fresh variable, p1|p2 unions; +/* stay restricted to the
+        seeded constant-subject PathPlus/PathStar shape."""
+        kind = path[0]
+        if kind == "term":
+            return BGP([(s, path[1], o)])
+        if kind == "inv":
+            return self._compile_path(o, path[1], s)
+        if kind == "seq":
+            parts = path[1]
+            node: Optional[Node] = None
+            cur = s
+            for i, sub in enumerate(parts):
+                nxt = o if i == len(parts) - 1 else self._fresh_var()
+                seg = self._compile_path(cur, sub, nxt)
+                node = seg if node is None else Join(node, seg)
+                cur = nxt
+            return node
+        if kind == "alt":
+            node = self._compile_path(s, path[1][0], o)
+            for sub in path[1][1:]:
+                node = Union(node, self._compile_path(s, sub, o))
+            return node
+        if kind in ("plus", "star"):
+            sub = path[1]
+            if sub[0] != "term" or isinstance(sub[1], Var) \
+                    or sub[1][0] != KIND_IRI:
+                raise SparqlParseError(
+                    f"{kind} path needs a plain IRI predicate")
+            if isinstance(s, Var):
+                raise SparqlParseError(
+                    "transitive paths need a constant subject "
+                    "(seeded PathPlus/PathStar shape)")
+            if not isinstance(o, Var):
+                raise SparqlParseError("path object must be a variable")
+            if kind == "star":
+                return PathStar(sub[1], [s], o_var=o.name)
+            return PathPlus(sub[1], [s], s_var="__ps", o_var=o.name)
+        raise SparqlParseError(f"unsupported path {path!r}")
+
     def _parse_triples_block(self) -> Node:
-        """Triple patterns with `;`/`,` sugar; seeded property paths."""
+        """Triple patterns with `;`/`,` sugar and property paths in the
+        predicate position."""
+        nodes: List[Node] = []
         patterns: List[Tuple] = []
-        paths: List[Node] = []
         s = self.parse_term()
         while True:
-            p = self.parse_term()
-            # seeded property path: constant subject + iri+/iri*
-            if (self.at_op("+") or self.at_op("*")) and isinstance(p, tuple) \
-                    and p[0] == KIND_IRI:
-                star = self.next()[1] == "*"
-                o = self.parse_term()
-                if not isinstance(o, Var):
-                    raise SparqlParseError("path object must be a variable")
-                if isinstance(s, Var):
-                    raise SparqlParseError(
-                        "property paths need a constant subject "
-                        "(seeded PathPlus/PathStar shape)")
-                if star:
-                    paths.append(PathStar(p, [s], o_var=o.name))
-                else:
-                    paths.append(PathPlus(p, [s], s_var="__ps",
-                                          o_var=o.name))
+            if self.peek()[0] == "VAR":
+                p = ("term", self.parse_term())
             else:
-                o = self.parse_term()
-                patterns.append((s, p, o))
-                while self.at_op(","):
-                    self.next()
-                    patterns.append((s, p, self.parse_term()))
+                p = self._parse_path()
+            objs = [self.parse_term()]
+            while self.at_op(","):
+                self.next()
+                objs.append(self.parse_term())
+            for o in objs:
+                if p[0] == "term":
+                    patterns.append((s, p[1], o))
+                else:
+                    nodes.append(self._compile_path(s, p, o))
             if self.at_op(";"):
                 self.next()
                 while self.at_op(";"):
@@ -450,8 +533,8 @@ class _Parser:
                     break  # trailing ';'
                 continue
             break
-        node: Node = BGP(patterns) if patterns else None
-        for pnode in paths:
+        node: Optional[Node] = BGP(patterns) if patterns else None
+        for pnode in nodes:
             node = pnode if node is None else Join(node, pnode)
         return node if node is not None else BGP([])
 
@@ -631,8 +714,32 @@ class _Parser:
                                             [], True, False)
             self._expect_eof()
             return ConstructQuery(node, template)
+        if self.at_kw("DESCRIBE"):
+            self.next()
+            terms: List = []
+            vars_: List[str] = []
+            while True:
+                k, v = self.peek()
+                if k == "VAR":
+                    self.next()
+                    vars_.append(v[1:])
+                elif k in ("IRIREF", "PNAME"):
+                    terms.append(self.parse_term())
+                else:
+                    break
+            if not terms and not vars_:
+                raise SparqlParseError("empty DESCRIBE")
+            node = None
+            if self.at_kw("WHERE") or self.at_op("{"):
+                if self.at_kw("WHERE"):
+                    self.next()
+                node = self.parse_group()
+            if vars_ and node is None:
+                raise SparqlParseError("DESCRIBE ?v needs a WHERE clause")
+            self._expect_eof()
+            return DescribeQuery(node, terms, vars_)
         raise SparqlParseError(
-            f"expected SELECT/ASK/CONSTRUCT, got {self.peek()[1]!r}")
+            f"expected SELECT/ASK/CONSTRUCT/DESCRIBE, got {self.peek()[1]!r}")
 
     def _expect_eof(self):
         if self.peek()[0] != "EOF":

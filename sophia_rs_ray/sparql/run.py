@@ -23,17 +23,25 @@ from ..terms import KIND_BNODE, KIND_IRI, format_term
 from .algebra import evaluate
 from .expr import Var
 from .parser import (
-    AskQuery, ConstructQuery, SelectQuery, SparqlParseError, parse_query,
+    AskQuery, ConstructQuery, DescribeQuery, SelectQuery, SparqlParseError,
+    parse_query,
 )
 
-__all__ = ["select", "ask", "construct", "sparql"]
+__all__ = ["select", "ask", "construct", "describe", "sparql"]
 
 
 def select(text: str, triples_ds, *, num_partitions: int = 8):
     q = parse_query(text)
     if not isinstance(q, SelectQuery):
         raise SparqlParseError("not a SELECT query")
-    return evaluate(q.node, triples_ds, num_partitions=num_partitions)
+    out = evaluate(q.node, triples_ds, num_partitions=num_partitions)
+
+    def drop_internal(b: pa.Table) -> pa.Table:
+        # SELECT * must not expose path chain vars (_path_N)
+        drop = [c for c in b.column_names if c.startswith("_path_")]
+        return b.drop_columns(drop) if drop else b
+
+    return out.map_batches(drop_internal, batch_format="pyarrow")
 
 
 def ask(text: str, triples_ds, *, num_partitions: int = 8) -> bool:
@@ -105,6 +113,27 @@ def construct(text: str, triples_ds, *, num_partitions: int = 8):
     return dedup_triples(out, carry_min=())
 
 
+def describe(text: str, triples_ds, *, num_partitions: int = 8):
+    """DESCRIBE: all triples whose subject is a described resource
+    (simple subject-scan form of the spec's implementation-defined
+    description; no bnode closure).  Resources = the constant IRIs
+    plus bindings of the DESCRIBE variables from the WHERE clause."""
+    q = parse_query(text)
+    if not isinstance(q, DescribeQuery):
+        raise SparqlParseError("not a DESCRIBE query")
+    resources = {format_term(t) for t in q.terms}
+    if q.node is not None and q.vars:
+        bindings = evaluate(q.node, triples_ds,
+                            num_partitions=num_partitions)
+        cols = [v for v in q.vars if v in bindings.schema().names]
+        for r in bindings.select_columns(cols).take_all():
+            for v in cols:
+                if r[v] is not None:
+                    resources.add(r[v])
+    from ..graph import triples_matching
+    return triples_matching(triples_ds, s=sorted(resources))
+
+
 def sparql(text: str, triples_ds, *, num_partitions: int = 8):
     """Dispatch on query form (SELECT → Dataset, ASK → bool,
     CONSTRUCT → triples Dataset)."""
@@ -114,4 +143,6 @@ def sparql(text: str, triples_ds, *, num_partitions: int = 8):
     if isinstance(q, AskQuery):
         out = evaluate(q.node, triples_ds, num_partitions=num_partitions)
         return len(out.take(1)) > 0
+    if isinstance(q, DescribeQuery):
+        return describe(text, triples_ds, num_partitions=num_partitions)
     return construct(text, triples_ds, num_partitions=num_partitions)

@@ -255,3 +255,59 @@ def test_graph_join_default(quadset):
     """, quadset)
     got = [(r["o"], r["d"]) for r in out.take_all()]
     assert got == [('"one"', '"default"')]
+
+
+def test_path_inverse(graph):
+    # <carol> ^knows ?x  ⟺  ?x knows <carol>  → bob
+    out = select(f"""
+        PREFIX foaf: <{FOAF}>
+        SELECT ?x WHERE {{ <{EX}carol> ^foaf:knows ?x }}
+    """, graph)
+    assert [r["x"] for r in out.take_all()] == [f"<{EX}bob>"]
+
+
+def test_path_sequence(graph):
+    out = select(f"""
+        PREFIX foaf: <{FOAF}>
+        SELECT ?n WHERE {{ <{EX}alice> foaf:knows/foaf:name ?n }}
+    """, graph)
+    assert [r["n"] for r in out.take_all()] == ['"Bob"']
+
+
+def test_path_alternative(graph):
+    out = select(f"""
+        PREFIX foaf: <{FOAF}>
+        SELECT ?v WHERE {{ <{EX}bob> foaf:name|foaf:age ?v }}
+    """, graph)
+    got = sorted(r["v"] for r in out.take_all())
+    assert got == ['"25"^^<http://www.w3.org/2001/XMLSchema#integer>',
+                   '"Bob"']
+
+
+def test_path_seq_of_alt(graph):
+    out = select(f"""
+        PREFIX foaf: <{FOAF}>
+        SELECT ?v WHERE {{ <{EX}alice> foaf:knows/(foaf:name|foaf:knows) ?v }}
+    """, graph)
+    got = sorted(r["v"] for r in out.take_all())
+    assert got == ['"Bob"', f"<{EX}carol>"]
+
+
+def test_describe_const_and_var(graph):
+    from sophia_rs_ray.sparql import describe
+
+    out = describe(f"DESCRIBE <{EX}carol>", graph)
+    got = {(r["s"], r["p"], r["o"]) for r in out.take_all()}
+    assert got == {(f"<{EX}carol>", f"<{FOAF}name>", '"Carol"')}
+
+    out2 = describe(f"""
+        PREFIX foaf: <{FOAF}>
+        DESCRIBE ?x WHERE {{ ?x foaf:age ?a . FILTER (?a < 26) }}
+    """, graph)
+    got2 = {(r["s"], r["p"], r["o"]) for r in out2.take_all()}
+    assert got2 == {
+        (f"<{EX}bob>", f"<{FOAF}name>", '"Bob"'),
+        (f"<{EX}bob>", f"<{FOAF}age>",
+         '"25"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+        (f"<{EX}bob>", f"<{FOAF}knows>", f"<{EX}carol>"),
+    }
