@@ -1,0 +1,114 @@
+"""Generic two-stage raw-task hash-exchange aggregation.
+
+Measured motivation (BASELINE.md, stages/materialize.py): Ray Data's
+sort-based ``groupby().aggregate()`` exchange costs seconds of fixed
+overhead per stage at bench scale (sort + O(blocks×partitions) tiny
+objects) and serializes against upstream stages; the hash-shuffle
+strategy is slower still for small partitions (actor pool spin-up).
+This utility is the generalization of the materialize exchange
+(SURVEY §2 "custom operators" option (c)) for aggregate-shaped wide
+ops:
+
+    block → combine(block)                (per-block partial aggregate)
+          → hash-split by key (argsort)   (one object per partition)
+    partition → concat → finalize(...)    (final aggregate per group)
+
+Partitioning assumption (documented per SURVEY §2.custom-operators):
+a row's partition is a pure function of its key columns' content
+(crc32) — deterministic across runs and processes, no coordination.
+Skewed keys are fine for algebraic aggregates because combine() has
+already collapsed each block to ≤1 row per distinct key, so a hub key
+contributes at most ``blocks`` rows to its partition.
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Callable, List, Optional, Sequence
+
+import pyarrow as pa
+
+_MASK64 = (1 << 64) - 1
+_FIB = 0x9E3779B97F4A7C15
+
+
+def _split_by_key(tbl: pa.Table, key_cols: Sequence[str],
+                  num_partitions: int):
+    """One stable argsort + zero-copy slices (not a filter per
+    partition, which is O(partitions × rows))."""
+    import numpy as np
+
+    crc = zlib.crc32
+    n = tbl.num_rows
+    if n == 0:
+        # empty WITH schema — keeps every partition schema-carrying so
+        # the reduce side never concats from nothing
+        return tuple([tbl] * num_partitions)
+    acc = np.zeros(n, dtype=np.uint64)
+    for c in key_cols:
+        col = [(crc(x.encode()) if isinstance(x, str)
+                else crc(str(x).encode()))
+               for x in tbl[c].to_pylist()]
+        acc = (acc * np.uint64(31) +
+               np.asarray(col, dtype=np.uint64)) & np.uint64(_MASK64)
+    part = (((acc * np.uint64(_FIB)) & np.uint64(_MASK64))
+            >> np.uint64(40)) % np.uint64(num_partitions)
+    part = part.astype(np.int64)
+    order = np.argsort(part, kind="stable")
+    sorted_tbl = tbl.take(pa.array(order))
+    bounds = np.searchsorted(part[order], np.arange(num_partitions + 1))
+    out = []
+    for j in range(num_partitions):
+        lo, hi = int(bounds[j]), int(bounds[j + 1])
+        out.append(sorted_tbl.slice(lo, hi - lo))
+    return tuple(out)
+
+
+def _map_side(block, key_cols, num_partitions, combine):
+    t = combine(block) if combine is not None else block
+    return _split_by_key(t, key_cols, num_partitions)
+
+
+def _reduce_side(finalize, *parts):
+    t = pa.concat_tables(parts, promote_options="default")
+    return finalize(t) if finalize is not None else t
+
+
+def hash_aggregate(ds, key_cols: Sequence[str],
+                   combine: Optional[Callable[[pa.Table], pa.Table]],
+                   finalize: Optional[Callable[[pa.Table], pa.Table]],
+                   *, num_partitions: int = 16):
+    """Exact per-key aggregation via the raw-task hash exchange.
+
+    ``combine`` runs once per input block (partial aggregate — MUST
+    keep the key columns); ``finalize`` runs once per hash partition
+    over the concatenated partials (final aggregate).  Either may be
+    None (identity).  Returns a Dataset of the finalize outputs.
+    """
+    import ray
+    import ray.data as rd
+
+    block_refs = ds.to_arrow_refs()
+    if not block_refs:
+        # zero-block input: derive the output schema from the fns on an
+        # empty batch so downstream operators keep working
+        schema = ds.schema()
+        empty = pa.table({n: pa.array([], t)
+                          for n, t in zip(schema.names, schema.types)})
+        t = combine(empty) if combine is not None else empty
+        t = finalize(t) if finalize is not None else t
+        return rd.from_arrow(t)
+    split = ray.remote(num_returns=num_partitions)(_map_side) \
+        if num_partitions > 1 else ray.remote(_map_side)
+    reduce = ray.remote(_reduce_side)
+    part_refs = [split.remote(r, tuple(key_cols), num_partitions, combine)
+                 for r in block_refs]
+    if num_partitions == 1:
+        # num_returns=1 tasks return the 1-tuple itself; unwrap remotely
+        unwrap = ray.remote(lambda t: t[0])
+        cols = [tuple(unwrap.remote(r) for r in part_refs)]
+    else:
+        cols = list(zip(*part_refs))
+    out_refs = [reduce.remote(finalize, *cols[j])
+                for j in range(num_partitions)]
+    return rd.from_arrow_refs(out_refs)

@@ -93,8 +93,11 @@ SELECT s, o FROM ({DOC_TRIPLES_SQL}) WHERE p = '<{DC_LANGUAGE}>'
 
 def _sort_spo_limit(sf_dir: str):
     """Term-order sort (SPO) + LIMIT (exec.rs:826-941; both engines sort
-    the canonical NT byte strings, ASCII → identical collation)."""
-    return doc_triples(sf_dir).sort(["s", "p", "o"]).limit(100)
+    the canonical NT byte strings, ASCII → identical collation).
+    Top-k push-down: blocks keep a local top-100 before the exchange."""
+    from ..util import topk
+
+    return topk(doc_triples(sf_dir), ["s", "p", "o"], 100)
 
 
 SORT_SPO_SQL = f"SELECT s, p, o FROM ({DOC_TRIPLES_SQL}) ORDER BY s, p, o LIMIT 100"

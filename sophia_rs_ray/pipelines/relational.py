@@ -308,25 +308,30 @@ GROUP BY p_brand
 # ---------------------------------------------------------------------------
 
 def top_orders_by_revenue(sf_dir: str, k: int = 10):
-    """ORDER BY + LIMIT top-k (exec.rs:826-941): grouped revenue →
-    global sort (desc) → limit."""
-    from ray.data.aggregate import Sum
-
+    """ORDER BY + LIMIT top-k (exec.rs:826-941): grouped revenue via
+    the raw-task hash exchange → per-block local top-k → tiny sort."""
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_extendedprice", "l_discount"])
 
-    def partial(b: pa.Table) -> pa.Table:
+    from ..functions.exchange import hash_aggregate
+    from ..util import topk
+
+    def combine(b: pa.Table) -> pa.Table:
         rev = pc.multiply(b["l_extendedprice"],
                           pc.subtract(pa.scalar(1.0), b["l_discount"]))
         t = pa.table({"l_orderkey": b["l_orderkey"], "rev": rev})
-        return t.group_by("l_orderkey").aggregate([("rev", "sum")])
+        return (t.group_by("l_orderkey").aggregate([("rev", "sum")])
+                .rename_columns(["l_orderkey", "rev"]))
 
-    agg = (li.map_batches(partial, batch_format="pyarrow")
-           .groupby("l_orderkey").aggregate(Sum("rev_sum", alias_name="revenue")))
-    agg = agg.map_batches(lambda b: _round_col(b, "revenue", 2),
-                          batch_format="pyarrow")
-    return agg.sort([("revenue"), ("l_orderkey")],
-                    descending=[True, False]).limit(k)
+    def finalize(t: pa.Table) -> pa.Table:
+        g = (t.group_by("l_orderkey").aggregate([("rev", "sum")])
+             .rename_columns(["l_orderkey", "revenue"]))
+        return _round_col(g, "revenue", 2)
+
+    agg = hash_aggregate(li, ["l_orderkey"], combine, finalize,
+                         num_partitions=16)
+    return topk(agg, ["revenue", "l_orderkey"], k,
+                descending=[True, False])
 
 
 TOP_ORDERS_SQL = """

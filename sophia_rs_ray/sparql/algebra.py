@@ -251,6 +251,37 @@ def _scan(triples_ds, pattern, graph_var: Optional[str] = None
     return triples_ds.map_batches(body, batch_format="pyarrow")
 
 
+def _eval_order_by(node: "OrderBy", child, *, limit: Optional[int]):
+    """Sort bindings on order-preserving encoded keys; with ``limit``,
+    each block is pruned to its local top-``limit`` first."""
+    keys = list(node.keys)
+
+    def add_keys(b: pa.Table) -> pa.Table:
+        cols = {c: b[c].to_pylist() for c in b.column_names}
+        for i, (e, _asc) in enumerate(keys):
+            kb = order_key_batch(e, cols, b.num_rows)
+            b = b.append_column(f"__o{i}",
+                                pa.array([k.hex() for k in kb], pa.string()))
+        return b
+
+    sort_cols = [f"__o{i}" for i in range(len(keys))]
+    desc = [not asc for (_e, asc) in keys]
+    keyed = child.map_batches(add_keys, batch_format="pyarrow")
+    if limit is not None:
+        order = [(c, "descending" if d else "ascending")
+                 for c, d in zip(sort_cols, desc)]
+
+        def local(b: pa.Table) -> pa.Table:
+            if b.num_rows <= limit:
+                return b
+            return b.sort_by(order).slice(0, limit)
+
+        keyed = keyed.map_batches(local, batch_format="pyarrow")
+    out = keyed.sort(sort_cols, descending=desc)
+    return out.map_batches(lambda b: b.drop_columns(sort_cols),
+                           batch_format="pyarrow")
+
+
 def _cross_or_join(a, b, *, how: str = "inner", num_partitions: int = 8):
     """Hash join on shared vars; no shared vars → small-side cross
     product (only sensible when one side is tiny, e.g. a VALUES row)."""
@@ -417,26 +448,20 @@ def evaluate(node: Node, triples_ds, *, num_partitions: int = 8,
         return _distinct(ev(node.child), num_partitions)
 
     if isinstance(node, OrderBy):
-        child = ev(node.child)
-        keys = list(node.keys)
-
-        def add_keys(b: pa.Table) -> pa.Table:
-            cols = {c: b[c].to_pylist() for c in b.column_names}
-            for i, (e, _asc) in enumerate(keys):
-                kb = order_key_batch(e, cols, b.num_rows)
-                b = b.append_column(f"__o{i}",
-                                    pa.array([k.hex() for k in kb], pa.string()))
-            return b
-
-        sort_cols = [f"__o{i}" for i in range(len(keys))]
-        desc = [not asc for (_e, asc) in keys]
-        out = (child.map_batches(add_keys, batch_format="pyarrow")
-               .sort(sort_cols, descending=desc))
-        return out.map_batches(lambda b: b.drop_columns(sort_cols),
-                               batch_format="pyarrow")
+        return _eval_order_by(node, ev(node.child), limit=None)
 
     if isinstance(node, Slice):
-        child = ev(node.child)
+        # top-k push-down: ORDER BY + LIMIT keeps a per-block local
+        # top-k before the sort exchange (exec.rs sorts everything; at
+        # scale only k×blocks rows need to move)
+        if node.limit is not None and isinstance(node.child, OrderBy):
+            inner = ev(node.child.child)
+            k = node.offset + node.limit
+            child = _eval_order_by(node.child, inner, limit=k)
+            if node.offset == 0:
+                return child.limit(node.limit)
+        else:
+            child = ev(node.child)
         if node.offset == 0:
             return child if node.limit is None else child.limit(node.limit)
         # OFFSET: driver-side skip of a small sorted prefix

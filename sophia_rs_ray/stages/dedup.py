@@ -42,29 +42,55 @@ def split_spo_key(batch: pa.Table, key: str = "spo_key",
     return pa.table(data)
 
 
-def dedup_triples(ds, carry_min: tuple = ("url",), with_count: bool = False):
+def dedup_triples(ds, carry_min: tuple = ("url",), with_count: bool = False,
+                  num_partitions: int = 16):
     """Dataset of (s,p,o[,url,...]) NT-text rows → distinct triples.
 
-    The one wide op of the core pipeline: groupby on the composed key.
-    Per-batch prededup runs first so the shuffle moves each distinct
-    triple from each block once (hub-entity triples would otherwise be
-    shipped once per *page*).
+    The one wide op of the core pipeline, run on the raw-task
+    hash-exchange (functions/exchange.py — measured ~5× cheaper than the
+    sort-based groupby at bench scale): per-block combiner dedup, then
+    one exact per-partition dedup.  The combiner means a hub triple is
+    shipped once per *block*, not once per page.
     """
-    from ray.data.aggregate import Count, Min
+    from ..functions.exchange import hash_aggregate
 
-    ds = ds.map_batches(add_spo_key, batch_format="pyarrow")
-    ds = ds.map_batches(prededup_batch, batch_format="pyarrow")
-    aggs = [Min(c, alias_name=c) for c in carry_min]
-    if with_count:
-        aggs.append(Count(alias_name="n_dups"))
-    if not aggs:
-        aggs = [Count(alias_name="n_dups")]
-    out = ds.groupby("spo_key").aggregate(*aggs)
     keep_extra = list(carry_min) + (["n_dups"] if with_count else [])
+    carry = list(carry_min)
 
-    def finish(b: pa.Table) -> pa.Table:
-        t = split_spo_key(b)
-        names = ["s", "p", "o"] + [c for c in keep_extra if c in t.column_names]
-        return t.select(names)
+    def combine(b: pa.Table) -> pa.Table:
+        b = add_spo_key(b)
+        cols = {"spo_key": b["spo_key"]}
+        for c in carry:
+            cols[c] = b[c]
+        if with_count:
+            cols["n_dups"] = pa.array([1] * b.num_rows, pa.int64())
+        t = pa.table(cols)
+        aggs = [(c, "min") for c in carry]
+        if with_count:
+            aggs.append(("n_dups", "sum"))
+        if not aggs:
+            aggs = [([], "count_all")]
+        g = t.group_by("spo_key").aggregate(aggs)
+        names = ["spo_key"] + carry + (["n_dups"] if with_count else [])
+        return g.rename_columns(names[:g.num_columns]) \
+            if g.num_columns == len(names) else g.select(["spo_key"])
 
-    return out.map_batches(finish, batch_format="pyarrow")
+    def finalize(t: pa.Table) -> pa.Table:
+        aggs = [(c, "min") for c in carry]
+        if with_count:
+            aggs.append(("n_dups", "sum"))
+        if not aggs:
+            aggs = [([], "count_all")]
+        g = t.group_by("spo_key").aggregate(aggs)
+        names = ["spo_key"] + carry + (["n_dups"] if with_count else [])
+        if g.num_columns == len(names):
+            g = g.rename_columns(names)
+        else:
+            g = g.select(["spo_key"])
+        out = split_spo_key(g)
+        keep = ["s", "p", "o"] + [c for c in keep_extra
+                                  if c in out.column_names]
+        return out.select(keep)
+
+    return hash_aggregate(ds, ["spo_key"], combine, finalize,
+                          num_partitions=num_partitions)

@@ -36,6 +36,27 @@ def safe_join(left, right, join_type: str, num_partitions: int, *,
         left_suffix=left_suffix, right_suffix=right_suffix)
 
 
+def topk(ds, keys, k: int, descending=False):
+    """ORDER BY … LIMIT k without a full global sort: each block keeps
+    its local top-k (vectorized Arrow sort+slice), then only the
+    ≤ k×blocks survivors go through the global sort — the exchange
+    moves O(k·blocks) rows instead of the whole dataset."""
+    import pyarrow as pa
+
+    if isinstance(descending, bool):
+        descending = [descending] * len(keys)
+    order = [(c, "descending" if d else "ascending")
+             for c, d in zip(keys, descending)]
+
+    def local(b: pa.Table) -> pa.Table:
+        if b.num_rows <= k:
+            return b
+        return b.sort_by(order).slice(0, k)
+
+    pruned = ds.map_batches(local, batch_format="pyarrow")
+    return pruned.sort(list(keys), descending=descending).limit(k)
+
+
 def round_away(x, digits: int):
     """Round half away from zero — matches DuckDB's ``round()`` so Ray
     results hash-compare equal to the SQL oracle (numpy/pyarrow default
