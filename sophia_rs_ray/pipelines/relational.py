@@ -184,17 +184,21 @@ def orders_per_segment(sf_dir: str):
     """Left-outer join (SPARQL OPTIONAL): per-customer order counts
     (0 when absent) aggregated per market segment. Both sides large →
     hash-partitioned Dataset.join."""
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
+
+    from ..functions.exchange import hash_aggregate
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     orders = _read(sf_dir, "orders", ["o_custkey"])
 
-    per_cust = (orders
-                .map_batches(lambda b: b.group_by("o_custkey")
-                             .aggregate([([], "count_all")]),
-                             batch_format="pyarrow")
-                .groupby("o_custkey")
-                .aggregate(Sum("count_all", alias_name="cnt")))
+    per_cust = hash_aggregate(
+        orders,
+        ["o_custkey"],
+        lambda b: b.group_by("o_custkey").aggregate([([], "count_all")])
+        .rename_columns(["o_custkey", "cnt"]),
+        lambda t: t.group_by("o_custkey").aggregate([("cnt", "sum")])
+        .rename_columns(["o_custkey", "cnt"]),
+        num_partitions=16)
     joined = safe_join(cust, per_cust, "left_outer", 8,
                        on=("c_custkey",), right_on=("o_custkey",))
 

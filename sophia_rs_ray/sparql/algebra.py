@@ -248,6 +248,13 @@ def _scan(triples_ds, pattern, graph_var: Optional[str] = None
             return pa.table({"__match": pa.array([1] * b.num_rows, pa.int64())})
         return pa.table(out)
 
+    if hasattr(triples_ds, "scan"):
+        # MaterializedGraph backend: constant positions prune to one
+        # shard + pushed-down parquet filter before the scan body runs
+        kw = dict(consts)
+        src = triples_ds.scan(**{k: v for k, v in kw.items()
+                                 if k in ("s", "p", "o")})
+        return src.map_batches(body, batch_format="pyarrow")
     return triples_ds.map_batches(body, batch_format="pyarrow")
 
 
@@ -585,7 +592,9 @@ def _path_plus(node: PathPlus, triples_ds, num_partitions: int):
     import ray.data as rd
 
     pred_txt = format_term(node.pred)
-    edges = triples_ds.map_batches(
+    src_ds = triples_ds.scan(p=pred_txt) \
+        if hasattr(triples_ds, "scan") else triples_ds  # pruned POS read
+    edges = src_ds.map_batches(
         lambda b: (lambda f: pa.table({
             "src": pc.cast(f["s"], pa.string()),
             "dst": pc.cast(f["o"], pa.string())}))(

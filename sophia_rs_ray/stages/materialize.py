@@ -423,3 +423,34 @@ def dataset_digest(out_dir: str, order: str = "spo") -> int:
     partition digests (isomorphism-style cheap equality between two
     layouts)."""
     return sum(r["digest"] for r in load_manifest(out_dir, order).values()) & _MASK64
+
+
+class MaterializedGraph:
+    """SPARQL-queryable handle over a ``materialize_graph`` directory —
+    the distributed `FastGraph` used as a query backend
+    (`sophia/examples/sparql.rs:13-52` loads into indexed storage; here
+    the indexes are the sorted shard layouts and every constant-bound
+    triple pattern prunes to one shard + pushed-down row-group filter).
+
+    Duck-types the Dataset surface the SPARQL compiler touches:
+    ``sparql.algebra._scan`` calls ``.scan(s=…, p=…, o=…)`` when
+    present; everything else falls back to the full SPO scan.
+    """
+
+    def __init__(self, out_dir: str, num_shards: int = 16):
+        self.out_dir = out_dir
+        self.num_shards = num_shards
+
+    def scan(self, s: Optional[str] = None, p: Optional[str] = None,
+             o: Optional[str] = None):
+        return triples_matching(self.out_dir, s=s, p=p, o=o,
+                                num_shards=self.num_shards)
+
+    def full(self):
+        return self.scan()
+
+    def map_batches(self, *args, **kwargs):
+        return self.full().map_batches(*args, **kwargs)
+
+    def schema(self):
+        return self.full().schema()

@@ -135,3 +135,39 @@ def test_resume_skips_done_and_repairs_missing(graph_dir, ray_session):
     tbl = _nt_table()
     assert got == sum(1 for x in tbl["p"].to_pylist()
                       if x == "<http://ex.org/p/2>")
+
+
+def test_sparql_over_materialized_graph(ray_session, tmp_path):
+    """select() over MaterializedGraph: constant-predicate BGPs prune
+    to the POS/SPO layouts and results equal the direct-Dataset run."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sophia_rs_ray.stages.materialize import (
+        MaterializedGraph, materialize_graph,
+    )
+    from sophia_rs_ray.sparql import select
+
+    rows = [
+        ("<urn:a>", "<urn:knows>", "<urn:b>"),
+        ("<urn:b>", "<urn:knows>", "<urn:c>"),
+        ("<urn:a>", "<urn:name>", '"A"'),
+        ("<urn:b>", "<urn:name>", '"B"'),
+    ]
+    nt = rd.from_arrow(pa.table({
+        "s": pa.array([r[0] for r in rows], pa.large_string()),
+        "p": pa.array([r[1] for r in rows], pa.large_string()),
+        "o": pa.array([r[2] for r in rows], pa.large_string())}))
+    out = str(tmp_path / "g")
+    materialize_graph(nt, out, num_shards=4)
+    mg = MaterializedGraph(out, num_shards=4)
+
+    q = "SELECT ?x ?n WHERE { ?x <urn:knows> ?y . ?x <urn:name> ?n }"
+    got = sorted((r["x"], r["n"]) for r in select(q, mg).take_all())
+    want = sorted((r["x"], r["n"]) for r in select(q, nt).take_all())
+    assert got == want == [("<urn:a>", '"A"'), ("<urn:b>", '"B"')]
+
+    # transitive path over the pruned POS read
+    q2 = "SELECT ?o WHERE { <urn:a> <urn:knows>+ ?o }"
+    got2 = sorted(r["o"] for r in select(q2, mg).take_all())
+    assert got2 == ["<urn:b>", "<urn:c>"]
