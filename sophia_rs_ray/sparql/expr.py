@@ -490,11 +490,35 @@ def _apply(fn: str, v: List[Term], row) -> Optional[Term]:  # noqa: C901
             return (KIND_LITERAL, str(x), XSD_DECIMAL, "", 0)
         return (KIND_LITERAL, str(x), XSD_INTEGER, "", 0)
 
+    if fn in ("MD5", "SHA1", "SHA256", "SHA384", "SHA512"):
+        # hash fns over simple literals (function.rs hash family)
+        s = _plainish(v[0])
+        if s is None:
+            return None
+        import hashlib
+
+        h = getattr(hashlib, fn.lower())(s.encode()).hexdigest()
+        return (KIND_LITERAL, h, XSD_STRING, "", 0)
+    if fn == "NOW":
+        # reference pins now() once per query (exec.rs:68-84); we pin
+        # it globally for run-to-run determinism (SURVEY §7.0) —
+        # override with set_pinned_now()
+        return (KIND_LITERAL, _PINNED_NOW[0], XSD + "dateTime", "", 0)
+
     # constructor casts (function.rs:434-440)
     if fn.startswith("XSD:"):
         target = XSD + fn[4:].lower()
         return _cast(v[0], target)
     raise ValueError(f"unknown SPARQL function {fn}")
+
+
+_PINNED_NOW = ["2000-01-01T00:00:00Z"]
+
+
+def set_pinned_now(iso: str):
+    """Pin the NOW() timestamp for subsequent query evaluations (the
+    distributed analogue of ExecState's per-query now, exec.rs:68-84)."""
+    _PINNED_NOW[0] = iso
 
 
 def _xpath_rep(rep: str) -> str:

@@ -323,6 +323,13 @@ class _Parser:
             if up in _AGG_FNS:
                 raise SparqlParseError(
                     f"aggregate {up} only allowed in SELECT/HAVING")
+        if k in ("PNAME", "IRIREF") and self.peek(1) == ("OP", "("):
+            # constructor cast xsd:integer(?x) etc. (function.rs:434-440)
+            t = self.parse_term()
+            if t[1].startswith(XSD):
+                return FnCall("XSD:" + t[1][len(XSD):].upper(),
+                              *self._expr_list())
+            raise SparqlParseError(f"unknown function <{t[1]}>")
         t = self.parse_term()
         if isinstance(t, Var):
             return t

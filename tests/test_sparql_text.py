@@ -311,3 +311,31 @@ def test_describe_const_and_var(graph):
          '"25"^^<http://www.w3.org/2001/XMLSchema#integer>'),
         (f"<{EX}bob>", f"<{FOAF}knows>", f"<{EX}carol>"),
     }
+
+
+def test_hash_fns_and_cast(graph):
+    import hashlib
+
+    out = select(f"""
+        PREFIX foaf: <{FOAF}>
+        PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        SELECT ?h ?d WHERE {{
+            <{EX}alice> foaf:name ?n .
+            BIND (MD5(?n) AS ?h)
+            BIND (xsd:double(<{EX}alice> = <{EX}alice>) AS ?d)
+        }}
+    """, graph)
+    r = out.take_all()[0]
+    assert r["h"] == f'"{hashlib.md5(b"Alice").hexdigest()}"'
+    assert r["d"] == '"1.0E0"^^<http://www.w3.org/2001/XMLSchema#double>' \
+        or r["d"].startswith('"1')
+
+
+def test_now_pinned(graph):
+    out = select(f"""
+        PREFIX foaf: <{FOAF}>
+        SELECT ?t WHERE {{ <{EX}alice> foaf:name ?n . BIND (NOW() AS ?t) }}
+    """, graph)
+    r = out.take_all()[0]
+    assert r["t"] == ('"2000-01-01T00:00:00Z"'
+                      '^^<http://www.w3.org/2001/XMLSchema#dateTime>')
