@@ -604,16 +604,39 @@ def _path_plus(node: PathPlus, triples_ds, num_partitions: int):
     seeds = {format_term(s) for s in node.seeds}
     reached: set = set()
     frontier = set(seeds)
-    for _ in range(node.max_rounds):
-        if not frontier:
-            break
-        fr = rd.from_arrow(pa.table({"src": pa.array(sorted(frontier),
-                                                     pa.string())}))
-        step = safe_join(fr, edges, "inner", num_partitions,
-                         on=("src",))
-        nxt = {r["dst"] for r in step.select_columns(["dst"]).take_all()}
-        frontier = nxt - reached - seeds
-        reached |= nxt
+    n_edges = edges.count()
+    if n_edges <= _PATH_LOCAL_EDGE_LIMIT:
+        # adaptive: per-predicate edge sets are usually tiny relative
+        # to the corpus — a driver-side BFS beats paying the per-round
+        # join+shuffle fixed cost max_rounds times.  Large edge sets
+        # fall through to the distributed frontier loop.
+        adj: Dict[str, List[str]] = {}
+        for b in edges.iter_batches(batch_format="pyarrow"):
+            for a, d in zip(b["src"].to_pylist(), b["dst"].to_pylist()):
+                adj.setdefault(a, []).append(d)
+        for _ in range(node.max_rounds):
+            if not frontier:
+                break
+            nxt = {d for a in frontier for d in adj.get(a, ())}
+            frontier = nxt - reached - seeds
+            reached |= nxt
+    else:
+        for _ in range(node.max_rounds):
+            if not frontier:
+                break
+            fr = rd.from_arrow(pa.table({"src": pa.array(sorted(frontier),
+                                                         pa.string())}))
+            step = safe_join(fr, edges, "inner", num_partitions,
+                             on=("src",))
+            nxt = {r["dst"]
+                   for r in step.select_columns(["dst"]).take_all()}
+            frontier = nxt - reached - seeds
+            reached |= nxt
     rows = sorted(reached)
     tbl = pa.table({node.o_var: pa.array(rows, pa.string())})
     return rd.from_arrow(tbl)
+
+
+#: edge-count threshold below which pred+/pred* closure runs as a
+#: driver-side BFS over the (already pred-pruned) edge list
+_PATH_LOCAL_EDGE_LIMIT = 2_000_000
