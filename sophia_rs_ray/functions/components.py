@@ -73,6 +73,7 @@ def connected_components(
     dst: str = "dst",
     num_partitions: int = 16,
     max_rounds: int = 50,
+    local_edge_limit: int = 2_000_000,
 ):
     """edges Dataset (undirected; self-loops welcome) → Dataset
     ``(node, component)`` where component = min node id in the component.
@@ -95,6 +96,20 @@ def connected_components(
     # re-reads them, and an unbroken lazy lineage would re-execute the
     # whole upstream per round while stacking shuffle operators
     edges = edges_ds.map_batches(sym, batch_format="pyarrow").materialize()
+
+    if edges.count() <= local_edge_limit:
+        # adaptive: below the threshold a driver-side union-find beats
+        # paying the per-round join+groupby fixed cost diameter times
+        pairs = []
+        for b in edges.iter_batches(batch_format="pyarrow"):
+            pairs.extend(zip(b["node"].to_pylist(), b["nbr"].to_pylist()))
+        comp = union_find(pairs)
+        import ray.data as rd
+
+        items = sorted(comp.items())
+        return rd.from_arrow(pa.table({
+            "node": pa.array([k for k, _ in items], pa.string()),
+            "component": pa.array([v for _, v in items], pa.string())}))
     # labels(n) = min neighbour id (incl. self via symmetrized self-pair)
     labels = edges.groupby("node").aggregate(
         Min("nbr", alias_name="label")).materialize()

@@ -27,7 +27,8 @@ from urllib.parse import quote
 from ..ntriples import parse_term_text
 from ..terms import (
     KIND_BNODE, KIND_IRI, KIND_LITERAL, KIND_TRIPLE, KIND_VARIABLE,
-    RDF_LANGSTRING, XSD, XSD_BOOLEAN, XSD_DATETIME, XSD_DECIMAL,
+    RDF_DIRLANGSTRING, RDF_LANGSTRING, XSD, XSD_BOOLEAN, XSD_DATETIME,
+    XSD_DECIMAL,
     XSD_DOUBLE, XSD_FLOAT, XSD_INTEGER, XSD_STRING, Term, format_term,
     sort_key,
 )
@@ -347,10 +348,23 @@ def _apply(fn: str, v: List[Term], row) -> Optional[Term]:  # noqa: C901
         if v[0][0] != KIND_LITERAL:
             return None
         return (KIND_LITERAL, v[0][3].lower(), XSD_STRING, "", 0)
+    if fn == "LANGDIR":
+        # RDF 1.2 (function.rs:60): tag plus "--ltr"/"--rtl" when a
+        # base direction is set
+        if v[0][0] != KIND_LITERAL:
+            return None
+        sfx = {0: "", 1: "--ltr", 2: "--rtl"}[v[0][4]]
+        return (KIND_LITERAL, v[0][3].lower() + sfx, XSD_STRING, "", 0)
+    if fn in ("HASLANG", "HASLANGDIR"):
+        if v[0][0] != KIND_LITERAL:
+            return None
+        return _mk_bool(bool(v[0][3]) if fn == "HASLANG"
+                        else bool(v[0][4]))
     if fn == "DATATYPE":
         if v[0][0] != KIND_LITERAL:
             return None
-        dt = v[0][2] if not v[0][3] else RDF_LANGSTRING
+        dt = v[0][2] if not v[0][3] else \
+            (RDF_DIRLANGSTRING if v[0][4] else RDF_LANGSTRING)
         return (KIND_IRI, dt, "", "", 0)
     if fn == "IRI" or fn == "URI":
         if v[0][0] == KIND_IRI:
@@ -368,6 +382,17 @@ def _apply(fn: str, v: List[Term], row) -> Optional[Term]:  # noqa: C901
             return None
         lt = _plainish(v[1])
         return None if not lt else (KIND_LITERAL, s, RDF_LANGSTRING, lt, 0)
+    if fn == "STRLANGDIR":
+        # (lex, tag, "ltr"|"rtl") → directional language literal
+        # (function.rs:349)
+        s = _plainish(v[0])
+        if s is None or v[0][3]:
+            return None
+        lt, d = _plainish(v[1]), _plainish(v[2])
+        if not lt or d not in ("ltr", "rtl"):
+            return None
+        return (KIND_LITERAL, s, RDF_DIRLANGSTRING, lt,
+                1 if d == "ltr" else 2)
     if fn in ("ISIRI", "ISURI"):
         return _mk_bool(v[0][0] == KIND_IRI)
     if fn == "ISBLANK":

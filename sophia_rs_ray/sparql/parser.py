@@ -118,6 +118,7 @@ _BUILTINS = {
     "CEIL", "FLOOR", "ROUND", "COALESCE", "IF", "YEAR", "MONTH", "DAY",
     "HOURS", "MINUTES", "SECONDS", "TIMEZONE", "TZ", "MD5", "SHA1",
     "SHA256", "SHA384", "SHA512", "SUBJECT", "PREDICATE", "OBJECT",
+    "LANGDIR", "HASLANG", "HASLANGDIR", "STRLANGDIR",
     "TRIPLE", "BNODE", "UUID", "STRUUID", "NOW",
 }
 

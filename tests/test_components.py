@@ -36,3 +36,23 @@ def test_connected_components_distributed(ray_session):
     got = {r["node"]: r["component"]
            for r in connected_components(ds, num_partitions=4).take_all()}
     assert got == union_find(EDGES)
+
+
+def test_connected_components_distributed_loop(ray_session):
+    """local_edge_limit=0 forces the join+groupby fixpoint rounds (the
+    at-scale path that the small-input union-find shortcut skips)."""
+    import ray.data as rd
+
+    from sophia_rs_ray.functions.components import (
+        connected_components,
+        union_find,
+    )
+
+    ds = rd.from_arrow(pa.table({
+        "src": [a for a, _ in EDGES],
+        "dst": [b for _, b in EDGES],
+    }))
+    got = {r["node"]: r["component"]
+           for r in connected_components(
+               ds, num_partitions=4, local_edge_limit=0).take_all()}
+    assert got == union_find(EDGES)

@@ -339,3 +339,31 @@ def test_now_pinned(graph):
     r = out.take_all()[0]
     assert r["t"] == ('"2000-01-01T00:00:00Z"'
                       '^^<http://www.w3.org/2001/XMLSchema#dateTime>')
+
+
+def test_dir_lang_functions(ray_session):
+    import ray.data as rd
+
+    nt = rd.from_arrow(pa.table({
+        "s": pa.array(["<urn:a>"], pa.large_string()),
+        "p": pa.array(["<urn:p>"], pa.large_string()),
+        "o": pa.array(['"shalom"@he--rtl'], pa.large_string())}))
+    out = select("""
+        SELECT ?ld ?h ?dt WHERE {
+            ?s <urn:p> ?o .
+            BIND (LANGDIR(?o) AS ?ld)
+            BIND (HASLANGDIR(?o) AS ?h)
+            BIND (DATATYPE(?o) AS ?dt)
+        }
+    """, nt)
+    r = out.take_all()[0]
+    assert r["ld"] == '"he--rtl"'
+    assert r["h"] == '"true"^^<http://www.w3.org/2001/XMLSchema#boolean>'
+    assert r["dt"] == \
+        "<http://www.w3.org/1999/02/22-rdf-syntax-ns#dirLangString>"
+    out2 = select("""
+        SELECT ?x WHERE {
+            ?s <urn:p> ?o . BIND (STRLANGDIR("hi", "en", "ltr") AS ?x)
+        }
+    """, nt)
+    assert out2.take_all()[0]["x"] == '"hi"@en--ltr'
