@@ -163,9 +163,11 @@ class Exists:
 
 @dataclass
 class InlineData:
-    """VALUES ?v { t1 t2 … } — inline binding table (single variable)."""
-    var: str
-    rows: Sequence[Term]
+    """VALUES — inline binding table.  Single-var form: ``var`` +
+    ``rows`` of Terms.  Multi-var form: ``var`` is a list of names and
+    ``rows`` holds same-length tuples (None = UNDEF)."""
+    var: U[str, Sequence[str]]
+    rows: Sequence
 
 
 @dataclass
@@ -364,9 +366,15 @@ def evaluate(node: Node, triples_ds, *, num_partitions: int = 8,
     if isinstance(node, InlineData):
         import ray.data as rd
 
-        return rd.from_arrow(pa.table({
-            node.var: pa.array([format_term(t) for t in node.rows],
-                               pa.string())}))
+        if isinstance(node.var, str):
+            return rd.from_arrow(pa.table({
+                node.var: pa.array([format_term(t) for t in node.rows],
+                                   pa.string())}))
+        cols = {v: pa.array(
+            [None if row[i] is None else format_term(row[i])
+             for row in node.rows], pa.string())
+            for i, v in enumerate(node.var)}
+        return rd.from_arrow(pa.table(cols))
 
     if isinstance(node, BGP):
         parts = [_scan(triples_ds, p, graph_var=graph_var)

@@ -9,10 +9,12 @@ Supported grammar (the operator inventory of SURVEY §2.5-2.9):
   PREFIX/BASE prologue; SELECT [DISTINCT] (?v | (expr AS ?v) | *) /
   ASK / CONSTRUCT {template}; group graph patterns with triple blocks
   (`;` `,` `a`, collections NOT supported), OPTIONAL, UNION, MINUS,
-  FILTER (incl. [NOT] EXISTS), BIND, VALUES (single-var); GROUP BY +
+  FILTER (incl. [NOT] EXISTS), BIND, VALUES (single- and multi-var
+  with UNDEF), GRAPH; GROUP BY +
   COUNT/SUM/AVG/MIN/MAX/SAMPLE/GROUP_CONCAT([DISTINCT] …; SEPARATOR=…),
-  HAVING, ORDER BY ASC/DESC, LIMIT/OFFSET; property paths `iri+` /
-  `iri*` with a constant subject (the seeded PathPlus/PathStar shape).
+  HAVING, ORDER BY ASC/DESC, LIMIT/OFFSET; property paths: ^ / |
+  compositions rewritten to joins/unions, `iri+`/`iri*` with a constant
+  subject (the seeded PathPlus/PathStar shape); DESCRIBE.
 
 Restrictions are explicit errors, not silent misparses.
 """
@@ -409,24 +411,53 @@ class _Parser:
         return node
 
     def _parse_values(self) -> Node:
-        """VALUES ?v { term… } — inline data, single variable form."""
+        """VALUES ?v { t… } and VALUES (?a ?b) { (t t) … (UNDEF t) }."""
+        from .algebra import InlineData
+
         self.eat_kw("VALUES")
+        if self.at_op("("):
+            self.next()
+            names: List[str] = []
+            while self.peek()[0] == "VAR":
+                names.append(self.next()[1][1:])
+            self.eat_op(")")
+            if not names:
+                raise SparqlParseError("empty VALUES variable list")
+            self.eat_op("{")
+            rows = []
+            while not self.at_op("}"):
+                self.eat_op("(")
+                row = []
+                for _ in names:
+                    if self.at_kw("UNDEF"):
+                        self.next()
+                        row.append(None)
+                        continue
+                    t = self.parse_term()
+                    if isinstance(t, Var):
+                        raise SparqlParseError(
+                            "VALUES data must be constant terms")
+                    row.append(t)
+                self.eat_op(")")
+                rows.append(tuple(row))
+            self.eat_op("}")
+            return InlineData(names, rows)
         k, v = self.next()
         if k != "VAR":
-            raise SparqlParseError("only single-variable VALUES supported")
+            raise SparqlParseError("VALUES needs ?var or (?var …)")
         var = v[1:]
         self.eat_op("{")
-        rows: List[Term] = []
+        single: List[Term] = []
         while not self.at_op("}"):
             if self.at_kw("UNDEF"):
-                raise SparqlParseError("UNDEF not supported in VALUES")
+                raise SparqlParseError(
+                    "UNDEF needs the (?var …) VALUES form")
             t = self.parse_term()
             if isinstance(t, Var):
                 raise SparqlParseError("VALUES data must be constant terms")
-            rows.append(t)
+            single.append(t)
         self.eat_op("}")
-        from .algebra import InlineData
-        return InlineData(var, rows)
+        return InlineData(var, single)
 
     # --- property paths (sparql/src/exec.rs:274-482) ------------------------
     # AST: ("term", Term|Var) | ("inv", p) | ("seq", [p…]) | ("alt", [p…])

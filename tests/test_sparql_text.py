@@ -367,3 +367,18 @@ def test_dir_lang_functions(ray_session):
         }
     """, nt)
     assert out2.take_all()[0]["x"] == '"hi"@en--ltr'
+
+
+def test_values_multi_var(graph):
+    out = select(f"""
+        PREFIX foaf: <{FOAF}>
+        SELECT ?x ?expect ?n WHERE {{
+            VALUES (?x ?expect) {{
+                (<{EX}alice> "Alice") (<{EX}bob> "Bob")
+            }}
+            ?x foaf:name ?n .
+        }} ORDER BY ?x
+    """, graph)
+    got = [(r["x"], r["expect"], r["n"]) for r in out.take_all()]
+    assert got == [(f"<{EX}alice>", '"Alice"', '"Alice"'),
+                   (f"<{EX}bob>", '"Bob"', '"Bob"')]
