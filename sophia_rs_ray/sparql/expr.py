@@ -515,6 +515,21 @@ def _apply(fn: str, v: List[Term], row) -> Optional[Term]:  # noqa: C901
             return (KIND_LITERAL, str(x), XSD_DECIMAL, "", 0)
         return (KIND_LITERAL, str(x), XSD_INTEGER, "", 0)
 
+    if fn == "BNODE":
+        # deterministic analogue of function.rs:109 (fresh bnode per
+        # solution): label = hash of the binding row (+ the optional
+        # string arg, giving BNODE("x") the same node for the same
+        # label within one solution) — SURVEY §7.0 determinism
+        import zlib as _z
+
+        seed = "\x1f".join(f"{k}={row.get(k)}" for k in sorted(row)) \
+            if isinstance(row, dict) else ""
+        tag = _plainish(v[0]) if v else ""
+        if v and tag is None:
+            return None
+        h = _z.crc32(f"{tag}\x1e{seed}".encode())
+        return (KIND_BNODE, f"b{h:08x}" + (f"_{tag}" if tag else ""),
+                "", "", 0)
     if fn in ("MD5", "SHA1", "SHA256", "SHA384", "SHA512"):
         # hash fns over simple literals (function.rs hash family)
         s = _plainish(v[0])

@@ -60,7 +60,7 @@ _TOKEN_RE = re.compile(r"""
   | (?P<PNAME>[A-Za-z_][A-Za-z0-9_.-]*?:[A-Za-z0-9_][A-Za-z0-9_.%-]*
              |[A-Za-z_][A-Za-z0-9_.-]*?:)
   | (?P<KEYWORD>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<OP>\^\^|&&|\|\||!=|<=|>=|[{}()\[\];,.=<>!+*/|^-])
+  | (?P<OP>\^\^|&&|\|\||!=|<=|>=|[{}()\[\];,.=<>!+*/|^?-])
 """, re.VERBOSE)
 
 
@@ -85,20 +85,24 @@ def _tokenize(text: str) -> List[Tuple[str, str]]:
 # ---------------------------------------------------------------------------
 
 class SelectQuery:
-    def __init__(self, node: Node, vars_: List[str]):
+    def __init__(self, node: Node, vars_: List[str], dataset=((), ())):
         self.node = node
         self.vars = vars_
+        self.dataset = dataset  # (FROM iris, FROM NAMED iris), NT text
 
 
 class AskQuery:
-    def __init__(self, node: Node):
+    def __init__(self, node: Node, dataset=((), ())):
         self.node = node
+        self.dataset = dataset
 
 
 class ConstructQuery:
-    def __init__(self, node: Node, template: List[Tuple]):
+    def __init__(self, node: Node, template: List[Tuple],
+                 dataset=((), ())):
         self.node = node
         self.template = template  # triples of Term | Var
+        self.dataset = dataset
 
 
 class DescribeQuery:
@@ -494,6 +498,9 @@ class _Parser:
         elif self.at_op("*"):
             self.next()
             p = ("star", p)
+        elif self.at_op("?"):
+            self.next()
+            p = ("opt", p)
         return ("inv", p) if inv else p
 
     def _fresh_var(self) -> Var:
@@ -527,6 +534,19 @@ class _Parser:
             for sub in path[1][1:]:
                 node = Union(node, self._compile_path(s, sub, o))
             return node
+        if kind == "opt":
+            # p? = zero-or-one: one-hop UNION the zero-length binding
+            # (endpoint copy); needs one constant endpoint
+            from .algebra import InlineData
+            one = self._compile_path(s, path[1], o)
+            if isinstance(s, Var) == isinstance(o, Var):
+                raise SparqlParseError(
+                    "zero-or-one path needs exactly one constant endpoint")
+            if isinstance(o, Var):
+                zero = InlineData(o.name, [s])
+            else:
+                zero = InlineData(s.name, [o])
+            return Union(one, zero)
         if kind in ("plus", "star"):
             sub = path[1]
             if sub[0] != "term" or isinstance(sub[1], Var) \
@@ -694,6 +714,23 @@ class _Parser:
             node = Slice(node, offset=offset or 0, limit=limit)
         return node, proj
 
+    def _parse_dataset_clause(self):
+        """FROM <g> / FROM NAMED <g> → (default-graph iris, named iris)
+        as NT text (exec dataset selection, SPARQL 1.1 §13.2)."""
+        froms: List[str] = []
+        named: List[str] = []
+        while self.at_kw("FROM"):
+            self.next()
+            target = froms
+            if self.at_kw("NAMED"):
+                self.next()
+                target = named
+            t = self.parse_term()
+            if isinstance(t, Var) or t[0] != KIND_IRI:
+                raise SparqlParseError("FROM needs an IRI")
+            target.append(f"<{t[1]}>")
+        return tuple(froms), tuple(named)
+
     # --- top level ----------------------------------------------------------
     def parse(self):
         self.parse_prologue()
@@ -707,6 +744,7 @@ class _Parser:
                 self.next()  # REDUCED may drop dups — Distinct is allowed
                 distinct = True
             star, items = self._parse_select_items()
+            dataset = self._parse_dataset_clause()
             if self.at_kw("WHERE"):
                 self.next()
             node = self.parse_group()
@@ -726,14 +764,15 @@ class _Parser:
             node, proj = self._parse_modifiers(
                 node, group_vars, aggs, items, star, distinct)
             self._expect_eof()
-            return SelectQuery(node, proj)
+            return SelectQuery(node, proj, dataset)
         if self.at_kw("ASK"):
             self.next()
+            dataset = self._parse_dataset_clause()
             if self.at_kw("WHERE"):
                 self.next()
             node = self.parse_group()
             self._expect_eof()
-            return AskQuery(Slice(node, limit=1))
+            return AskQuery(Slice(node, limit=1), dataset)
         if self.at_kw("CONSTRUCT"):
             self.next()
             self.eat_op("{")
@@ -746,13 +785,14 @@ class _Parser:
                 if self.at_op("."):
                     self.next()
             self.eat_op("}")
+            dataset = self._parse_dataset_clause()
             if self.at_kw("WHERE"):
                 self.next()
             node = self.parse_group()
             node, _ = self._parse_modifiers(node, [], [],
                                             [], True, False)
             self._expect_eof()
-            return ConstructQuery(node, template)
+            return ConstructQuery(node, template, dataset)
         if self.at_kw("DESCRIBE"):
             self.next()
             terms: List = []

@@ -30,10 +30,41 @@ from .parser import (
 __all__ = ["select", "ask", "construct", "describe", "sparql"]
 
 
+def _apply_dataset_clause(triples_ds, dataset):
+    """FROM / FROM NAMED (SPARQL 1.1 §13.2) over a quad table: rows of
+    the FROM graphs merge into the query's default graph (g → ''),
+    rows of the FROM NAMED graphs stay named, everything else drops."""
+    froms, named = dataset
+    if not froms and not named:
+        return triples_ds
+    f_set, n_set = set(froms), set(named)
+
+    def body(b: pa.Table) -> pa.Table:
+        if "g" not in b.column_names:
+            raise ValueError("FROM/FROM NAMED need a quad table (g column)")
+        import pyarrow.compute as pc
+
+        g = b["g"]
+        keep_default = pc.is_in(g, value_set=pa.array(sorted(f_set),
+                                                      g.type)) \
+            if f_set else pa.array([False] * b.num_rows)
+        keep_named = pc.is_in(g, value_set=pa.array(sorted(n_set),
+                                                    g.type)) \
+            if n_set else pa.array([False] * b.num_rows)
+        dflt = b.filter(keep_default)
+        gi = dflt.column_names.index("g")
+        dflt = dflt.set_column(gi, "g", pa.array([""] * dflt.num_rows,
+                                                 g.type))
+        return pa.concat_tables([dflt, b.filter(keep_named)])
+
+    return triples_ds.map_batches(body, batch_format="pyarrow")
+
+
 def select(text: str, triples_ds, *, num_partitions: int = 8):
     q = parse_query(text)
     if not isinstance(q, SelectQuery):
         raise SparqlParseError("not a SELECT query")
+    triples_ds = _apply_dataset_clause(triples_ds, q.dataset)
     out = evaluate(q.node, triples_ds, num_partitions=num_partitions)
 
     def drop_internal(b: pa.Table) -> pa.Table:
@@ -48,6 +79,7 @@ def ask(text: str, triples_ds, *, num_partitions: int = 8) -> bool:
     q = parse_query(text)
     if not isinstance(q, AskQuery):
         raise SparqlParseError("not an ASK query")
+    triples_ds = _apply_dataset_clause(triples_ds, q.dataset)
     out = evaluate(q.node, triples_ds, num_partitions=num_partitions)
     return len(out.take(1)) > 0
 
@@ -56,6 +88,7 @@ def construct(text: str, triples_ds, *, num_partitions: int = 8):
     q = parse_query(text)
     if not isinstance(q, ConstructQuery):
         raise SparqlParseError("not a CONSTRUCT query")
+    triples_ds = _apply_dataset_clause(triples_ds, q.dataset)
     bindings = evaluate(q.node, triples_ds, num_partitions=num_partitions)
 
     # pre-format the template: each position is either a fixed NT string,
@@ -136,13 +169,12 @@ def describe(text: str, triples_ds, *, num_partitions: int = 8):
 
 def sparql(text: str, triples_ds, *, num_partitions: int = 8):
     """Dispatch on query form (SELECT → Dataset, ASK → bool,
-    CONSTRUCT → triples Dataset)."""
+    CONSTRUCT/DESCRIBE → triples Dataset)."""
     q = parse_query(text)
     if isinstance(q, SelectQuery):
-        return evaluate(q.node, triples_ds, num_partitions=num_partitions)
+        return select(text, triples_ds, num_partitions=num_partitions)
     if isinstance(q, AskQuery):
-        out = evaluate(q.node, triples_ds, num_partitions=num_partitions)
-        return len(out.take(1)) > 0
+        return ask(text, triples_ds, num_partitions=num_partitions)
     if isinstance(q, DescribeQuery):
         return describe(text, triples_ds, num_partitions=num_partitions)
     return construct(text, triples_ds, num_partitions=num_partitions)

@@ -382,3 +382,37 @@ def test_values_multi_var(graph):
     got = [(r["x"], r["expect"], r["n"]) for r in out.take_all()]
     assert got == [(f"<{EX}alice>", '"Alice"', '"Alice"'),
                    (f"<{EX}bob>", '"Bob"', '"Bob"')]
+
+
+def test_bnode_fn(graph):
+    out = select(f"""
+        PREFIX foaf: <{FOAF}>
+        SELECT ?b WHERE {{ ?x foaf:name ?n . BIND (BNODE() AS ?b) }}
+    """, graph)
+    got = [r["b"] for r in out.take_all()]
+    assert len(got) == 3 and len(set(got)) == 3
+    assert all(b.startswith("_:") for b in got)
+
+
+def test_path_zero_or_one(graph):
+    out = select(f"""
+        PREFIX foaf: <{FOAF}>
+        SELECT ?o WHERE {{ <{EX}alice> foaf:knows? ?o }}
+    """, graph)
+    got = sorted(r["o"] for r in out.take_all())
+    assert got == [f"<{EX}alice>", f"<{EX}bob>"]
+
+
+def test_from_named_clauses(quadset):
+    # FROM <urn:g1> merges g1 into the query default graph
+    out = select("""
+        SELECT ?o FROM <urn:g1> WHERE { ?s <urn:p> ?o }
+    """, quadset)
+    assert [r["o"] for r in out.take_all()] == ['"one"']
+    # FROM NAMED restricts which graphs GRAPH ?g ranges over
+    out2 = select("""
+        SELECT ?g ?o FROM NAMED <urn:g2>
+        WHERE { GRAPH ?g { ?s <urn:p> ?o } }
+    """, quadset)
+    got = [(r["g"], r["o"]) for r in out2.take_all()]
+    assert got == [("<urn:g2>", '"two"')]
