@@ -134,9 +134,12 @@ class Group:
 
 @dataclass
 class PathPlus:
-    """?s pred+ ?o seeded from fixed subjects (bounded frontier loop)."""
+    """pred+ closure.  ``seeds`` = fixed subject Terms (bounded frontier
+    loop, emits o_var only); ``seeds=None`` = variable subject — the
+    full closure, emitting (s_var, o_var) pairs (driver BFS per source
+    over the pred-pruned edge list; errors above the local edge limit)."""
     pred: Term
-    seeds: Sequence[Term]
+    seeds: Optional[Sequence[Term]]
     s_var: str = "s"
     o_var: str = "o"
     max_rounds: int = 32
@@ -609,10 +612,39 @@ def _path_plus(node: PathPlus, triples_ds, num_partitions: int):
             b.filter(pc.equal(b["p"], pa.scalar(pred_txt)))),
         batch_format="pyarrow").materialize()
 
+    n_edges = edges.count()
+    if node.seeds is None:
+        # variable subject: full closure as (s_var, o_var) pairs
+        if n_edges > _PATH_LOCAL_EDGE_LIMIT:
+            raise ValueError(
+                f"?s {format_term(node.pred)}+ ?o closure over {n_edges} "
+                "edges exceeds the local limit — bind the subject or "
+                "materialize the closure explicitly")
+        adj: Dict[str, List[str]] = {}
+        for b in edges.iter_batches(batch_format="pyarrow"):
+            for a, d in zip(b["src"].to_pylist(), b["dst"].to_pylist()):
+                adj.setdefault(a, []).append(d)
+        s_out: List[str] = []
+        o_out: List[str] = []
+        for start in sorted(adj):
+            seen: set = set()
+            frontier = set(adj[start])
+            for _ in range(node.max_rounds):
+                if not frontier:
+                    break
+                seen |= frontier
+                frontier = {d for a in frontier
+                            for d in adj.get(a, ())} - seen
+            for d in sorted(seen):
+                s_out.append(start)
+                o_out.append(d)
+        return rd.from_arrow(pa.table({
+            node.s_var: pa.array(s_out, pa.string()),
+            node.o_var: pa.array(o_out, pa.string())}))
+
     seeds = {format_term(s) for s in node.seeds}
     reached: set = set()
     frontier = set(seeds)
-    n_edges = edges.count()
     if n_edges <= _PATH_LOCAL_EDGE_LIMIT:
         # adaptive: per-predicate edge sets are usually tiny relative
         # to the corpus — a driver-side BFS beats paying the per-round

@@ -553,32 +553,44 @@ class _Parser:
                     or sub[1][0] != KIND_IRI:
                 raise SparqlParseError(
                     f"{kind} path needs a plain IRI predicate")
-            if isinstance(s, Var):
-                raise SparqlParseError(
-                    "transitive paths need a constant subject "
-                    "(seeded PathPlus/PathStar shape)")
             if not isinstance(o, Var):
                 raise SparqlParseError("path object must be a variable")
+            if isinstance(s, Var):
+                if kind == "star":
+                    raise SparqlParseError(
+                        "pred* needs a constant subject (zero-length "
+                        "solutions with a free subject are unbounded)")
+                return PathPlus(sub[1], None, s_var=s.name, o_var=o.name)
             if kind == "star":
                 return PathStar(sub[1], [s], o_var=o.name)
             return PathPlus(sub[1], [s], s_var="__ps", o_var=o.name)
         raise SparqlParseError(f"unsupported path {path!r}")
 
-    def _parse_triples_block(self) -> Node:
-        """Triple patterns with `;`/`,` sugar and property paths in the
-        predicate position."""
-        nodes: List[Node] = []
-        patterns: List[Tuple] = []
-        s = self.parse_term()
+    def _parse_vt(self, patterns, nodes):
+        """Term | Var | bnode property list ``[ p o ; … ]`` — the list
+        introduces a fresh non-distinguished variable (joins like any
+        var, dropped from SELECT * like path chain vars)."""
+        if self.at_op("["):
+            self.next()
+            v = self._fresh_var()
+            if not self.at_op("]"):
+                self._parse_po_list(v, patterns, nodes)
+            self.eat_op("]")
+            return v
+        return self.parse_term()
+
+    def _parse_po_list(self, s, patterns, nodes):
+        """predicate-object list with `;`/`,` sugar and property paths
+        in the predicate position."""
         while True:
             if self.peek()[0] == "VAR":
                 p = ("term", self.parse_term())
             else:
                 p = self._parse_path()
-            objs = [self.parse_term()]
+            objs = [self._parse_vt(patterns, nodes)]
             while self.at_op(","):
                 self.next()
-                objs.append(self.parse_term())
+                objs.append(self._parse_vt(patterns, nodes))
             for o in objs:
                 if p[0] == "term":
                     patterns.append((s, p[1], o))
@@ -588,10 +600,20 @@ class _Parser:
                 self.next()
                 while self.at_op(";"):
                     self.next()
-                if self.at_op(".") or self.at_op("}"):
+                if self.at_op(".") or self.at_op("}") or self.at_op("]"):
                     break  # trailing ';'
                 continue
             break
+
+    def _parse_triples_block(self) -> Node:
+        nodes: List[Node] = []
+        patterns: List[Tuple] = []
+        was_list = self.at_op("[")
+        s = self._parse_vt(patterns, nodes)
+        if was_list and (self.at_op(".") or self.at_op("}")):
+            pass  # "[ … ] ." — subject list with no outer po-list
+        else:
+            self._parse_po_list(s, patterns, nodes)
         node: Optional[Node] = BGP(patterns) if patterns else None
         for pnode in nodes:
             node = pnode if node is None else Join(node, pnode)

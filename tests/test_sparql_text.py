@@ -416,3 +416,46 @@ def test_from_named_clauses(quadset):
     """, quadset)
     got = [(r["g"], r["o"]) for r in out2.take_all()]
     assert got == [("<urn:g2>", '"two"')]
+
+
+def test_path_plus_var_subject(graph):
+    out = select(f"""
+        PREFIX foaf: <{FOAF}>
+        SELECT ?x ?o WHERE {{ ?x foaf:knows+ ?o }} ORDER BY ?x ?o
+    """, graph)
+    got = [(r["x"], r["o"]) for r in out.take_all()]
+    assert got == [
+        (f"<{EX}alice>", f"<{EX}bob>"),
+        (f"<{EX}alice>", f"<{EX}carol>"),
+        (f"<{EX}bob>", f"<{EX}carol>"),
+    ]
+
+
+def test_path_plus_var_subject_joined(graph):
+    # closure pairs must join with other patterns on the subject var
+    out = select(f"""
+        PREFIX foaf: <{FOAF}>
+        SELECT ?n ?o WHERE {{ ?x foaf:knows+ ?o . ?x foaf:name ?n }}
+        ORDER BY ?n ?o
+    """, graph)
+    got = [(r["n"], r["o"]) for r in out.take_all()]
+    assert got == [
+        ('"Alice"', f"<{EX}bob>"),
+        ('"Alice"', f"<{EX}carol>"),
+        ('"Bob"', f"<{EX}carol>"),
+    ]
+
+
+def test_bnode_property_list(graph):
+    # object-position list: who knows someone named Carol
+    out = select(f"""
+        PREFIX foaf: <{FOAF}>
+        SELECT ?x WHERE {{ ?x foaf:knows [ foaf:name "Carol" ] }}
+    """, graph)
+    assert [r["x"] for r in out.take_all()] == [f"<{EX}bob>"]
+    # subject-position list
+    out2 = select(f"""
+        PREFIX foaf: <{FOAF}>
+        SELECT ?n WHERE {{ [ foaf:age 25 ; foaf:name ?n ] }}
+    """, graph)
+    assert [r["n"] for r in out2.take_all()] == ['"Bob"']
