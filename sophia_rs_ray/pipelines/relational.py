@@ -54,37 +54,55 @@ def tpch_q1(sf_dir: str):
                 "l_extendedprice", "l_discount"])
 
     def partial(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        # quantize every measure to integers BEFORE summing: integer
+        # sums are order-independent, so distributed partials match the
+        # oracle bit-exactly (floats summed in a different order can
+        # land on the other side of a rounding boundary)
+        def q(col, scale):
+            return np.floor(col.to_numpy(zero_copy_only=False) * scale
+                            + 0.5).astype("int64")
+
         disc_price = pc.multiply(b["l_extendedprice"],
                                  pc.subtract(pa.scalar(1.0), b["l_discount"]))
-        b = b.append_column("disc_price", disc_price)
-        b = b.append_column("one", pa.array([1] * len(b), pa.int64()))
-        return b.group_by(["l_returnflag", "l_linestatus"]).aggregate(
-            [("l_quantity", "sum"), ("l_extendedprice", "sum"),
-             ("disc_price", "sum"), ("l_discount", "sum"), ("one", "sum")])
+        t = pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "l_linestatus": b["l_linestatus"],
+            "q_qty": pa.array(q(b["l_quantity"], 1e2), pa.int64()),
+            "q_price": pa.array(q(b["l_extendedprice"], 1e2), pa.int64()),
+            "q_disc_price": pa.array(
+                q(disc_price.combine_chunks() if hasattr(disc_price, "combine_chunks") else disc_price, 1e6), pa.int64()),
+            "q_disc": pa.array(q(b["l_discount"], 1e6), pa.int64()),
+            "one": pa.array([1] * len(b), pa.int64()),
+        })
+        return t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("q_qty", "sum"), ("q_price", "sum"),
+             ("q_disc_price", "sum"), ("q_disc", "sum"), ("one", "sum")])
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("l_quantity_sum", alias_name="sum_qty"),
-        Sum("l_extendedprice_sum", alias_name="sum_base_price"),
-        Sum("disc_price_sum", alias_name="sum_disc_price"),
-        Sum("l_discount_sum", alias_name="_sum_disc"),
+        Sum("q_qty_sum", alias_name="_qq"),
+        Sum("q_price_sum", alias_name="_qp"),
+        Sum("q_disc_price_sum", alias_name="_qdp"),
+        Sum("q_disc_sum", alias_name="_qd"),
         Sum("one_sum", alias_name="count_order"),
     )
 
     def finalize(b: pa.Table) -> pa.Table:
         n = b["count_order"].to_numpy(zero_copy_only=False).astype("float64")
-        sq = b["sum_qty"].to_numpy(zero_copy_only=False)
-        sd = b["_sum_disc"].to_numpy(zero_copy_only=False)
+        qq = b["_qq"].to_numpy(zero_copy_only=False)
+        qd = b["_qd"].to_numpy(zero_copy_only=False)
         return pa.table({
             "l_returnflag": b["l_returnflag"],
             "l_linestatus": b["l_linestatus"],
-            "sum_qty": pa.array(round_away(sq, 2)),
+            "sum_qty": pa.array(round_away(qq / 1e2, 2)),
             "sum_base_price": pa.array(round_away(
-                b["sum_base_price"].to_numpy(zero_copy_only=False), 2)),
+                b["_qp"].to_numpy(zero_copy_only=False) / 1e2, 2)),
             "sum_disc_price": pa.array(round_away(
-                b["sum_disc_price"].to_numpy(zero_copy_only=False), 2)),
-            "avg_qty": pa.array(round_away(sq / n, 4)),
-            "avg_disc": pa.array(round_away(sd / n, 4)),
+                b["_qdp"].to_numpy(zero_copy_only=False) / 1e6, 2)),
+            "avg_qty": pa.array(round_away(qq / 1e2 / n, 4)),
+            "avg_disc": pa.array(round_away(qd / 1e6 / n, 4)),
             "count_order": b["count_order"],
         })
 
@@ -93,11 +111,17 @@ def tpch_q1(sf_dir: str):
 
 TPCH_Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(sum(l_quantity) / count(*), 4) AS avg_qty,
-       round(sum(l_discount) / count(*), 4) AS avg_disc,
+       round(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) / 100.0, 2)
+           AS sum_qty,
+       round(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0,
+             2) AS sum_base_price,
+       round(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000
+                            + 0.5) AS BIGINT)) / 1000000.0, 2)
+           AS sum_disc_price,
+       round(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) / 100.0
+             / count(*), 4) AS avg_qty,
+       round(sum(CAST(floor(l_discount * 1000000 + 0.5) AS BIGINT))
+             / 1000000.0 / count(*), 4) AS avg_disc,
        count(*) AS count_order
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
@@ -111,22 +135,29 @@ def events_hourly(sf_dir: str):
     ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
 
     def partial(b: pa.Table) -> pa.Table:
+        import numpy as np
+
         hour = pc.divide(pc.cast(b["ts"], pa.int64()),
                          pa.scalar(3_600_000_000))
+        # quantize to 1e-6 BEFORE summing: integer sums are
+        # order-independent, so the distributed sum is bit-identical to
+        # the oracle's regardless of partial-aggregation order
+        q = np.floor(b["value"].to_numpy(zero_copy_only=False) * 1e6
+                     + 0.5).astype("int64")
         b = pa.table({"event_type": b["event_type"], "hour": hour,
-                      "value": b["value"],
+                      "q": pa.array(q, pa.int64()),
                       "one": pa.array([1] * len(b), pa.int64())})
         return b.group_by(["event_type", "hour"]).aggregate(
-            [("value", "sum"), ("one", "sum")])
+            [("q", "sum"), ("one", "sum")])
 
     agg = ds.map_batches(partial, batch_format="pyarrow") \
         .groupby(["event_type", "hour"]).aggregate(
-            Sum("value_sum", alias_name="_sv"),
+            Sum("q_sum", alias_name="_sq"),
             Sum("one_sum", alias_name="n"))
 
     def finalize(b: pa.Table) -> pa.Table:
         avg = round_away(
-            b["_sv"].to_numpy(zero_copy_only=False)
+            b["_sq"].to_numpy(zero_copy_only=False) / 1e6
             / b["n"].to_numpy(zero_copy_only=False).astype("float64"), 4)
         return pa.table({"event_type": b["event_type"], "hour": b["hour"],
                          "n": b["n"], "avg_value": pa.array(avg)})
@@ -136,7 +167,9 @@ def events_hourly(sf_dir: str):
 
 EVENTS_HOURLY_SQL = """
 SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
-       count(*) AS n, round(sum("value") / count(*), 4) AS avg_value
+       count(*) AS n,
+       round(sum(CAST(floor("value" * 1000000 + 0.5) AS BIGINT))
+             / 1000000.0 / count(*), 4) AS avg_value
 FROM events GROUP BY 1, 2
 """
 
@@ -216,7 +249,8 @@ def orders_per_segment(sf_dir: str):
 
 
 ORDERS_PER_SEGMENT_SQL = """
-SELECT c_mktsegment, count(*) AS n_customers, sum(cnt) AS n_orders
+SELECT c_mktsegment, count(*) AS n_customers,
+       CAST(sum(cnt) AS BIGINT) AS n_orders
 FROM (SELECT c_custkey, c_mktsegment,
              coalesce((SELECT count(*) FROM orders o
                        WHERE o.o_custkey = c.c_custkey), 0) AS cnt
@@ -321,15 +355,24 @@ def top_orders_by_revenue(sf_dir: str, k: int = 10):
     from ..util import topk
 
     def combine(b: pa.Table) -> pa.Table:
+        import numpy as np
+
         rev = pc.multiply(b["l_extendedprice"],
                           pc.subtract(pa.scalar(1.0), b["l_discount"]))
-        t = pa.table({"l_orderkey": b["l_orderkey"], "rev": rev})
+        # integer-quantized revenue: order-independent sums (see tpch_q1)
+        q = np.floor(rev.to_numpy(zero_copy_only=False) * 1e6
+                     + 0.5).astype("int64")
+        t = pa.table({"l_orderkey": b["l_orderkey"],
+                      "rev": pa.array(q, pa.int64())})
         return (t.group_by("l_orderkey").aggregate([("rev", "sum")])
                 .rename_columns(["l_orderkey", "rev"]))
 
     def finalize(t: pa.Table) -> pa.Table:
         g = (t.group_by("l_orderkey").aggregate([("rev", "sum")])
              .rename_columns(["l_orderkey", "revenue"]))
+        i = g.column_names.index("revenue")
+        g = g.set_column(i, "revenue", pa.array(
+            g["revenue"].to_numpy(zero_copy_only=False) / 1e6))
         return _round_col(g, "revenue", 2)
 
     agg = hash_aggregate(li, ["l_orderkey"], combine, finalize,
@@ -339,7 +382,9 @@ def top_orders_by_revenue(sf_dir: str, k: int = 10):
 
 
 TOP_ORDERS_SQL = """
-SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT l_orderkey,
+       round(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000
+                            + 0.5) AS BIGINT)) / 1000000.0, 2) AS revenue
 FROM lineitem GROUP BY l_orderkey
 ORDER BY revenue DESC, l_orderkey LIMIT 10
 """
