@@ -196,7 +196,55 @@ Node = U[BGP, Join, LeftJoin, Union, Minus, Filter, Extend, Project,
 # ---------------------------------------------------------------------------
 
 def _vars_of(ds) -> List[str]:
-    return [c for c in ds.schema().names if not c.startswith("__")]
+    sch = ds.schema()
+    if sch is None:  # Ray loses the schema of empty datasets
+        return []
+    return [c for c in sch.names if not c.startswith("__")]
+
+
+def _cols_of(ds) -> List[str]:
+    sch = ds.schema()
+    return [] if sch is None else list(sch.names)
+
+
+def _empty_bindings(names: Sequence[str]):
+    """1-block empty bindings table — every bindings column is a string
+    (module invariant), so a lost schema is reconstructible by name."""
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table(
+        {c: pa.array([], pa.string()) for c in names}))
+
+
+def _join_bindings(a, b, how: str, num_partitions: int, on):
+    """Join two bindings Datasets with the empty-side handling Ray's
+    join operator lacks: a side with NO non-empty blocks never
+    broadcasts its schema, so the hash-shuffle aggregators crash
+    (see util.safe_join).  Bindings semantics let us short-circuit:
+    inner/empty ⇒ empty; left_outer with empty right ⇒ left + null
+    columns.  Inputs and output are materialized (joins are barriers;
+    this also serializes nested joins, avoiding actor-pool deadlock)."""
+    a, b = a.materialize(), b.materialize()
+    an, bn = _cols_of(a), _cols_of(b)
+    union = list(dict.fromkeys(an + bn))
+    if a.count() == 0:
+        return _empty_bindings(union)
+    if b.count() == 0:
+        if how == "left_outer":
+            extra = [c for c in bn if c not in an]
+
+            def pad(t: pa.Table) -> pa.Table:
+                for c in extra:
+                    t = t.append_column(
+                        c, pa.array([None] * t.num_rows, pa.string()))
+                return t
+
+            return a.map_batches(pad, batch_format="pyarrow")
+        return _empty_bindings(union)
+    out = safe_join(a, b, how, num_partitions, on=tuple(on)).materialize()
+    if out.schema() is None:  # empty join result lost its schema
+        return _empty_bindings(union)
+    return out
 
 
 def _norm_cols(b: pa.Table) -> pa.Table:
@@ -299,7 +347,7 @@ def _cross_or_join(a, b, *, how: str = "inner", num_partitions: int = 8):
     product (only sensible when one side is tiny, e.g. a VALUES row)."""
     shared = sorted(set(_vars_of(a)) & set(_vars_of(b)))
     if shared:
-        return safe_join(a, b, how, num_partitions, on=tuple(shared))
+        return _join_bindings(a, b, how, num_partitions, tuple(shared))
     bt = pa.Table.from_pylist(b.take_all())
 
     def cross(batch: pa.Table) -> pa.Table:
@@ -396,8 +444,8 @@ def evaluate(node: Node, triples_ds, *, num_partitions: int = 8,
         shared = sorted(set(_vars_of(left)) & set(_vars_of(right)))
         if not shared:
             raise ValueError("LeftJoin without shared variables")
-        return safe_join(left, right, "left_outer", num_partitions,
-                         on=tuple(shared))
+        return _join_bindings(left, right, "left_outer",
+                              num_partitions, tuple(shared))
 
     if isinstance(node, Union):
         left, right = ev(node.left), ev(node.right)
@@ -429,8 +477,8 @@ def evaluate(node: Node, triples_ds, *, num_partitions: int = 8,
             lambda b: b.append_column("__m", pa.array([1] * b.num_rows,
                                                       pa.int64())),
             batch_format="pyarrow")
-        joined = safe_join(left, marker, "left_outer", num_partitions,
-                           on=tuple(shared))
+        joined = _join_bindings(left, marker, "left_outer",
+                                num_partitions, tuple(shared))
         return joined.map_batches(
             lambda b: b.filter(pc.is_null(b["__m"])).drop_columns(["__m"]),
             batch_format="pyarrow")
@@ -540,8 +588,8 @@ def evaluate(node: Node, triples_ds, *, num_partitions: int = 8,
             lambda b: b.append_column("__m", pa.array([1] * b.num_rows,
                                                       pa.int64())),
             batch_format="pyarrow")
-        joined = safe_join(left, marker, "left_outer", num_partitions,
-                           on=tuple(shared))
+        joined = _join_bindings(left, marker, "left_outer",
+                                num_partitions, tuple(shared))
         pred = pc.is_null if node.negated else pc.is_valid
         return joined.map_batches(
             lambda b: b.filter(pred(b["__m"])).drop_columns(["__m"]),
@@ -666,8 +714,8 @@ def _path_plus(node: PathPlus, triples_ds, num_partitions: int):
                 break
             fr = rd.from_arrow(pa.table({"src": pa.array(sorted(frontier),
                                                          pa.string())}))
-            step = safe_join(fr, edges, "inner", num_partitions,
-                             on=("src",))
+            step = _join_bindings(fr, edges, "inner", num_partitions,
+                                  ("src",))
             nxt = {r["dst"]
                    for r in step.select_columns(["dst"]).take_all()}
             frontier = nxt - reached - seeds

@@ -25,9 +25,9 @@ import re
 from typing import Dict, List, Optional, Sequence, Tuple
 
 from ..terms import (
-    KIND_BNODE, KIND_IRI, KIND_LITERAL, KIND_VARIABLE, RDF_TYPE, XSD,
-    XSD_BOOLEAN, XSD_DECIMAL, XSD_DOUBLE, XSD_INTEGER, Term, format_term,
-    iri, langlit, literal,
+    KIND_BNODE, KIND_IRI, KIND_LITERAL, KIND_VARIABLE, RDF as RDF_NS,
+    RDF_TYPE, XSD, XSD_BOOLEAN, XSD_DECIMAL, XSD_DOUBLE, XSD_INTEGER,
+    Term, format_term, iri, langlit, literal,
 )
 from ..ntriples import unescape_string
 from .algebra import (
@@ -567,9 +567,11 @@ class _Parser:
         raise SparqlParseError(f"unsupported path {path!r}")
 
     def _parse_vt(self, patterns, nodes):
-        """Term | Var | bnode property list ``[ p o ; … ]`` — the list
-        introduces a fresh non-distinguished variable (joins like any
-        var, dropped from SELECT * like path chain vars)."""
+        """Term | Var | bnode property list ``[ p o ; … ]`` | RDF
+        collection ``( t… )`` — lists/collections introduce fresh
+        non-distinguished variables (join like any var, dropped from
+        SELECT * like path chain vars); a collection expands to its
+        rdf:first/rdf:rest chain, ``()`` is rdf:nil."""
         if self.at_op("["):
             self.next()
             v = self._fresh_var()
@@ -577,6 +579,25 @@ class _Parser:
                 self._parse_po_list(v, patterns, nodes)
             self.eat_op("]")
             return v
+        if self.at_op("("):
+            self.next()
+            items = []
+            while not self.at_op(")"):
+                items.append(self._parse_vt(patterns, nodes))
+            self.eat_op(")")
+            if not items:
+                return iri(RDF_NS + "nil")
+            first = iri(RDF_NS + "first")
+            rest = iri(RDF_NS + "rest")
+            head = self._fresh_var()
+            cur = head
+            for i, item in enumerate(items):
+                patterns.append((cur, first, item))
+                nxt = iri(RDF_NS + "nil") if i == len(items) - 1 \
+                    else self._fresh_var()
+                patterns.append((cur, rest, nxt))
+                cur = nxt
+            return head
         return self.parse_term()
 
     def _parse_po_list(self, s, patterns, nodes):

@@ -28,10 +28,21 @@ def squash_empty_blocks(ds, target_rows: int = 65536):
 def safe_join(left, right, join_type: str, num_partitions: int, *,
               on, right_on=None, left_suffix=None, right_suffix=None):
     """``Dataset.join`` with both sides squashed of empty blocks (see
-    ``squash_empty_blocks``).  Use this instead of raw ``.join`` —
-    the raw operator crashes when either side's first block is empty."""
-    return squash_empty_blocks(left).join(
-        squash_empty_blocks(right), join_type, num_partitions,
+    ``squash_empty_blocks``) and MATERIALIZED first.  Use this instead
+    of raw ``.join``:
+
+    - the raw operator crashes when either side's first block is empty;
+    - two join operators live in one streaming DAG (e.g. a chained BGP)
+      starve each other's hash-shuffle aggregator actor pools and
+      deadlock on small clusters — materializing the inputs executes
+      any upstream join to completion before this one spawns its pool,
+      so at most one all-to-all stage runs at a time (the join is a
+      barrier anyway; the extra cost is object-store residency, which
+      the shuffle pays regardless).
+    """
+    return squash_empty_blocks(left).materialize().join(
+        squash_empty_blocks(right).materialize(), join_type,
+        num_partitions,
         on=tuple(on), right_on=tuple(right_on) if right_on else None,
         left_suffix=left_suffix, right_suffix=right_suffix)
 

@@ -459,3 +459,25 @@ def test_bnode_property_list(graph):
         SELECT ?n WHERE {{ [ foaf:age 25 ; foaf:name ?n ] }}
     """, graph)
     assert [r["n"] for r in out2.take_all()] == ['"Bob"']
+
+
+def test_collection_pattern(ray_session):
+    import ray.data as rd
+
+    RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    rows = [
+        ("<urn:s>", "<urn:vals>", "_:l1"),
+        ("_:l1", f"<{RDF}first>", '"a"'),
+        ("_:l1", f"<{RDF}rest>", "_:l2"),
+        ("_:l2", f"<{RDF}first>", '"b"'),
+        ("_:l2", f"<{RDF}rest>", f"<{RDF}nil>"),
+    ]
+    nt = rd.from_arrow(pa.table({
+        "s": pa.array([r[0] for r in rows], pa.large_string()),
+        "p": pa.array([r[1] for r in rows], pa.large_string()),
+        "o": pa.array([r[2] for r in rows], pa.large_string())}))
+    out = select('SELECT ?x ?y WHERE { ?s <urn:vals> ( ?x ?y ) }', nt)
+    assert [(r["x"], r["y"]) for r in out.take_all()] == [('"a"', '"b"')]
+    # constant collection that is NOT in the graph matches nothing
+    out2 = select('SELECT ?s WHERE { ?s <urn:vals> ( "a" "z" ) }', nt)
+    assert out2.take_all() == []
