@@ -8,7 +8,8 @@ our equivalent compiles the same surface into the Dataset-DAG algebra of
 Supported grammar (the operator inventory of SURVEY §2.5-2.9):
   PREFIX/BASE prologue; SELECT [DISTINCT] (?v | (expr AS ?v) | *) /
   ASK / CONSTRUCT {template}; group graph patterns with triple blocks
-  (`;` `,` `a`, collections NOT supported), OPTIONAL, UNION, MINUS,
+  (`;` `,` `a`, `[ ]` bnode lists, `( )` collections), OPTIONAL,
+  UNION, MINUS,
   FILTER (incl. [NOT] EXISTS), BIND, VALUES (single- and multi-var
   with UNDEF), GRAPH; GROUP BY +
   COUNT/SUM/AVG/MIN/MAX/SAMPLE/GROUP_CONCAT([DISTINCT] …; SEPARATOR=…),
