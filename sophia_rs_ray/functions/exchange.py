@@ -32,25 +32,48 @@ _MASK64 = (1 << 64) - 1
 _FIB = 0x9E3779B97F4A7C15
 
 
+def _key_hash(tbl: pa.Table, key_cols: Sequence[str]):
+    """Vectorized content hash of the key columns → uint64 numpy array.
+
+    Fast path: polars ``hash_rows(seed=0)`` (xxhash-family, measured
+    deterministic across processes for a fixed polars version — fine
+    for partitioning, which only needs run-internal determinism plus
+    resume-safety on an unchanged environment).  Fallback: the original
+    per-row crc32 loop."""
+    import numpy as np
+
+    try:
+        import polars as pl
+
+        df = pl.from_arrow(tbl.select(list(key_cols)))
+        return df.hash_rows(seed=0).to_numpy().astype(np.uint64)
+    except Exception:
+        crc = zlib.crc32
+        acc = np.zeros(tbl.num_rows, dtype=np.uint64)
+        for c in key_cols:
+            col = [(crc(x.encode()) if isinstance(x, str)
+                    else crc(str(x).encode()))
+                   for x in tbl[c].to_pylist()]
+            acc = (acc * np.uint64(31) +
+                   np.asarray(col, dtype=np.uint64)) & np.uint64(_MASK64)
+        return acc
+
+
 def _split_by_key(tbl: pa.Table, key_cols: Sequence[str],
                   num_partitions: int):
     """One stable argsort + zero-copy slices (not a filter per
     partition, which is O(partitions × rows))."""
     import numpy as np
 
-    crc = zlib.crc32
     n = tbl.num_rows
     if n == 0:
         # empty WITH schema — keeps every partition schema-carrying so
         # the reduce side never concats from nothing
         return tuple([tbl] * num_partitions)
-    acc = np.zeros(n, dtype=np.uint64)
-    for c in key_cols:
-        col = [(crc(x.encode()) if isinstance(x, str)
-                else crc(str(x).encode()))
-               for x in tbl[c].to_pylist()]
-        acc = (acc * np.uint64(31) +
-               np.asarray(col, dtype=np.uint64)) & np.uint64(_MASK64)
+    if not key_cols:
+        acc = np.zeros(n, dtype=np.uint64)  # single implicit group
+    else:
+        acc = _key_hash(tbl, key_cols)
     part = (((acc * np.uint64(_FIB)) & np.uint64(_MASK64))
             >> np.uint64(40)) % np.uint64(num_partitions)
     part = part.astype(np.int64)
@@ -70,7 +93,16 @@ def _map_side(block, key_cols, num_partitions, combine):
 
 
 def _reduce_side(finalize, *parts):
-    t = pa.concat_tables(parts, promote_options="default")
+    # Ray can skip projections (select_columns) on zero-row blocks, so
+    # empty parts may carry a stale wider schema; concat-promoting them
+    # would resurrect phantom columns.  Rows define the schema: drop
+    # empty parts when any non-empty part exists, else keep the
+    # narrowest empty schema (the projected one).
+    nonempty = [p for p in parts if p.num_rows > 0]
+    if nonempty:
+        t = pa.concat_tables(nonempty, promote_options="default")
+    else:
+        t = min(parts, key=lambda p: p.num_columns)
     return finalize(t) if finalize is not None else t
 
 

@@ -31,6 +31,7 @@ via stages/materialize.triples_matching for bound leading terms).
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Tuple, Union as U
 
@@ -216,14 +217,40 @@ def _empty_bindings(names: Sequence[str]):
         {c: pa.array([], pa.string()) for c in names}))
 
 
+def _shared_has_nulls(ds, cols) -> bool:
+    """Any null (unbound) value in the given binding columns?  Cheap
+    block scan over a materialized Dataset (reads Arrow null counts)."""
+    if not cols:
+        return False
+
+    def cnt(b: pa.Table) -> pa.Table:
+        n = sum(b[c].null_count for c in cols if c in b.column_names)
+        return pa.table({"__n": pa.array([n], pa.int64())})
+
+    tot = ds.map_batches(cnt, batch_format="pyarrow").sum("__n")
+    return bool(tot)
+
+
 def _join_bindings(a, b, how: str, num_partitions: int, on):
-    """Join two bindings Datasets with the empty-side handling Ray's
-    join operator lacks: a side with NO non-empty blocks never
-    broadcasts its schema, so the hash-shuffle aggregators crash
-    (see util.safe_join).  Bindings semantics let us short-circuit:
-    inner/empty ⇒ empty; left_outer with empty right ⇒ left + null
-    columns.  Inputs and output are materialized (joins are barriers;
-    this also serializes nested joins, avoiding actor-pool deadlock)."""
+    """Join two bindings Datasets with SPARQL compatible-mapping
+    semantics and the empty-side handling Ray's join operator lacks (a
+    side with NO non-empty blocks never broadcasts its schema, so the
+    hash-shuffle aggregators crash — see util.safe_join).
+
+    SPARQL compatibility (exec.rs join semantics): a shared variable
+    that is UNBOUND (null) on one side is compatible with any binding
+    on the other side, and the merged row takes the bound value.  SQL
+    joins drop such rows.  Fast path: when neither side has nulls in
+    the shared columns (the overwhelmingly common case — nulls only
+    arise from UNION alignment, OPTIONAL padding, VALUES UNDEF and
+    errored BINDs), the plain hash join IS compatible-mapping join.
+    Otherwise dispatch to the bound-mask pair enumeration of
+    ``_compat_join_general``.
+
+    Bindings semantics let us short-circuit: inner/empty ⇒ empty;
+    left_outer with empty right ⇒ left + null columns.  Inputs and
+    output are materialized (joins are barriers; this also serializes
+    nested joins, avoiding actor-pool deadlock)."""
     a, b = a.materialize(), b.materialize()
     an, bn = _cols_of(a), _cols_of(b)
     union = list(dict.fromkeys(an + bn))
@@ -241,10 +268,237 @@ def _join_bindings(a, b, how: str, num_partitions: int, on):
 
             return a.map_batches(pad, batch_format="pyarrow")
         return _empty_bindings(union)
+    shared = list(on)
+    if _shared_has_nulls(a, shared) or _shared_has_nulls(b, shared):
+        return _compat_join_general(a, b, how, num_partitions, shared)
     out = safe_join(a, b, how, num_partitions, on=tuple(on)).materialize()
     if out.schema() is None:  # empty join result lost its schema
         return _empty_bindings(union)
     return out
+
+
+# ---------------------------------------------------------------------------
+# compatible-mapping join over partially-bound rows (mask enumeration)
+# ---------------------------------------------------------------------------
+
+def _bound_masks(ds, shared) -> List[Tuple[bool, ...]]:
+    """Distinct is-bound masks of the shared columns (tiny result: one
+    mask per upstream UNION/OPTIONAL branch in practice)."""
+    import numpy as np
+
+    def mb(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"m": pa.array([], pa.string())})
+        flags = np.stack(
+            [pc.is_valid(b[c]).to_numpy(zero_copy_only=False)
+             if c in b.column_names else np.zeros(b.num_rows, dtype=bool)
+             for c in shared], axis=1)
+        uniq = np.unique(flags, axis=0)
+        return pa.table({"m": pa.array(
+            ["".join("1" if x else "0" for x in row) for row in uniq])})
+
+    masks = {r["m"] for r in
+             ds.map_batches(mb, batch_format="pyarrow").take_all()}
+    return sorted(tuple(c == "1" for c in m) for m in masks)
+
+
+def _filter_mask(ds, shared, mask):
+    """Rows whose shared-column boundness equals ``mask``; drops the
+    all-null shared columns so pair joins never collide on names."""
+    drop = [c for c, bnd in zip(shared, mask) if not bnd]
+
+    def body(b: pa.Table) -> pa.Table:
+        cond = None
+        for c, bnd in zip(shared, mask):
+            if c in b.column_names:
+                m = pc.is_valid(b[c]) if bnd else pc.is_null(b[c])
+            else:
+                m = pa.array([not bnd] * b.num_rows, pa.bool_())
+            cond = m if cond is None else pc.and_(cond, m)
+        if cond is not None:
+            b = b.filter(cond)
+        return b.drop_columns([c for c in drop if c in b.column_names])
+
+    return ds.map_batches(body, batch_format="pyarrow")
+
+
+def _align_columns(ds, cols, keep=("__lid",)):
+    """Project/pad to exactly ``cols`` (missing → null string column);
+    ``keep`` columns pass through unchanged (preserving their type)."""
+    def body(b: pa.Table) -> pa.Table:
+        out = {}
+        for c in cols:
+            out[c] = pc.cast(b[c], pa.string()) if c in b.column_names \
+                else pa.array([None] * b.num_rows, pa.string())
+        for c in keep:
+            if c in b.column_names and c not in out:
+                out[c] = b[c]
+        return pa.table(out)
+
+    return ds.map_batches(body, batch_format="pyarrow")
+
+
+def _with_row_ids(mat_ds, col="__lid"):
+    """Append a globally-unique int64 row id (block offset + row index)
+    without leaving the cluster: per-block counts are fetched as tiny
+    objects, ids are added block-parallel."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    refs = mat_ds.to_arrow_refs()
+    if not refs:
+        return mat_ds
+
+    nrows = ray.get([_nrows_task.remote(r) for r in refs])
+    offs = np.concatenate([[0], np.cumsum(nrows)])
+    out = [_add_id_task.remote(r, int(o), col)
+           for r, o in zip(refs, offs)]
+    return rd.from_arrow_refs(out)
+
+
+import ray as _ray  # noqa: E402  (module-level task defs for _with_row_ids)
+
+
+@_ray.remote
+def _nrows_task(t: pa.Table) -> int:
+    return t.num_rows
+
+
+@_ray.remote
+def _add_id_task(t: pa.Table, off: int, col: str) -> pa.Table:
+    return t.append_column(
+        col, pa.array(range(off, off + t.num_rows), pa.int64()))
+
+
+_CROSS_SIDE_LIMIT = 100_000
+
+
+def _small_cross(a, b_mat):
+    """Cross product with a driver-pulled small right side (only used
+    for empty-key mask pairs, which arise from degenerate UNION
+    shapes; capped to keep the driver out of the data path)."""
+    if b_mat.count() > _CROSS_SIDE_LIMIT:
+        raise ValueError(
+            "compatible-mapping join degenerated to a cross product over "
+            f">{_CROSS_SIDE_LIMIT} rows — rewrite the query")
+    bt = _norm_cols(pa.Table.from_pylist(b_mat.take_all()))
+
+    def cross(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or bt.num_rows == 0:
+            cols = {c: pa.array([], pa.string())
+                    for c in list(batch.column_names) + list(bt.column_names)}
+            return pa.table(cols)
+        left = batch.take(pa.array([i for i in range(batch.num_rows)
+                                    for _ in range(bt.num_rows)]))
+        right = pa.concat_tables([bt] * batch.num_rows)
+        for name in right.column_names:
+            left = left.append_column(name, right[name])
+        return left
+
+    return a.map_batches(cross, batch_format="pyarrow")
+
+
+def _compat_join_general(a, b, how: str, num_partitions: int, shared,
+                         *, require_overlap: bool = False):
+    """Compatible-mapping join when shared columns contain unbound
+    (null) values: enumerate the distinct (left-mask, right-mask)
+    boundness pairs — each row belongs to exactly ONE mask, so each
+    compatible row pair is produced exactly once (bag semantics) — and
+    join every pair on the variables bound on BOTH sides, merging the
+    one-sided columns by union alignment.
+
+    ``how``: inner | left_outer | left_semi | left_anti.
+    ``require_overlap`` (MINUS semantics): a pair whose both-bound key
+    set is empty does not relate any rows."""
+    import ray.data as rd
+
+    an, bn = _cols_of(a), _cols_of(b)
+    union_cols = list(dict.fromkeys(an + bn))
+    lmasks = _bound_masks(a, shared)
+    rmasks = _bound_masks(b, shared)
+    semi = how in ("left_semi", "left_anti")
+    a_id = _with_row_ids(a).materialize()
+
+    pieces = []          # inner-match results (aligned), carrying __lid
+    for lm in lmasks:
+        la = _filter_mask(a_id, shared, lm).materialize()
+        if la.count() == 0:
+            continue
+        for rm in rmasks:
+            key = [c for c, lb, rb in zip(shared, lm, rm) if lb and rb]
+            if not key and require_overlap:
+                continue
+            rb_ds = _filter_mask(b, shared, rm).materialize()
+            if rb_ds.count() == 0:
+                continue
+            if not key:
+                if semi:
+                    # unconditional compatibility: every la row matches
+                    piece = la.select_columns(["__lid"])
+                    pieces.append(piece)
+                    continue
+                piece = _small_cross(la, rb_ds)
+            else:
+                piece = safe_join(la, rb_ds, "inner", num_partitions,
+                                  on=tuple(key)).materialize()
+                if piece.schema() is None:
+                    continue
+            pieces.append(piece.select_columns(["__lid"]) if semi
+                          else _align_columns(piece, union_cols))
+
+    if semi:
+        matched = pieces[0].union(*pieces[1:]) if len(pieces) > 1 else \
+            (pieces[0] if pieces else None)
+        anti = how == "left_anti"
+        if matched is None or matched.count() == 0:
+            return a if anti else _empty_bindings(an)
+        marker = _distinct_on(matched, ["__lid"], num_partitions)
+        marker = marker.map_batches(
+            lambda t: t.append_column(
+                "__m", pa.array([1] * t.num_rows, pa.int64())),
+            batch_format="pyarrow")
+        joined = safe_join(a_id, marker, "left_outer", num_partitions,
+                           on=("__lid",))
+        pred = pc.is_null if anti else pc.is_valid
+        return joined.map_batches(
+            lambda t: t.filter(pred(t["__m"]))
+            .drop_columns([c for c in ("__m", "__lid")
+                           if c in t.column_names]),
+            batch_format="pyarrow")
+
+    inner = pieces[0].union(*pieces[1:]) if len(pieces) > 1 else \
+        (pieces[0] if pieces else _empty_bindings(union_cols))
+    if how == "inner":
+        return inner.map_batches(
+            lambda t: t.drop_columns(
+                [c for c in ("__lid",) if c in t.column_names]),
+            batch_format="pyarrow")
+
+    # left_outer: add unmatched left rows padded with nulls
+    if not pieces:
+        return _align_columns(a, union_cols, keep=())
+    inner = inner.materialize()
+    if inner.count() == 0:
+        return _align_columns(a, union_cols, keep=())
+    matched = inner.select_columns(["__lid"])
+    marker = _distinct_on(matched, ["__lid"], num_partitions)
+    marker = marker.map_batches(
+        lambda t: t.append_column(
+            "__m", pa.array([1] * t.num_rows, pa.int64())),
+        batch_format="pyarrow")
+    la_all = safe_join(a_id, marker, "left_outer", num_partitions,
+                       on=("__lid",))
+    unmatched = la_all.map_batches(
+        lambda t: t.filter(pc.is_null(t["__m"]))
+        .drop_columns([c for c in ("__m",) if c in t.column_names]),
+        batch_format="pyarrow")
+    unmatched = _align_columns(unmatched, union_cols)
+    both = inner.union(unmatched)
+    return both.map_batches(
+        lambda t: t.drop_columns(
+            [c for c in ("__lid",) if c in t.column_names]),
+        batch_format="pyarrow")
 
 
 def _norm_cols(b: pa.Table) -> pa.Table:
@@ -371,24 +625,300 @@ def _expr_batch_eval(e: Expr, b: pa.Table) -> List[Optional[str]]:
     return eval_expr_batch(e, cols, b.num_rows)
 
 
+def _row_key_array(b: pa.Table, cols) -> pa.Array:
+    """Vectorized null-safe row key: per column ``coalesce(text, \\x00)``
+    joined with \\x1e — both separators are impossible in canonical NT
+    text (control chars are escaped), so the key is injective."""
+    parts = []
+    for c in cols:
+        col = pc.cast(b[c], pa.string()) if c in b.column_names else \
+            pa.nulls(b.num_rows, pa.string())
+        parts.append(pc.coalesce(col, pa.scalar("\x00")))
+    if len(parts) == 1:
+        return parts[0]
+    return pc.binary_join_element_wise(*parts, pa.scalar("\x1e"))
+
+
+def _first_per_key(b: pa.Table, keycol: str) -> pa.Table:
+    """Keep the first row per distinct key (vectorized np.unique)."""
+    import numpy as np
+
+    if b.num_rows == 0:
+        return b
+    k = b[keycol].to_numpy(zero_copy_only=False)
+    _, idx = np.unique(k, return_index=True)
+    idx.sort()
+    return b.take(pa.array(idx))
+
+
+def _distinct_on(ds, cols, num_partitions: int = 8):
+    """Exact distinct of a Dataset on ``cols`` via the two-stage hash
+    exchange (per-block combiner first — a hub key contributes at most
+    one row per block to the shuffle), replacing the measured-slow
+    Ray sort-groupby + per-row-Python path (VERDICT r1 item 3)."""
+    from ..functions.exchange import hash_aggregate
+
+    def combine(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b.append_column("__k", pa.array([], pa.string()))
+        b = b.append_column("__k", _row_key_array(b, cols))
+        return _first_per_key(b, "__k")
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return _first_per_key(t, "__k").drop_columns(["__k"])
+
+    return hash_aggregate(ds, ["__k"], combine, finalize,
+                          num_partitions=num_partitions)
+
+
 def _distinct(ds, num_partitions: int = 8):
-    """Exact distinct over all binding columns (null-safe: key is the
-    escaped row text)."""
+    """Exact distinct over all binding columns."""
     cols = _vars_of(ds)
+    if not cols:
+        return ds.limit(1)
+    return _distinct_on(ds, cols, num_partitions)
 
-    def key(b: pa.Table) -> pa.Table:
-        import hashlib
-        parts = [b[c].to_pylist() for c in cols]
-        keys = [hashlib.sha256(
-            "\x1e".join("\x00" if x is None else "1" + x for x in row)
-            .encode()).hexdigest() for row in zip(*parts)]
-        return b.append_column("__k", pa.array(keys, pa.string()))
 
-    def first(group: pa.Table) -> pa.Table:
-        return group.slice(0, 1).drop_columns(["__k"])
+# ---------------------------------------------------------------------------
+# distributed GROUP BY: partial-aggregate states through the hash exchange
+# ---------------------------------------------------------------------------
+#
+# Replaces the r1 groupby().map_groups() path (VERDICT items 1-2): each
+# block is collapsed to ≤1 partial state per distinct key BEFORE the
+# shuffle, so hub group keys (rdf:type-style skew) cost O(blocks) rows,
+# and the implicit single group never touches the driver.  States are
+# JSON strings; double sums are exact Fractions (order-independent ⇒
+# bit-deterministic results regardless of block boundaries).
 
-    return (ds.map_batches(key, batch_format="pyarrow")
-            .groupby("__k").map_groups(first, batch_format="pyarrow"))
+def _agg_new(a: Agg) -> dict:
+    fn = a.fn
+    if (a.distinct and a.expr is not None) or fn == "GROUP_CONCAT":
+        return {"vs": []}
+    if fn == "COUNT":
+        return {"n": 0}
+    if fn in ("SUM", "AVG"):
+        return {"i": 0, "fr": None, "n": 0, "e": False, "f": False}
+    if fn in ("MIN", "MAX", "SAMPLE"):
+        return {"m": None}
+    raise ValueError(f"unknown aggregate {fn}")
+
+
+def _num_fold(st: dict, val: Optional[str]):
+    """Fold one NT-text value into a SUM/AVG state."""
+    from fractions import Fraction
+
+    t = _parse(val)
+    if t is None:
+        return
+    v = value_of(t)
+    if v is None or v[0] != "num":
+        st["e"] = True
+        return
+    x = v[1]
+    st["n"] += 1
+    if isinstance(x, int):
+        st["i"] += x
+    else:
+        st["f"] = True
+        fr = Fraction(x) if x == x and abs(x) != math.inf else None
+        if fr is None:
+            st["e"] = True  # NaN/inf sums are errors downstream anyway
+            return
+        st["fr"] = fr if st["fr"] is None else st["fr"] + fr
+
+
+def _agg_add(a: Agg, st: dict, val: Optional[str]):
+    fn = a.fn
+    if "vs" in st:
+        if val is not None:
+            st["vs"].append(val)
+        return
+    if fn == "COUNT":
+        if a.expr is None or val is not None:
+            st["n"] += 1
+        return
+    if val is None:
+        return
+    if fn in ("SUM", "AVG"):
+        _num_fold(st, val)
+        return
+    if fn == "SAMPLE":
+        st["m"] = val if st["m"] is None else min(st["m"], val)
+        return
+    # MIN/MAX by term order (sort_key), parse failures skipped
+    t = _parse(val)
+    if t is None:
+        return
+    if st["m"] is None:
+        st["m"] = val
+        return
+    cur = _parse(st["m"])
+    better = sort_key(t) < sort_key(cur) if fn == "MIN" \
+        else sort_key(t) > sort_key(cur)
+    if better:
+        st["m"] = val
+
+
+def _agg_ser(st: dict) -> str:
+    import json
+
+    if st.get("fr") is not None:
+        st = dict(st, fr=[st["fr"].numerator, st["fr"].denominator])
+    return json.dumps(st)
+
+
+def _agg_merge(a: Agg, st: dict, other_json: str):
+    import json
+    from fractions import Fraction
+
+    o = json.loads(other_json)
+    if "vs" in st:
+        st["vs"].extend(o["vs"])
+        return
+    if a.fn == "COUNT":
+        st["n"] += o["n"]
+        return
+    if a.fn in ("SUM", "AVG"):
+        st["i"] += o["i"]
+        st["n"] += o["n"]
+        st["e"] = st["e"] or o["e"]
+        st["f"] = st["f"] or o["f"]
+        if o.get("fr") is not None:
+            fr = Fraction(o["fr"][0], o["fr"][1])
+            st["fr"] = fr if st["fr"] is None else st["fr"] + fr
+        return
+    if o["m"] is None:
+        return
+    if a.fn == "SAMPLE":
+        st["m"] = o["m"] if st["m"] is None else min(st["m"], o["m"])
+        return
+    if st["m"] is None:
+        st["m"] = o["m"]
+        return
+    sk_o, sk_c = sort_key(_parse(o["m"])), sort_key(_parse(st["m"]))
+    if (a.fn == "MIN" and sk_o < sk_c) or (a.fn == "MAX" and sk_o > sk_c):
+        st["m"] = o["m"]
+
+
+def _agg_final(a: Agg, st: dict) -> Optional[str]:
+    """Merged state → final NT text (same semantics as aggregate_iter.rs;
+    empty-group defaults per SPARQL 1.1 §18.5: COUNT/SUM/AVG→0,
+    GROUP_CONCAT→\"\", MIN/MAX/SAMPLE→error)."""
+    fn = a.fn
+    if "vs" in st:
+        vals = sorted(set(st["vs"])) if a.distinct else st["vs"]
+        if fn == "COUNT":
+            return format_term((2, str(len(vals)), XSD_INTEGER, "", 0))
+        if fn == "GROUP_CONCAT":
+            parts = []
+            for v in vals:
+                t = _parse(v)
+                parts.append(t[1] if t and t[0] == 2 else v)
+            return format_term(
+                (2, a.separator.join(parts), XSD + "string", "", 0))
+        if fn in ("SUM", "AVG"):
+            sub = _agg_new(Agg(fn, a.expr, a.alias))
+            for v in vals:
+                _num_fold(sub, v)
+            return _agg_final(Agg(fn, a.expr, a.alias), sub)
+        if fn == "SAMPLE":
+            return vals[0] if vals else None
+        # MIN/MAX over the distinct set
+        terms = [t for t in (_parse(v) for v in vals) if t is not None]
+        if not terms:
+            return None
+        pick = min(terms, key=sort_key) if fn == "MIN" else \
+            max(terms, key=sort_key)
+        return format_term(pick)
+    if fn == "COUNT":
+        return format_term((2, str(st["n"]), XSD_INTEGER, "", 0))
+    if fn in ("MIN", "MAX", "SAMPLE"):
+        return st["m"]
+    if fn in ("SUM", "AVG"):
+        if st["e"]:
+            return None
+        if st["n"] == 0:
+            return format_term((2, "0", XSD_INTEGER, "", 0))
+        from fractions import Fraction
+
+        total = Fraction(st["i"]) + (st["fr"] or Fraction(0))
+        if fn == "AVG":
+            total = total / st["n"]
+        if not st["f"] and fn == "SUM":
+            return format_term(_num_term(st["i"]))
+        return format_term(_num_term(float(total)))
+    raise ValueError(f"unknown aggregate {fn}")
+
+
+def _group_by_exchange(child, gv: List[str], aggs: List[Agg],
+                       num_partitions: int):
+    """GROUP BY via functions.exchange.hash_aggregate with per-block
+    partial states (exec.rs:943-1006 semantics, Ray-Data-shaped)."""
+    from ..functions.exchange import hash_aggregate
+
+    implicit = not gv
+    state_cols = ["__s_" + a.alias for a in aggs]
+
+    def combine(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        out: Dict[str, pa.Array] = {}
+        if n == 0:
+            for c in gv:
+                out[c] = pa.array([], pa.string())
+            for sc in state_cols:
+                out[sc] = pa.array([], pa.string())
+            return pa.table(out)
+        keys = list(zip(*[b[c].to_pylist() for c in gv])) if gv \
+            else [()] * n
+        vals = [(_expr_batch_eval(a.expr, b) if a.expr is not None
+                 else None) for a in aggs]
+        groups: Dict[tuple, list] = {}
+        order: List[tuple] = []
+        for i, k in enumerate(keys):
+            st = groups.get(k)
+            if st is None:
+                st = [_agg_new(a) for a in aggs]
+                groups[k] = st
+                order.append(k)
+            for j, a in enumerate(aggs):
+                _agg_add(a, st[j], vals[j][i] if vals[j] is not None
+                         else None)
+        for idx, c in enumerate(gv):
+            out[c] = pa.array([k[idx] for k in order], pa.string())
+        for j, sc in enumerate(state_cols):
+            out[sc] = pa.array([_agg_ser(groups[k][j]) for k in order],
+                               pa.string())
+        return pa.table(out)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        keys = list(zip(*[t[c].to_pylist() for c in gv])) if gv and n \
+            else [()] * n
+        scols = [t[sc].to_pylist() for sc in state_cols]
+        groups: Dict[tuple, list] = {}
+        order: List[tuple] = []
+        for i in range(n):
+            k = keys[i]
+            st = groups.get(k)
+            if st is None:
+                st = [_agg_new(a) for a in aggs]
+                groups[k] = st
+                order.append(k)
+            for j, a in enumerate(aggs):
+                _agg_merge(a, st[j], scols[j][i])
+        if implicit and not order:
+            groups[()] = [_agg_new(a) for a in aggs]
+            order.append(())
+        out: Dict[str, pa.Array] = {}
+        for idx, c in enumerate(gv):
+            out[c] = pa.array([k[idx] for k in order], pa.string())
+        for j, a in enumerate(aggs):
+            out[a.alias] = pa.array(
+                [_agg_final(a, groups[k][j]) for k in order], pa.string())
+        return pa.table(out)
+
+    return hash_aggregate(child, list(gv), combine, finalize,
+                          num_partitions=1 if implicit else num_partitions)
 
 
 # ---------------------------------------------------------------------------
@@ -468,20 +998,9 @@ def evaluate(node: Node, triples_ds, *, num_partitions: int = 8,
         shared = sorted(set(_vars_of(left)) & set(_vars_of(right)))
         if not shared:
             return left
-        marker = _distinct(
-            right.map_batches(
-                lambda b: pa.table({c: b[c] for c in shared}),
-                batch_format="pyarrow"),
-            num_partitions)
-        marker = marker.map_batches(
-            lambda b: b.append_column("__m", pa.array([1] * b.num_rows,
-                                                      pa.int64())),
-            batch_format="pyarrow")
-        joined = _join_bindings(left, marker, "left_outer",
-                                num_partitions, tuple(shared))
-        return joined.map_batches(
-            lambda b: b.filter(pc.is_null(b["__m"])).drop_columns(["__m"]),
-            batch_format="pyarrow")
+        return _semi_anti(left, right, shared, anti=True,
+                          require_overlap=True,
+                          num_partitions=num_partitions)
 
     if isinstance(node, Filter):
         child = ev(node.child)
@@ -530,36 +1049,16 @@ def evaluate(node: Node, triples_ds, *, num_partitions: int = 8,
             child = ev(node.child)
         if node.offset == 0:
             return child if node.limit is None else child.limit(node.limit)
-        # OFFSET: driver-side skip of a small sorted prefix
-        import ray.data as rd
-        n = node.offset + (node.limit or 0)
-        rows = child.limit(n).take_all() if node.limit else child.take_all()
-        rows = rows[node.offset:]
-        if not rows:
-            return child.limit(0)
-        return rd.from_arrow(pa.Table.from_pylist(rows))
+        # OFFSET: distributed block split at the offset row (no driver
+        # materialization — r1 VERDICT item 4)
+        if node.limit is not None:
+            child = child.limit(node.offset + node.limit)
+        _, tail = child.materialize().split_at_indices([node.offset])
+        return tail
 
     if isinstance(node, Group):
-        child = ev(node.child)
-        gv = list(node.group_vars)
-        aggs = list(node.aggs)
-
-        def agg_group(group: pa.Table) -> pa.Table:
-            out = {c: [group[c][0].as_py()] for c in gv}
-            for a in aggs:
-                out[a.alias] = [_run_agg(a, group)]
-            return pa.table(out)
-
-        if gv:
-            return child.groupby(gv).map_groups(agg_group,
-                                                batch_format="pyarrow")
-        # single implicit group: reduce driver-side (small)
-        whole = pa.Table.from_pylist(child.take_all())
-        if whole.num_rows == 0:
-            whole = pa.table({c: pa.array([], pa.string())
-                              for c in _vars_of(child)})
-        import ray.data as rd
-        return rd.from_arrow(agg_group(whole))
+        return _group_by_exchange(ev(node.child), list(node.group_vars),
+                                  list(node.aggs), num_partitions)
 
     if isinstance(node, PathPlus):
         return _path_plus(node, triples_ds, num_partitions)
@@ -580,60 +1079,40 @@ def evaluate(node: Node, triples_ds, *, num_partitions: int = 8,
         shared = sorted(set(_vars_of(left)) & set(_vars_of(right)))
         if not shared:
             raise ValueError("Exists without shared variables")
-        marker = _distinct(
-            right.map_batches(lambda b: pa.table({c: b[c] for c in shared}),
-                              batch_format="pyarrow"),
-            num_partitions)
-        marker = marker.map_batches(
-            lambda b: b.append_column("__m", pa.array([1] * b.num_rows,
-                                                      pa.int64())),
-            batch_format="pyarrow")
-        joined = _join_bindings(left, marker, "left_outer",
-                                num_partitions, tuple(shared))
-        pred = pc.is_null if node.negated else pc.is_valid
-        return joined.map_batches(
-            lambda b: b.filter(pred(b["__m"])).drop_columns(["__m"]),
-            batch_format="pyarrow")
+        return _semi_anti(left, right, shared, anti=node.negated,
+                          require_overlap=False,
+                          num_partitions=num_partitions)
 
     raise TypeError(f"unknown algebra node {type(node)}")
 
 
-def _run_agg(a: Agg, group: pa.Table) -> Optional[str]:
-    """One aggregate over one group (aggregate_iter.rs:80-190)."""
-    if a.fn == "COUNT" and a.expr is None:
-        return format_term((2, str(group.num_rows), XSD_INTEGER, "", 0))
-    vals = [v for v in _expr_batch_eval(a.expr, group) if v is not None]
-    if a.distinct:
-        vals = sorted(set(vals))
-    if a.fn == "COUNT":
-        return format_term((2, str(len(vals)), XSD_INTEGER, "", 0))
-    if a.fn == "SAMPLE":
-        return min(vals) if vals else None
-    if a.fn == "GROUP_CONCAT":
-        parts = []
-        for v in vals:
-            t = _parse(v)
-            parts.append(t[1] if t and t[0] == 2 else v)
-        return format_term((2, a.separator.join(parts), XSD + "string", "", 0))
-    terms = [_parse(v) for v in vals]
-    terms = [t for t in terms if t is not None]
-    if not terms:
-        return None
-    if a.fn in ("MIN", "MAX"):
-        pick = min(terms, key=sort_key) if a.fn == "MIN" else \
-            max(terms, key=sort_key)
-        return format_term(pick)
-    nums = [value_of(t) for t in terms]
-    if any(v is None or v[0] != "num" for v in nums):
-        return None  # type error → aggregate error
-    xs = [v[1] for v in nums]
-    if a.fn == "SUM":
-        s = sum(xs)
-        return format_term(_num_term(s))
-    if a.fn == "AVG":
-        s = sum(xs) / len(xs)
-        return format_term(_num_term(s))
-    raise ValueError(f"unknown aggregate {a.fn}")
+def _semi_anti(left, right, shared, *, anti: bool, require_overlap: bool,
+               num_partitions: int):
+    """Distributed semi/anti join with SPARQL compatibility semantics
+    (Minus = anti with the MINUS domain-overlap rule; EXISTS = semi).
+    Fast path: Ray's native left_semi/left_anti when no shared column
+    holds an unbound value on either side."""
+    left, right = left.materialize(), right.materialize()
+    if left.count() == 0:
+        return left
+    rp = right.map_batches(
+        lambda b: pa.table({c: (pc.cast(b[c], pa.string())
+                                if c in b.column_names
+                                else pa.nulls(b.num_rows, pa.string()))
+                            for c in shared}),
+        batch_format="pyarrow").materialize()
+    if rp.count() == 0:
+        return left if anti else left.limit(0)
+    how = "left_anti" if anti else "left_semi"
+    if _shared_has_nulls(left, shared) or _shared_has_nulls(rp, shared):
+        return _compat_join_general(left, rp, how, num_partitions, shared,
+                                    require_overlap=require_overlap)
+    marker = _distinct_on(rp, shared, num_partitions)
+    out = safe_join(left, marker, how, num_partitions,
+                    on=tuple(shared)).materialize()
+    if out.schema() is None:
+        return _empty_bindings(_cols_of(left))
+    return out
 
 
 def _num_term(x) -> Term:

@@ -92,6 +92,18 @@ def value_of(t: Term):
     return ("other", dt, lex)
 
 
+def _days_from_civil(y: int, m: int, d: int) -> int:
+    """Proleptic-Gregorian day count (days since 1970-01-01); valid for
+    any year, unlike ``datetime`` (Howard Hinnant's public-domain civil
+    calendar algorithm). Monotonic in (y, m, d)."""
+    y -= m <= 2
+    era = (y if y >= 0 else y - 399) // 400
+    yoe = y - era * 400
+    doy = (153 * (m + (-3 if m > 2 else 9)) + 2) // 5 + d - 1
+    doe = yoe * 365 + yoe // 4 - yoe // 100 + doy
+    return era * 146097 + doe - 719468
+
+
 def _parse_datetime(lex: str):
     m = re.match(
         r"^(-?\d{4,})-(\d{2})-(\d{2})T(\d{2}):(\d{2}):(\d{2}(?:\.\d+)?)"
@@ -105,8 +117,11 @@ def _parse_datetime(lex: str):
     if tz and tz != "Z":
         sign = 1 if tz[0] == "+" else -1
         off = sign * (int(tz[1:3]) * 60 + int(tz[4:6]))
-    # comparable instant (minutes offset applied); keeps fields for accessors
-    total = (((y * 366 + mo * 31 + d) * 24 + h) * 60 + mi - off) * 60 + s
+    # comparable instant = true seconds since the 1970 epoch (minutes
+    # offset applied); keeps fields for accessors.  Uses real calendar
+    # arithmetic — a positional y*366+mo*31 encoding is NOT monotonic
+    # across year boundaries (366 < 12*31+31).
+    total = ((_days_from_civil(y, mo, d) * 24 + h) * 60 + mi - off) * 60 + s
     return (total, y, mo, d, h, mi, s, tz)
 
 
@@ -502,13 +517,27 @@ def _apply(fn: str, v: List[Term], row) -> Optional[Term]:  # noqa: C901
         return _mk_num(r if isinstance(x, int) else float(r), v[0][2])
 
     # date/time accessors (function.rs:247-295)
-    if fn in ("YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS", "TZ"):
+    if fn in ("YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS", "TZ",
+              "TIMEZONE"):
         val = value_of(v[0])
         if val is None or val[0] != "dt":
             return None
         _tot, y, mo, d, h, mi, s, tz = val[1]
         if fn == "TZ":
             return (KIND_LITERAL, tz or "", XSD_STRING, "", 0)
+        if fn == "TIMEZONE":
+            # xsd:dayTimeDuration of the offset; error when absent
+            if not tz:
+                return None
+            if tz == "Z":
+                return (KIND_LITERAL, "PT0S", XSD + "dayTimeDuration", "", 0)
+            sign = "-" if tz[0] == "-" else ""
+            th, tm = int(tz[1:3]), int(tz[4:6])
+            if th == 0 and tm == 0:
+                return (KIND_LITERAL, "PT0S", XSD + "dayTimeDuration", "", 0)
+            lex = sign + "PT" + (f"{th}H" if th else "") + \
+                (f"{tm}M" if tm else "")
+            return (KIND_LITERAL, lex, XSD + "dayTimeDuration", "", 0)
         x = {"YEAR": y, "MONTH": mo, "DAY": d, "HOURS": h, "MINUTES": mi,
              "SECONDS": s}[fn]
         if fn == "SECONDS":
@@ -539,6 +568,20 @@ def _apply(fn: str, v: List[Term], row) -> Optional[Term]:  # noqa: C901
 
         h = getattr(hashlib, fn.lower())(s.encode()).hexdigest()
         return (KIND_LITERAL, h, XSD_STRING, "", 0)
+    # RDF 1.2 triple-term functions (function.rs TRIPLE/SUBJECT/…)
+    if fn == "TRIPLE":
+        s, p, o = v[0], v[1], v[2]
+        if s[0] not in (KIND_IRI, KIND_BNODE) or p[0] != KIND_IRI:
+            return None
+        from ..terms import triple_term as _tt
+        return _tt(s, p, o)
+    if fn in ("SUBJECT", "PREDICATE", "OBJECT"):
+        if v[0][0] != KIND_TRIPLE:
+            return None
+        parts = _triple_parts(v[0])
+        if parts is None:
+            return None
+        return parts[{"SUBJECT": 0, "PREDICATE": 1, "OBJECT": 2}[fn]]
     if fn == "NOW":
         # reference pins now() once per query (exec.rs:68-84); we pin
         # it globally for run-to-run determinism (SURVEY §7.0) —
@@ -550,6 +593,26 @@ def _apply(fn: str, v: List[Term], row) -> Optional[Term]:  # noqa: C901
         target = XSD + fn[4:].lower()
         return _cast(v[0], target)
     raise ValueError(f"unknown SPARQL function {fn}")
+
+
+def _triple_parts(t: Term):
+    """Decompose a KIND_TRIPLE term's canonical-NT lex into (s, p, o)."""
+    from ..ntriples import _LineParser
+    lex = t[1]
+    if not lex.startswith("<<("):
+        return None
+    try:
+        lp = _LineParser(lex)
+        lp.pos = 3
+        lp.skip_ws()
+        s = lp.parse_term()
+        lp.skip_ws()
+        p = lp.parse_term()
+        lp.skip_ws()
+        o = lp.parse_term()
+        return (s, p, o)
+    except Exception:
+        return None
 
 
 _PINNED_NOW = ["2000-01-01T00:00:00Z"]

@@ -262,3 +262,131 @@ def test_exists_and_not_exists(graph):
     got_n = sorted(r["d"] for r in
                    evaluate(Exists(left, right, negated=True), graph).take_all())
     assert got_n == [f"<http://d/{i}>" for i in (2, 3, 4, 5)]
+
+
+# ---------------------------------------------------------------------------
+# round-2 regressions: dateTime instants, triple-term fns, compat joins,
+# exchange-based Group/Distinct, distributed OFFSET
+# ---------------------------------------------------------------------------
+
+def test_datetime_year_boundary():
+    # r1 ADVICE (high): positional y*366+mo*31 encoding was not
+    # monotonic across year boundaries
+    DT = '^^<http://www.w3.org/2001/XMLSchema#dateTime>'
+    a, b = Var("a"), Var("b")
+    assert E(FnCall("<", a, b), a=f'"2023-12-26T00:00:00Z"{DT}',
+             b=f'"2024-01-01T00:00:00Z"{DT}').startswith('"true"')
+    assert E(FnCall("<", a, b), a=f'"2023-12-31T23:59:59Z"{DT}',
+             b=f'"2024-01-01T00:00:00Z"{DT}').startswith('"true"')
+    assert E(FnCall("=", a, b), a=f'"2023-12-26T00:00:00Z"{DT}',
+             b=f'"2024-01-01T00:00:00Z"{DT}').startswith('"false"')
+    # timezone offsets apply: 01:00+01:00 == 00:00Z
+    assert E(FnCall("=", a, b), a=f'"2024-01-01T01:00:00+01:00"{DT}',
+             b=f'"2024-01-01T00:00:00Z"{DT}').startswith('"true"')
+
+
+def test_timezone_fn():
+    v = Var("x")
+    DT = '^^<http://www.w3.org/2001/XMLSchema#dateTime>'
+    DUR = '^^<http://www.w3.org/2001/XMLSchema#dayTimeDuration>'
+    assert E(FnCall("TIMEZONE", v), x=f'"2024-03-05T10:20:30Z"{DT}') == \
+        f'"PT0S"{DUR}'
+    assert E(FnCall("TIMEZONE", v), x=f'"2024-03-05T10:20:30-05:30"{DT}') \
+        == f'"-PT5H30M"{DUR}'
+    assert E(FnCall("TIMEZONE", v), x=f'"2024-03-05T10:20:30+02:00"{DT}') \
+        == f'"PT2H"{DUR}'
+    # no timezone → error
+    assert E(FnCall("TIMEZONE", v), x=f'"2024-03-05T10:20:30"{DT}') is None
+
+
+def test_triple_term_fns():
+    s, p, o = Var("s"), Var("p"), Var("o")
+    tt = E(FnCall("TRIPLE", s, p, o),
+           s='<http://a>', p='<http://b>', o='"v"')
+    assert tt == '<<( <http://a> <http://b> "v" )>>'
+    t = Var("t")
+    assert E(FnCall("SUBJECT", t), t=tt) == '<http://a>'
+    assert E(FnCall("PREDICATE", t), t=tt) == '<http://b>'
+    assert E(FnCall("OBJECT", t), t=tt) == '"v"'
+    # literal subject is an error
+    assert E(FnCall("TRIPLE", s, p, o), s='"x"', p='<http://b>', o='"v"') \
+        is None
+    assert E(FnCall("SUBJECT", t), t='"notatriple"') is None
+
+
+def test_nondeterministic_fns_parse_error():
+    from sophia_rs_ray.sparql.parser import SparqlParseError, parse_query
+    for fn in ("UUID()", "STRUUID()", "RAND()"):
+        with pytest.raises(SparqlParseError):
+            parse_query(
+                "SELECT ?x WHERE { ?x <http://p> ?y . "
+                f"FILTER({fn} = ?y) }}")
+
+
+def test_compat_join_unbound_shared_var(graph):
+    # r1 ADVICE: a UNION-aligned row with ?l unbound must join with
+    # EVERY right binding of ?l (SPARQL compatible mappings), not none
+    left = Union(BGP([(Var("d"), iri(LANG_), Var("l"))]),
+                 BGP([(Var("d"), iri(EXTRA_), Var("x"))]))
+    right = BGP([(Var("e"), iri(LANG_), Var("l"))])
+    rows = evaluate(Join(left, right), graph).take_all()
+    # 6 bound-l rows × 3 same-lang partners + 2 unbound-l rows × 6
+    assert len(rows) == 18 + 12
+    # unbound-l rows take the right side's binding
+    xrows = [r for r in rows if r["x"] is not None]
+    assert len(xrows) == 12
+    assert all(r["l"] is not None for r in xrows)
+
+
+def test_minus_with_unbound_shared_var(graph):
+    # MINUS compat semantics: left rows with ?x unbound are still
+    # removed when the bound overlap (?d) matches a right row
+    left = Union(BGP([(Var("d"), iri(LANG_), Var("l"))]),
+                 BGP([(Var("d"), iri(EXTRA_), Var("x"))]))
+    right = BGP([(Var("d"), iri(EXTRA_), Var("x"))])
+    got = sorted(r["d"] for r in
+                 evaluate(Minus(left, right), graph).take_all())
+    assert got == [f"<http://d/{i}>" for i in (2, 3, 4, 5)]
+
+
+def test_implicit_group_aggregates(graph):
+    # SELECT (COUNT(*) …) with no GROUP BY — distributed partials, no
+    # driver take_all (r1 VERDICT item 1)
+    INT = '^^<http://www.w3.org/2001/XMLSchema#integer>'
+    q = Group([], [Agg("COUNT", None, "cnt"), Agg("SUM", Var("n"), "total"),
+                   Agg("AVG", Var("n"), "avg")],
+              BGP([(Var("d"), iri(N_), Var("n"))]))
+    rows = evaluate(q, graph).take_all()
+    assert len(rows) == 1
+    assert rows[0]["cnt"] == f'"6"{INT}'
+    assert rows[0]["total"] == f'"1350"{INT}'
+    assert rows[0]["avg"] == f'"225"{INT}'
+
+
+def test_implicit_group_empty_input(graph):
+    INT = '^^<http://www.w3.org/2001/XMLSchema#integer>'
+    q = Group([], [Agg("COUNT", None, "cnt"), Agg("SUM", Var("n"), "total"),
+                   Agg("MIN", Var("n"), "lo")],
+              BGP([(Var("d"), iri("http://nosuch"), Var("n"))]))
+    rows = evaluate(q, graph).take_all()
+    assert len(rows) == 1
+    assert rows[0]["cnt"] == f'"0"{INT}'
+    assert rows[0]["total"] == f'"0"{INT}'
+    assert rows[0]["lo"] is None
+
+
+def test_count_distinct(graph):
+    INT = '^^<http://www.w3.org/2001/XMLSchema#integer>'
+    q = Group([], [Agg("COUNT", Var("l"), "nl", distinct=True)],
+              BGP([(Var("d"), iri(LANG_), Var("l"))]))
+    rows = evaluate(q, graph).take_all()
+    assert rows[0]["nl"] == f'"2"{INT}'
+
+
+def test_offset_without_limit(graph):
+    q = Slice(OrderBy([(Var("n"), True)],
+                      BGP([(Var("d"), iri(N_), Var("n"))])),
+              offset=4)
+    rows = evaluate(q, graph).take_all()
+    INT = '^^<http://www.w3.org/2001/XMLSchema#integer>'
+    assert [r["n"] for r in rows] == [f'"300"{INT}', f'"350"{INT}']
