@@ -14,8 +14,10 @@ Supported grammar (the operator inventory of SURVEY §2.5-2.9):
   with UNDEF), GRAPH; GROUP BY +
   COUNT/SUM/AVG/MIN/MAX/SAMPLE/GROUP_CONCAT([DISTINCT] …; SEPARATOR=…),
   HAVING, ORDER BY ASC/DESC, LIMIT/OFFSET; property paths: ^ / |
-  compositions rewritten to joins/unions, `iri+`/`iri*` with a constant
-  subject (the seeded PathPlus/PathStar shape); DESCRIBE.
+  compositions rewritten to joins/unions; `+` `*` `?` over arbitrary
+  sub-paths with free endpoints and negated property sets `!(p|^q)`
+  via the general PathPattern evaluator (semi-naive distributed
+  closure); DESCRIBE.
 
 Restrictions are explicit errors, not silent misparses.
 """
@@ -43,6 +45,18 @@ __all__ = ["parse_query", "SparqlParseError", "SelectQuery", "AskQuery",
 
 class SparqlParseError(ValueError):
     pass
+
+
+def _path_has_var(path) -> bool:
+    """Does a path AST contain a variable predicate anywhere?"""
+    kind = path[0]
+    if kind == "term":
+        return isinstance(path[1], Var)
+    if kind == "neg":
+        return False
+    if kind in ("seq", "alt"):
+        return any(_path_has_var(p) for p in path[1])
+    return _path_has_var(path[1])  # inv/plus/star/opt
 
 
 # ---------------------------------------------------------------------------
@@ -497,7 +511,10 @@ class _Parser:
         if self.at_op("^"):
             self.next()
             inv = True
-        if self.at_op("("):
+        if self.at_op("!"):
+            self.next()
+            p = self._parse_negated_set()
+        elif self.at_op("("):
             self.next()
             p = self._parse_path()
             self.eat_op(")")
@@ -513,6 +530,36 @@ class _Parser:
             self.next()
             p = ("opt", p)
         return ("inv", p) if inv else p
+
+    def _parse_negated_set(self):
+        """``!iri`` / ``!^iri`` / ``!(iri|^iri|…)`` → ("neg", fwd, inv)
+        with fwd/inv lists of predicate IRI Terms (SPARQL 1.1 §9.1
+        PathNegatedPropertySet; reference exec path_neg handling)."""
+        fwd: List[Term] = []
+        inv: List[Term] = []
+
+        def one():
+            target = fwd
+            if self.at_op("^"):
+                self.next()
+                target = inv
+            t = self.parse_term()
+            if isinstance(t, Var) or t[0] != KIND_IRI:
+                raise SparqlParseError(
+                    "negated property set needs IRIs")
+            target.append(t)
+
+        if self.at_op("("):
+            self.next()
+            if not self.at_op(")"):
+                one()
+                while self.at_op("|"):
+                    self.next()
+                    one()
+            self.eat_op(")")
+        else:
+            one()
+        return ("neg", fwd, inv)
 
     def _fresh_var(self) -> Var:
         # single underscore on purpose: '__'-prefixed columns are
@@ -545,36 +592,28 @@ class _Parser:
             for sub in path[1][1:]:
                 node = Union(node, self._compile_path(s, sub, o))
             return node
-        if kind == "opt":
-            # p? = zero-or-one: one-hop UNION the zero-length binding
-            # (endpoint copy); needs one constant endpoint
+        if kind == "opt" and isinstance(s, Var) != isinstance(o, Var) \
+                and not _path_has_var(path[1]):
+            # p? with exactly one constant endpoint: cheap rewrite as
+            # one-hop UNION the zero-length endpoint copy
             from .algebra import InlineData
             one = self._compile_path(s, path[1], o)
-            if isinstance(s, Var) == isinstance(o, Var):
-                raise SparqlParseError(
-                    "zero-or-one path needs exactly one constant endpoint")
             if isinstance(o, Var):
                 zero = InlineData(o.name, [s])
             else:
                 zero = InlineData(s.name, [o])
             return Union(one, zero)
-        if kind in ("plus", "star"):
-            sub = path[1]
-            if sub[0] != "term" or isinstance(sub[1], Var) \
-                    or sub[1][0] != KIND_IRI:
+        if kind in ("opt", "plus", "star", "neg"):
+            # general evaluation: negated sets and closures over
+            # arbitrary sub-paths with free endpoints (semi-naive
+            # distributed iteration — algebra.PathPattern, parity
+            # target sparql/src/exec.rs:274-482 + path_or_more.rs)
+            from .algebra import PathPattern
+            if _path_has_var(path):
                 raise SparqlParseError(
-                    f"{kind} path needs a plain IRI predicate")
-            if not isinstance(o, Var):
-                raise SparqlParseError("path object must be a variable")
-            if isinstance(s, Var):
-                if kind == "star":
-                    raise SparqlParseError(
-                        "pred* needs a constant subject (zero-length "
-                        "solutions with a free subject are unbounded)")
-                return PathPlus(sub[1], None, s_var=s.name, o_var=o.name)
-            if kind == "star":
-                return PathStar(sub[1], [s], o_var=o.name)
-            return PathPlus(sub[1], [s], s_var="__ps", o_var=o.name)
+                    "variable predicates inside +/*/?/! paths are not "
+                    "supported")
+            return PathPattern(s, path, o)
         raise SparqlParseError(f"unsupported path {path!r}")
 
     def _parse_vt(self, patterns, nodes):

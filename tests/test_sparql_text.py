@@ -481,3 +481,89 @@ def test_collection_pattern(ray_session):
     # constant collection that is NOT in the graph matches nothing
     out2 = select('SELECT ?s WHERE { ?s <urn:vals> ( "a" "z" ) }', nt)
     assert out2.take_all() == []
+
+
+# ---------------------------------------------------------------------------
+# round-2: general property paths (negated sets, free-endpoint closures)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def path_graph(ray_session):
+    import ray.data as rd
+
+    rows = []
+
+    def add(s, p, o):
+        rows.append((f"<urn:{s}>", f"<urn:{p}>", f"<urn:{o}>"))
+
+    for u, v in (("a", "b"), ("b", "c"), ("c", "d")):
+        add(u, "knows", v)
+    add("a", "likes", "x")
+    add("b", "hates", "y")
+    return rd.from_arrow(pa.table({
+        "s": pa.array([r[0] for r in rows], pa.large_string()),
+        "p": pa.array([r[1] for r in rows], pa.large_string()),
+        "o": pa.array([r[2] for r in rows], pa.large_string())}))
+
+
+def _pairs(ds):
+    return sorted((r.get("s"), r.get("o")) for r in ds.take_all())
+
+
+def test_path_negated_set(path_graph):
+    out = select("SELECT ?s ?o WHERE { ?s !<urn:knows> ?o }", path_graph)
+    assert _pairs(out) == [("<urn:a>", "<urn:x>"), ("<urn:b>", "<urn:y>")]
+
+
+def test_path_negated_set_mixed(path_graph):
+    # !(likes|^hates): forward minus likes, union inverse minus hates
+    out = select("SELECT ?s ?o WHERE { ?s !(<urn:likes>|^<urn:hates>) ?o }",
+                 path_graph)
+    assert len(_pairs(out)) == 8
+
+
+def test_path_star_free_subject(path_graph):
+    # zero-length identity over every term + the plus closure
+    out = select("SELECT ?s ?o WHERE { ?s <urn:knows>* ?o }", path_graph)
+    got = _pairs(out)
+    assert ("<urn:a>", "<urn:a>") in got      # identity
+    assert ("<urn:x>", "<urn:x>") in got      # identity of a non-subject
+    assert ("<urn:a>", "<urn:d>") in got      # 3-hop closure
+    assert len(got) == 12
+
+
+def test_path_plus_free_subject(path_graph):
+    out = select("SELECT ?s ?o WHERE { ?s <urn:knows>+ ?o }", path_graph)
+    assert len(_pairs(out)) == 6  # a→{b,c,d}, b→{c,d}, c→{d}
+
+
+def test_path_nested_alt_plus(path_graph):
+    out = select(
+        "SELECT ?o WHERE { <urn:a> (<urn:knows>|<urn:likes>)+ ?o }",
+        path_graph)
+    assert sorted(r["o"] for r in out.take_all()) == \
+        ["<urn:b>", "<urn:c>", "<urn:d>", "<urn:x>"]
+
+
+def test_path_seq_with_opt(path_graph):
+    out = select("SELECT ?o WHERE { <urn:a> <urn:knows>/<urn:knows>? ?o }",
+                 path_graph)
+    assert sorted(r["o"] for r in out.take_all()) == ["<urn:b>", "<urn:c>"]
+
+
+def test_path_inverse_plus(path_graph):
+    # constant OBJECT seeds the inverted closure
+    out = select("SELECT ?s WHERE { ?s <urn:knows>+ <urn:d> }", path_graph)
+    assert sorted(r["s"] for r in out.take_all()) == \
+        ["<urn:a>", "<urn:b>", "<urn:c>"]
+
+
+def test_path_star_joins_with_bgp(path_graph):
+    # closure bindings must join with ordinary patterns
+    out = select("""
+        SELECT ?s ?y WHERE { ?s <urn:knows>+ ?m . ?m <urn:hates> ?y }
+    """, path_graph)
+    assert _pairs(select(
+        "SELECT ?s ?o WHERE { ?s <urn:knows>+ ?o }", path_graph))
+    rows = sorted((r["s"], r["y"]) for r in out.take_all())
+    assert rows == [("<urn:a>", "<urn:y>")]
