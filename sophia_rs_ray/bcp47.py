@@ -1,0 +1,55 @@
+"""BCP47 language-tag well-formedness (reference ``bcp47/src/_tag.rs``).
+
+Same permissiveness as the reference: checks the RFC 5646 *syntax*
+(langtag / privateuse / irregular-grandfathered) without consulting the
+subtag registry.  The regex is a direct Python translation of the
+reference's ``LANG_TAG_SRC`` (itself the ABNF from the RFC — public
+spec content).
+"""
+
+from __future__ import annotations
+
+import re
+
+_LANG_TAG_RE = re.compile(
+    r"""^
+    (
+      (?:
+        (?:                       # language
+          (?:
+            [A-Z]{2,3}
+            (?:-[A-Z]{3}){0,3}    # extlang
+          )
+        |
+          [A-Z]{4,8}
+        )
+        (?:-[A-Z]{4})?            # script
+        (?:-(?:[A-Z]{2}|[0-9]{3}))?   # region
+        (?:-(?:[A-Z0-9]{5,8}|[0-9][A-Z0-9]{3}))*  # variant
+        (?:-[0-9A-WY-Z](?:-[A-Z0-9]{2,8})+)*      # extension
+        (?:-X(?:-[A-Z0-9]{1,8})+)?                # privateUse
+      )
+    |
+      (?:X(?:-[A-Z0-9]{1,8})+)                    # privateUse only
+    |
+      (?:en-GB-oed|i-ami|i-bnn|i-default|i-enochian|i-hak|i-klingon
+        |i-lux|i-mingo|i-navajo|i-pwn|i-tao|i-tay|i-tsu|sgn-BE-FR
+        |sgn-BE-NL|sgn-CH-DE)                     # grandfathered
+    )
+    $""", re.IGNORECASE | re.ASCII | re.VERBOSE)
+
+
+def is_valid_tag(tag: str) -> bool:
+    """Is ``tag`` a well-formed BCP47 language tag?"""
+    return bool(_LANG_TAG_RE.match(tag))
+
+
+class InvalidLanguageTag(ValueError):
+    pass
+
+
+def check_tag(tag: str) -> str:
+    """Return the tag, or raise ``InvalidLanguageTag``."""
+    if not is_valid_tag(tag):
+        raise InvalidLanguageTag(f"invalid BCP47 language tag {tag!r}")
+    return tag

@@ -1,16 +1,29 @@
 """Embedding similarity ops: cosine near-dup pairs + IVF-bucketed ANN.
 
-SURVEY training-data ops: brute-force cosine is the correctness
-baseline (broadcast matrix, per-batch numpy matmul); the IVF variant is
-the scale path — k seeded-projection centroids assign each vector to a
-bucket, probes search only the nearest buckets.  At 10^12-document
-scale the broadcast matrix becomes per-bucket Parquet partitions and
-the bucket assignment the shuffle key; bucket ids here are already a
-pure function of the vector (deterministic, no trained state).
+SURVEY training-data ops, r2 scale rework (r1 VERDICT items 3/6):
+
+- ``cosine_near_dup`` — EXACT all-pairs at a threshold, now computed as
+  distributed block×block tile tasks over normalized chunk matrices: no
+  driver ``take_all``, no O(N·d) broadcast.  Exact all-pairs is
+  inherently O(N²) flops; this shape spreads them over the cluster with
+  O(B²) tiles of bounded memory.  For true 10^12 scale use the LSH
+  variant below (approximate, near-linear).
+- ``cosine_near_dup_lsh`` — SimHash-banded candidate generation
+  (seeded hyperplanes → band keys → per-bucket pairs through the hash
+  exchange) + exact cosine verification of the candidates only.
+  Recall vs brute force asserted in tests/test_ann.py.
+- ``materialize_ivf`` / ``ivf_topk_indexed`` — the IVF layout is now
+  PERSISTED as one Parquet file per bucket with a manifest, and probed
+  queries read ONLY the probed bucket files (`n_probe / n_buckets` of
+  the bytes) instead of scanning every batch and filtering in-flight.
+  Bucket ids stay a pure function of the vector (seeded projection
+  centroids) — deterministic, resume-safe, no trained state.
 """
 
 from __future__ import annotations
 
+import json
+import os
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -23,64 +36,202 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / n
 
 
-class CosinePairs:
-    """Actor-pool stage: batch of vectors × broadcast matrix → pairs
-    (id_a < id_b) with cosine ≥ threshold.  Matrix is ray.put once,
-    materialized per actor in __init__."""
-
-    def __init__(self, matrix_ref, ids_ref, threshold: float):
-        import ray
-
-        mat = ray.get(matrix_ref) if not isinstance(matrix_ref, np.ndarray) \
-            else matrix_ref
-        self.ids = ray.get(ids_ref) if not isinstance(ids_ref, (list, np.ndarray)) \
-            else ids_ref
-        self.ids = np.asarray(self.ids)
-        self.mat = _normalize(np.asarray(mat, dtype=np.float64))
-        self.threshold = threshold
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch["vec_id"].to_pylist())
-        vecs = _normalize(np.array(batch["embedding"].to_pylist(),
-                                   dtype=np.float64))
-        sims = vecs @ self.mat.T                      # (b × N)
-        out_a: List[int] = []
-        out_b: List[int] = []
-        out_s: List[float] = []
-        rows, cols = np.nonzero(sims >= self.threshold)
-        for r, c in zip(rows, cols):
-            a, b = int(ids[r]), int(self.ids[c])
-            if a < b:  # dedup unordered pairs + drop self
-                out_a.append(a)
-                out_b.append(b)
-                out_s.append(round(float(sims[r, c]), 4))
-        return pa.table({"id_a": pa.array(out_a, pa.int64()),
-                         "id_b": pa.array(out_b, pa.int64()),
-                         "sim": pa.array(out_s, pa.float64())})
-
-
-def cosine_near_dup(emb_ds, *, threshold: float = 0.4, concurrency=2,
-                    batch_size: int = 256):
-    """All pairs with cosine ≥ threshold (embedding near-duplicate
-    detection).  Broadcast the full normalized matrix once (ray.put);
-    each batch does one vectorized matmul against it."""
-    import ray
-
-    rows = emb_ds.take_all()
-    ids = [r["vec_id"] for r in rows]
-    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    mat_ref = ray.put(mat)
-    ids_ref = ray.put(ids)
-    return emb_ds.map_batches(
-        CosinePairs,
-        fn_constructor_kwargs={"matrix_ref": mat_ref, "ids_ref": ids_ref,
-                               "threshold": threshold},
-        batch_format="pyarrow", concurrency=concurrency,
-        batch_size=batch_size)
+def _mat_of(batch: pa.Table) -> Tuple[np.ndarray, np.ndarray]:
+    ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+    mat = _normalize(np.array(batch["embedding"].to_pylist(),
+                              dtype=np.float64))
+    return ids, mat
 
 
 # ---------------------------------------------------------------------------
-# IVF-bucketed ANN (scale path)
+# exact all-pairs (distributed tiles)
+# ---------------------------------------------------------------------------
+
+def cosine_near_dup(emb_ds, *, threshold: float = 0.4,
+                    concurrency=None, batch_size: int = 4096):
+    """All pairs with cosine ≥ threshold, as distributed block-tile
+    matmuls.  Each tile task holds two normalized chunks (bounded
+    memory); pairs are emitted as (min_id, max_id) so every unordered
+    pair appears exactly once."""
+    import ray
+    import ray.data as rd
+
+    # re-bundle so tiles have a predictable size
+    emb_ds = emb_ds.map_batches(lambda t: t, batch_format="pyarrow",
+                                batch_size=batch_size)
+    refs = emb_ds.to_arrow_refs()
+    if not refs:
+        return rd.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "sim": pa.array([], pa.float64())}))
+    preps = [_prep_chunk.remote(r) for r in refs]
+    tiles = []
+    for i in range(len(preps)):
+        for j in range(i, len(preps)):
+            tiles.append(_tile_pairs.remote(preps[i], preps[j], i == j,
+                                            threshold))
+    return rd.from_arrow_refs(tiles)
+
+
+def _prep_chunk_impl(tbl: pa.Table):
+    return _mat_of(tbl)
+
+
+def _tile_pairs_impl(a, b, same: bool, threshold: float) -> pa.Table:
+    ids_a, mat_a = a
+    ids_b, mat_b = b
+    if len(ids_a) == 0 or len(ids_b) == 0:
+        return pa.table({"id_a": pa.array([], pa.int64()),
+                         "id_b": pa.array([], pa.int64()),
+                         "sim": pa.array([], pa.float64())})
+    sims = mat_a @ mat_b.T
+    rows, cols = np.nonzero(sims >= threshold)
+    ia, ib, s = ids_a[rows], ids_b[cols], sims[rows, cols]
+    if same:
+        keep = ia < ib          # each unordered pair appears twice here
+    else:
+        keep = ia != ib         # cross tiles see each pair once
+    ia, ib, s = ia[keep], ib[keep], s[keep]
+    lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+    return pa.table({"id_a": pa.array(lo, pa.int64()),
+                     "id_b": pa.array(hi, pa.int64()),
+                     "sim": pa.array(np.round(s, 4), pa.float64())})
+
+
+import ray as _ray  # noqa: E402
+
+
+_prep_chunk = _ray.remote(_prep_chunk_impl)
+_tile_pairs = _ray.remote(_tile_pairs_impl)
+
+
+# ---------------------------------------------------------------------------
+# SimHash-banded LSH near-dup (the 10^12-scale path; approximate)
+# ---------------------------------------------------------------------------
+
+def _planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def cosine_near_dup_lsh(emb_ds, *, threshold: float = 0.4,
+                        n_planes: int = 128, band_bits: int = 4,
+                        seed: int = 11, num_partitions: int = 16,
+                        pair_cap: int = 5000):
+    """Banded SimHash blocking + exact verification of candidates only.
+
+    Stage 1 emits (band, key, vec_id) signature rows; stage 2 groups by
+    band key through the hash exchange and emits candidate id pairs
+    (hub buckets capped at ``pair_cap`` pairs); stage 3 joins the
+    candidate ids back to their vectors and keeps exact cosine ≥
+    threshold.  Recall is probabilistic (1-(1-p^bits)^bands per pair);
+    parameters default to ≥99% at threshold 0.4."""
+    import ray.data as rd
+
+    from ..util import safe_join
+    from .exchange import hash_aggregate
+
+    n_bands = n_planes // band_bits
+    emb_ds = emb_ds.materialize()
+
+    def sigs(b: pa.Table) -> pa.Table:
+        ids, mat = _mat_of(b)
+        if len(ids) == 0:
+            return pa.table({"key": pa.array([], pa.string()),
+                             "vec_id": pa.array([], pa.int64())})
+        pl = _planes(mat.shape[1], n_planes, seed)
+        bits = (mat @ pl.T) >= 0                       # (n × planes)
+        keys: List[str] = []
+        vids: List[int] = []
+        for band in range(n_bands):
+            chunk = bits[:, band * band_bits:(band + 1) * band_bits]
+            vals = chunk @ (1 << np.arange(band_bits))
+            keys.extend(f"{band}:{int(v)}" for v in vals)
+            vids.extend(ids.tolist())
+        return pa.table({"key": pa.array(keys, pa.string()),
+                         "vec_id": pa.array(vids, pa.int64())})
+
+    sig = emb_ds.map_batches(sigs, batch_format="pyarrow")
+
+    def combine(t: pa.Table) -> pa.Table:
+        # per-block dedup of (key, vec_id)
+        return t.group_by(["key", "vec_id"]).aggregate([])
+
+    def pairs_of(t: pa.Table) -> pa.Table:
+        out_a: List[int] = []
+        out_b: List[int] = []
+        if t.num_rows:
+            import collections
+
+            bykey = collections.defaultdict(set)
+            for k, v in zip(t["key"].to_pylist(), t["vec_id"].to_pylist()):
+                bykey[k].add(v)
+            for k, members in bykey.items():
+                ms = sorted(members)
+                n_pairs = len(ms) * (len(ms) - 1) // 2
+                if n_pairs > pair_cap:
+                    ms = ms[:int((2 * pair_cap) ** 0.5) + 1]  # hub guard
+                for i in range(len(ms)):
+                    for j in range(i + 1, len(ms)):
+                        out_a.append(ms[i])
+                        out_b.append(ms[j])
+        return pa.table({"id_a": pa.array(out_a, pa.int64()),
+                         "id_b": pa.array(out_b, pa.int64())})
+
+    cand = hash_aggregate(sig, ["key"], combine, pairs_of,
+                          num_partitions=num_partitions)
+
+    def dedup(t: pa.Table) -> pa.Table:
+        return t.group_by(["id_a", "id_b"]).aggregate([])
+
+    cand = hash_aggregate(cand, ["id_a", "id_b"], dedup, dedup,
+                          num_partitions=num_partitions).materialize()
+    if cand.count() == 0:
+        return rd.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "sim": pa.array([], pa.float64())}))
+
+    def pack(b: pa.Table) -> pa.Table:
+        # Ray's hash join rejects list<float> payload columns — ship
+        # vectors as fixed-width binary instead
+        mat = np.array(b["embedding"].to_pylist(), dtype=np.float64)
+        return pa.table({"vec_id": b["vec_id"],
+                         "emb": pa.array([m.tobytes() for m in mat],
+                                         pa.binary())})
+
+    vecs = emb_ds.map_batches(pack, batch_format="pyarrow")
+    j1 = safe_join(cand, vecs, "inner", num_partitions,
+                   on=("id_a",), right_on=("vec_id",))
+    j1 = j1.map_batches(
+        lambda b: pa.table({"id_a": b["id_a"], "id_b": b["id_b"],
+                            "emb_a": b["emb"]}),
+        batch_format="pyarrow")
+    j2 = safe_join(j1, vecs, "inner", num_partitions,
+                   on=("id_b",), right_on=("vec_id",))
+
+    def verify(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        ea = _normalize(np.stack([np.frombuffer(x, dtype=np.float64)
+                                  for x in b["emb_a"].to_pylist()]))
+        eb = _normalize(np.stack([np.frombuffer(x, dtype=np.float64)
+                                  for x in b["emb"].to_pylist()]))
+        sims = np.sum(ea * eb, axis=1)
+        keep = sims >= threshold
+        return pa.table({
+            "id_a": pa.array(np.asarray(b["id_a"])[keep], pa.int64()),
+            "id_b": pa.array(np.asarray(b["id_b"])[keep], pa.int64()),
+            "sim": pa.array(np.round(sims[keep], 4), pa.float64())})
+
+    return j2.map_batches(verify, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# IVF-bucketed ANN with a persisted, pruned-read layout
 # ---------------------------------------------------------------------------
 
 def projection_centroids(dim: int, k: int, seed: int = 7) -> np.ndarray:
@@ -96,12 +247,134 @@ def bucket_of(vecs: np.ndarray, centroids: np.ndarray) -> np.ndarray:
     return np.argmax(_normalize(vecs) @ centroids.T, axis=1)
 
 
+def _split_ivf_impl(tbl: pa.Table, n_buckets: int, seed: int):
+    if tbl.num_rows == 0:
+        return tuple([tbl] * n_buckets)
+    _ids, mat = _mat_of(tbl)
+    cents = projection_centroids(mat.shape[1], n_buckets, seed)
+    part = bucket_of(mat, cents).astype(np.int64)
+    order = np.argsort(part, kind="stable")
+    sorted_tbl = tbl.take(pa.array(order))
+    bounds = np.searchsorted(part[order], np.arange(n_buckets + 1))
+    return tuple(sorted_tbl.slice(int(bounds[j]),
+                                  int(bounds[j + 1] - bounds[j]))
+                 for j in range(n_buckets))
+
+
+def _write_ivf_impl(out_dir: str, j: int, *parts) -> int:
+    import pyarrow.parquet as pq
+
+    parts = [p for p in parts if p is not None and p.num_rows]
+    if not parts:
+        return 0
+    t = pa.concat_tables(parts)
+    tmp = os.path.join(out_dir, f".bucket-{j:05d}.parquet.tmp")
+    pq.write_table(t, tmp)
+    os.replace(tmp, os.path.join(out_dir, f"bucket-{j:05d}.parquet"))
+    return t.num_rows
+
+
+_split_ivf = None  # bound lazily (num_returns depends on n_buckets)
+_write_ivf = _ray.remote(_write_ivf_impl)
+
+
+def materialize_ivf(emb_ds, out_dir: str, *, n_buckets: int = 16,
+                    seed: int = 7, resume: bool = True) -> dict:
+    """Write the IVF layout: one Parquet file per bucket plus a
+    ``_manifest.json`` (bucket → rows, dim, params).  Mirrors the
+    triple-materialize exchange: per-block split tasks fan out one
+    object per bucket, one write task per bucket concatenates them.
+    ``resume=True`` returns the existing manifest untouched when
+    present (per-partition lineage → a failed run re-writes only
+    missing buckets via a fresh pass)."""
+    import ray
+
+    man_path = os.path.join(out_dir, "_manifest.json")
+    if resume and os.path.exists(man_path):
+        with open(man_path) as f:
+            man = json.load(f)
+        if man.get("n_buckets") == n_buckets and man.get("seed") == seed:
+            return man
+    os.makedirs(out_dir, exist_ok=True)
+    refs = emb_ds.to_arrow_refs()
+    dim = None
+    for r in refs:
+        t = ray.get(r)
+        if t.num_rows:
+            dim = len(t["embedding"][0].as_py())
+            break
+    if dim is None:
+        raise ValueError("empty embedding dataset")
+    split = ray.remote(num_returns=n_buckets)(_split_ivf_impl) \
+        if n_buckets > 1 else ray.remote(_split_ivf_impl)
+    parts = [split.remote(r, n_buckets, seed) for r in refs]
+    cols = list(zip(*parts)) if n_buckets > 1 else [tuple(parts)]
+    rows = ray.get([_write_ivf.remote(out_dir, j, *cols[j])
+                    for j in range(n_buckets)])
+    man = {"n_buckets": n_buckets, "seed": seed, "dim": dim,
+           "buckets": {str(j): n for j, n in enumerate(rows)}}
+    tmp = man_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(man, f)
+    os.replace(tmp, man_path)
+    return man
+
+
+def ivf_probe_files(out_dir: str, query: List[float],
+                    n_probe: int = 4) -> List[str]:
+    """The bucket files a query actually reads: the ``n_probe`` buckets
+    whose centroid is nearest the query (empty buckets skipped)."""
+    with open(os.path.join(out_dir, "_manifest.json")) as f:
+        man = json.load(f)
+    q = np.asarray(query, dtype=np.float64)
+    cents = projection_centroids(man["dim"], man["n_buckets"], man["seed"])
+    order = np.argsort(-(_normalize(q[None, :]) @ cents.T)[0])
+    files = []
+    for j in order[:n_probe]:
+        if man["buckets"].get(str(int(j)), 0) > 0:
+            files.append(os.path.join(out_dir, f"bucket-{int(j):05d}.parquet"))
+    return files
+
+
+def ivf_topk_indexed(out_dir: str, query: List[float], *, k: int = 10,
+                     n_probe: int = 4, exclude_id: Optional[int] = None):
+    """ANN top-k over the persisted layout: reads ONLY the probed
+    bucket files (pruned at the read, not filtered in-flight)."""
+    import ray.data as rd
+
+    files = ivf_probe_files(out_dir, query, n_probe)
+    if not files:
+        return rd.from_arrow(pa.table({
+            "vec_id": pa.array([], pa.int64()),
+            "sim": pa.array([], pa.float64())}))
+    ds = rd.read_parquet(files, columns=["vec_id", "embedding"])
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) or 1.0)
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids, mat = _mat_of(batch)
+        if exclude_id is not None and len(ids):
+            keep = ids != exclude_id
+            ids, mat = ids[keep], mat[keep]
+        sims = mat @ qn if len(ids) else np.array([])
+        if len(sims) > k:        # per-batch top-k prune (combiner)
+            top = np.argpartition(-sims, k)[:k]
+            ids, sims = ids[top], sims[top]
+        return pa.table({"vec_id": pa.array(ids.tolist(), pa.int64()),
+                         "sim": pa.array([round(float(s), 4) for s in sims],
+                                         pa.float64())})
+
+    return (ds.map_batches(score, batch_format="pyarrow")
+            .sort(["sim", "vec_id"], descending=[True, False]).limit(k))
+
+
 def ivf_topk(emb_ds, query: List[float], *, k: int = 10,
              n_buckets: int = 16, n_probe: int = 4,
              exclude_id: Optional[int] = None, seed: int = 7):
-    """ANN top-k: search only the ``n_probe`` buckets nearest to the
-    query.  Returns (vec_id, sim) sorted desc — approximate: recall
-    measured against brute force in tests."""
+    """Layout-free ANN top-k (scans the dataset, filters by bucket
+    in-flight) — kept for ad-hoc queries without a persisted layout;
+    prefer ``materialize_ivf`` + ``ivf_topk_indexed`` for repeated
+    queries and scale."""
     q = np.asarray(query, dtype=np.float64)
     cents = projection_centroids(len(q), n_buckets, seed)
     probe = set(np.argsort(-(_normalize(q[None, :]) @ cents.T)[0])[:n_probe]
@@ -117,7 +390,6 @@ def ivf_topk(emb_ds, query: List[float], *, k: int = 10,
             mask &= ids != exclude_id
         ids, vecs = ids[mask], vecs[mask]
         sims = _normalize(vecs) @ qn if len(vecs) else np.array([])
-        # per-batch top-k prune before the global sort (combiner)
         if len(sims) > k:
             top = np.argpartition(-sims, k)[:k]
             ids, sims = ids[top], sims[top]

@@ -115,6 +115,7 @@ def connected_components(
         Min("nbr", alias_name="label")).materialize()
 
     chk = _label_checksum(labels)
+    converged = False
     for _ in range(max_rounds):
         # propagate: each edge ships its src's current label to dst
         msgs = safe_join(
@@ -130,8 +131,15 @@ def connected_components(
             Min("cand", alias_name="label")).materialize()
         new_chk = _label_checksum(labels)
         if new_chk == chk:
+            converged = True
             break
         chk = new_chk
+    if not converged:
+        # returning partial labels would silently split one component
+        # into several ids (r1 ADVICE) — fail loudly instead
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} "
+            "rounds (component diameter exceeds it) — raise max_rounds")
     return labels.map_batches(
         lambda b: pa.table({"node": b["node"], "component": b["label"]}),
         batch_format="pyarrow")

@@ -31,7 +31,9 @@ def _perm_params(n_perm: int, seed: int = 42) -> Tuple[np.ndarray, np.ndarray]:
 
 
 def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """k-word shingles → 64-bit hashes (stable across processes)."""
+    """k-word shingles → 64-bit hashes (stable across processes).
+    md5-based so the DuckDB oracle can reproduce them exactly
+    (``CAST('0x' || substr(md5(sh), 1, 16) AS UBIGINT)``)."""
     import hashlib
 
     toks = [t for t in _TOKEN.split(text.lower()) if t]
@@ -40,7 +42,7 @@ def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     out = set()
     for i in range(max(1, len(toks) - k + 1)):
         sh = " ".join(toks[i:i + k]).encode()
-        out.add(int.from_bytes(hashlib.blake2b(sh, digest_size=8).digest(), "big"))
+        out.add(int.from_bytes(hashlib.md5(sh).digest()[:8], "big"))
     return np.fromiter(out, np.uint64, len(out))
 
 
@@ -50,7 +52,8 @@ def minhash_signature(hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.nd
     exact universal hashing, but deterministic and well-mixed (the same
     shortcut the common Python MinHash implementations take)."""
     if len(hashes) == 0:
-        return np.full(len(a), np.iinfo(np.uint64).max, np.uint64)
+        # sentinel inside [0, p): keeps signatures int64-safe unshifted
+        return np.full(len(a), np.uint64(_MERSENNE - 1), np.uint64)
     with np.errstate(over="ignore"):
         vals = (a[:, None] * hashes[None, :] + b[:, None]) % np.uint64(_MERSENNE)
     return vals.min(axis=1)
@@ -69,16 +72,20 @@ class MinHasher:
         return minhash_signature(shingle_hashes(text, self.k), self.a, self.b)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # minhash values live in [0, 2^61) → int64-safe without shifting
         sigs = [self.signature(t or "") for t in batch["text"].to_pylist()]
         return pa.table({
             "doc_id": batch["doc_id"],
-            "sig": pa.array([s.astype(np.int64) - (1 << 63) for s in sigs],
+            "sig": pa.array([s.astype(np.int64) for s in sigs],
                             pa.list_(pa.int64())),
         })
 
 
 def band_rows(batch: pa.Table, n_bands: int, rows_per_band: int) -> pa.Table:
-    """Explode signatures to (band_id, band_hash, doc_id) rows."""
+    """Explode signatures to (band_id, band_hash, doc_id) rows.
+    band_hash = first 60 bits of md5 over the comma-joined segment —
+    positive int64, reproducible as DuckDB
+    ``CAST('0x' || substr(md5(txt), 1, 15) AS BIGINT)``."""
     import hashlib
 
     ids, bands, hashes = [], [], []
@@ -87,10 +94,11 @@ def band_rows(batch: pa.Table, n_bands: int, rows_per_band: int) -> pa.Table:
         arr = np.asarray(sig, np.int64)
         for bi in range(n_bands):
             seg = arr[bi * rows_per_band:(bi + 1) * rows_per_band]
-            h = hashlib.blake2b(seg.tobytes(), digest_size=8).digest()
+            txt = ",".join(str(int(v)) for v in seg)
+            h = int(hashlib.md5(txt.encode()).hexdigest()[:15], 16)
             ids.append(doc_id)
             bands.append(bi)
-            hashes.append(int.from_bytes(h, "big") - (1 << 63))
+            hashes.append(h)
     return pa.table({"doc_id": pa.array(ids, batch["doc_id"].type),
                      "band_id": pa.array(bands, pa.int32()),
                      "band_hash": pa.array(hashes, pa.int64())})

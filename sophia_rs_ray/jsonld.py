@@ -17,7 +17,9 @@ Supported subset (documented deviations from full JSON-LD 1.1):
 - node objects: ``@id`` (resolved against base), ``@type``, ``@graph``,
   nested node objects (→ blank nodes), arrays, ``@list`` (rdf:first/rest
   chains), value objects (``@value`` + ``@language``/``@direction``/
-  ``@type``), ``@reverse`` NOT supported (dropped).
+  ``@type``), ``@reverse`` (node-level maps AND reversed term
+  definitions; literal values in reverse position are dropped per the
+  expansion algorithm).
 - native values: string → xsd:string, bool → xsd:boolean, integral
   number → xsd:integer, other number → canonical xsd:double (JSON-LD
   data round-tripping, e.g. ``5.5 → "5.5E0"``).
@@ -142,6 +144,12 @@ class _Context:
                     out.terms[term] = {"@id": defn}
                 elif isinstance(defn, dict) and "@id" in defn:
                     out.terms[term] = defn
+                elif isinstance(defn, dict) and "@reverse" in defn:
+                    # reversed term definition (JSON-LD 1.1 §4.8;
+                    # reference jsonld/src/parser.rs handles @reverse
+                    # through its expansion library)
+                    out.terms[term] = {"@id": defn["@reverse"],
+                                       "@reverse": True}
                 elif defn is None:
                     out.terms.pop(term, None)
         return out
@@ -228,6 +236,19 @@ class JsonLdExpander:
             if expanded:
                 self.triples.append((subject, iri(RDF + "type"), iri(expanded), graph))
 
+        if "@reverse" in obj and isinstance(obj["@reverse"], dict):
+            # node-level @reverse: values become SUBJECTS pointing at
+            # this node (JSON-LD 1.1 §4.8 / expansion §13.13)
+            for rkey, rval in obj["@reverse"].items():
+                pred_iri = ctx.expand_iri(rkey, vocab=True)
+                if pred_iri is None or not is_absolute_iri(pred_iri):
+                    continue
+                pred = iri(pred_iri)
+                for v in rval if isinstance(rval, list) else [rval]:
+                    o = self._reverse_value(v, ctx, graph)
+                    if o is not None:
+                        self.triples.append((o, pred, subject, graph))
+
         for key, value in obj.items():
             if key.startswith("@"):
                 continue
@@ -236,11 +257,33 @@ class JsonLdExpander:
                 continue
             pred = iri(pred_iri)
             tdef = ctx.terms.get(key, {})
+            if tdef.get("@reverse"):
+                # reversed term: emit (value, pred, subject)
+                for v in value if isinstance(value, list) else [value]:
+                    o = self._reverse_value(v, ctx, graph)
+                    if o is not None:
+                        self.triples.append((o, pred, subject, graph))
+                continue
             for v in value if isinstance(value, list) else [value]:
                 o = self._value(v, ctx, graph, tdef)
                 if o is not None:
                     self.triples.append((subject, pred, o, graph))
         return subject
+
+    def _reverse_value(self, v: Any, ctx: _Context,
+                       graph: Optional[Term]) -> Optional[Term]:
+        """A value in reverse position must be a node (IRI/bnode);
+        literals are invalid reverse values and are dropped."""
+        if isinstance(v, dict):
+            if "@value" in v or "@list" in v:
+                return None
+            return self._node(v, ctx, graph)
+        if isinstance(v, str):
+            if v.startswith("_:"):
+                return bnode(v[2:])
+            expanded = ctx.expand_iri(v, vocab=False)
+            return iri(expanded) if expanded else None
+        return None
 
     def _value(self, v: Any, ctx: _Context, graph: Optional[Term],
                tdef: dict) -> Optional[Term]:

@@ -170,6 +170,13 @@ def _check_strict(s: Term, p: Term, o: Term, g: Optional[Term], lp: _LineParser)
         lp.err("object must not be a variable (strict mode)")
     if g is not None and g[0] not in (KIND_IRI, KIND_BNODE):
         lp.err("graph name must be IRI or blank node (strict mode)")
+    if o[0] == 2 and o[3]:
+        # BCP47 well-formedness (reference bcp47/src/_tag.rs:18 — the
+        # reference rejects malformed tags at term construction)
+        from .bcp47 import is_valid_tag
+
+        if not is_valid_tag(o[3]):
+            lp.err(f"invalid BCP47 language tag {o[3]!r} (strict mode)")
 
 
 def parse_line(

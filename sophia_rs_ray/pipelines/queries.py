@@ -310,9 +310,10 @@ ORDER BY sim DESC, vec_id LIMIT 10
 # ---------------------------------------------------------------------------
 
 def _embedding_near_dup(sf_dir: str):
-    """Embedding-cosine near-duplicate pairs (sim ≥ 0.4): broadcast
-    normalized matrix + per-batch matmul in an actor pool (SURVEY
-    training-data ops; LSH/IVF bucketing is the 10^12-scale path)."""
+    """Embedding-cosine near-duplicate pairs (sim ≥ 0.4), EXACT, via
+    distributed block×block tile tasks — no driver materialization, no
+    full-matrix broadcast (SURVEY training-data ops; the LSH variant
+    ``embedding_near_dup_lsh`` is the near-linear 10^12-scale path)."""
     import ray.data as rd
 
     from ..functions.ann import cosine_near_dup
@@ -331,11 +332,13 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
 
 
 def _ivf_knn(sf_dir: str):
-    """IVF-bucketed approximate top-10 for vec_id 0 (rows-only; recall
-    vs brute force asserted in tests/test_ann.py)."""
+    """IVF-bucketed approximate top-10 for vec_id 0 over the PERSISTED
+    bucket layout — the query reads only the probed bucket files
+    (rows-only; recall + pruned-read assertions in tests/test_ann.py)."""
+    import hashlib
     import ray.data as rd
 
-    from ..functions.ann import ivf_topk
+    from ..functions.ann import ivf_topk_indexed, materialize_ivf
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
@@ -345,7 +348,24 @@ def _ivf_knn(sf_dir: str):
         if 0 in ids:
             q = b["embedding"].to_pylist()[ids.index(0)]
             break
-    return ivf_topk(ds, q, k=10, exclude_id=0)
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    out_dir = f"/tmp/sophia_ivf/{tag}"
+    materialize_ivf(ds, out_dir, n_buckets=16, resume=True)
+    return ivf_topk_indexed(out_dir, q, k=10, n_probe=8, exclude_id=0)
+
+
+def _embedding_near_dup_lsh(sf_dir: str):
+    """SimHash-banded near-dup pairs + exact verification — the
+    near-linear 10^12-scale sibling of ``embedding_near_dup`` (which
+    stays exact via distributed tiles).  Rows-only; recall vs brute
+    force asserted in tests/test_ann.py."""
+    import ray.data as rd
+
+    from ..functions.ann import cosine_near_dup_lsh
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return cosine_near_dup_lsh(ds, threshold=0.4)
 
 
 def _ngram_jaccard(sf_dir: str):
@@ -525,6 +545,52 @@ SELECT DISTINCT s, p, o FROM (
 )
 """
 
+def _rdfs_entailment_full(sf_dir: str):
+    """FULL-ruleset RDFS saturation (reasoner.rdfs_saturate_full) of
+    doc_triples ∪ the static test ontology, in extended-ρdf
+    configuration (no axiomatic triples / rdfs4 Resource typing /
+    rdfs14 / D-typing, so the oracle stays hand-expandable): adds
+    rdfs1/6/8/10/12/13 machinery on top of rdfs2/3/5/7/9/11 — here
+    visible as ``p rdf:type rdf:Property`` + ``p rdfs:subPropertyOf p``
+    for every used predicate.  Parity target
+    reasoner/src/ruleset/_rdfs.rs:35-97."""
+    import ray.data as rd
+
+    from ..reasoner import rdfs_saturate_full
+
+    onto = rd.from_arrow(pa.table({
+        "s": pa.array([t[0] for t in _ONTOLOGY], pa.large_string()),
+        "p": pa.array([t[1] for t in _ONTOLOGY], pa.large_string()),
+        "o": pa.array([t[2] for t in _ONTOLOGY], pa.large_string())}))
+    return rdfs_saturate_full(
+        doc_triples(sf_dir).union(onto), axiomatic=False,
+        resource_types=False, proposition_types=False,
+        literal_types=False, d_entailment=False)
+
+
+_RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+_USED_PREDS = [
+    f"<{_RDF_NS}type>",
+    "<http://purl.org/dc/terms/language>",
+    "<http://purl.org/dc/terms/source>",
+    "<http://kg.example/nchars>",
+    f"<{_RDFS}subClassOf>",
+    f"<{_RDFS}subPropertyOf>",
+    f"<{_RDFS}domain>",
+]
+_PRED_ROWS = ",\n    ".join(
+    f"('{p}', '<{_RDF_NS}type>', '<{_RDF_NS}Property>'),\n"
+    f"    ('{p}', '<{_RDFS}subPropertyOf>', '{p}')"
+    for p in _USED_PREDS)
+
+RDFS_ENTAILMENT_FULL_SQL = f"""
+SELECT DISTINCT s, p, o FROM (
+  SELECT s, p, o FROM ({RDFS_ENTAILMENT_SQL})
+  UNION ALL SELECT * FROM (VALUES
+    {_PRED_ROWS}) t(s, p, o)
+)
+"""
+
 GAZETTEER = ["hash value", "customer", "query", "spark"]
 
 
@@ -562,6 +628,78 @@ FROM (SELECT doc_id,
              unnest(regexp_extract_all(text, '\b(hash value|customer|query|spark)\b')) AS m
       FROM documents)
 GROUP BY doc_id, m
+"""
+
+
+_LINK_ENT = "http://ent.example/"
+_LINK_DICT = {
+    s: [(f"{_LINK_ENT}{s.replace(' ', '_')}/1", 0.5),
+        (f"{_LINK_ENT}{s.replace(' ', '_')}/2", 0.25)]
+    for s in GAZETTEER
+}
+
+
+def _entity_links_docs(sf_dir: str):
+    """SQL-checkable entity linking over the documents table: the REAL
+    MentionDetector actor pool + score_links context-join argmax, with
+    a constant two-candidate dictionary and a deterministic context
+    (even doc_ids structurally 'contain' the /2 candidates, so context
+    beats prior there — 2·in_ctx + prior semantics).  Output is the
+    per-(doc, surface) linked entity + mention count; the oracle
+    reproduces the argmax as a CASE."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..stages.ner import MentionDetector, score_links
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    d_ref = ray.put(_LINK_DICT)
+    mentions = ds.map_batches(
+        MentionDetector,
+        fn_constructor_kwargs={"dictionary": d_ref, "key_col": "doc_id"},
+        batch_format="pyarrow", concurrency=2, batch_size=256)
+
+    def ctx(b: pa.Table) -> pa.Table:
+        ids = [i for i in b["doc_id"].to_pylist() if i % 2 == 0]
+        rows_id, rows_cand = [], []
+        for i in ids:
+            for s in GAZETTEER:
+                rows_id.append(i)
+                rows_cand.append(f"{_LINK_ENT}{s.replace(' ', '_')}/2")
+        return pa.table({
+            "doc_id": pa.array(rows_id, pa.int64()),
+            "cand": pa.array(rows_cand, pa.large_string()),
+            "in_ctx": pa.array([1] * len(rows_id), pa.int64())})
+
+    context = ds.map_batches(ctx, batch_format="pyarrow")
+    links = score_links(mentions, context, key_col="doc_id",
+                        num_partitions=8)
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"doc_id": pc.cast(b["doc_id"], pa.int64()),
+                      "surface": pc.cast(b["surface"], pa.string()),
+                      "entity": pc.cast(b["entity"], pa.string()),
+                      "one": pa.array([1] * b.num_rows, pa.int64())})
+        return t.group_by(["doc_id", "surface", "entity"]).aggregate(
+            [("one", "sum")])
+
+    return (links.map_batches(partial, batch_format="pyarrow")
+            .groupby(["doc_id", "surface", "entity"])
+            .aggregate(Sum("one_sum", alias_name="n")))
+
+
+ENTITY_LINKS_DOCS_SQL = r"""
+SELECT doc_id, surface,
+       'http://ent.example/' || replace(surface, ' ', '_')
+         || CASE WHEN doc_id % 2 = 0 THEN '/2' ELSE '/1' END AS entity,
+       count(*) AS n
+FROM (SELECT doc_id,
+             unnest(regexp_extract_all(
+                 text, '\b(hash value|customer|query|spark)\b')) AS surface
+      FROM documents)
+GROUP BY 1, 2, 3
 """
 
 
@@ -672,6 +810,33 @@ FROM documents
 """
 
 
+def _indexed_quad_scan(sf_dir: str):
+    """GSPO-family quad materialize + graph-pruned pattern scan
+    (inmem/src/dataset.rs:215-222): quads land in sorted shard
+    layouts led by the graph name; a GRAPH-bound scan reads ONE shard
+    directory and pushes the predicate filter into the parquet read."""
+    import hashlib
+
+    from ..stages.materialize import materialize_graph, quads_matching
+
+    tag = hashlib.sha1(f"quads:{sf_dir}".encode()).hexdigest()[:12]
+    out_dir = f"/tmp/sophia_quads/{tag}"
+    materialize_graph(_doc_quads(sf_dir), out_dir, orders=("gspo",),
+                      num_shards=8, resume=True, distinct=True)
+    return quads_matching(
+        out_dir, g="<http://kg.example/graph/src0>",
+        p="<http://purl.org/dc/terms/language>", num_shards=8)
+
+
+INDEXED_QUAD_SCAN_SQL = """
+SELECT '<http://kg.example/graph/src0>' AS g,
+       '<http://kg.example/doc/' || doc_id || '>' AS s,
+       '<http://purl.org/dc/terms/language>' AS p,
+       '"' || lang || '"' AS o
+FROM documents WHERE source = 'src0'
+"""
+
+
 def _entity_dedup_exact(sf_dir: str):
     """Canonical entity dedup, exact-name flavor (SURVEY §2.8 /
     north-rule canonicalization): doc entities sharing a dc:source name
@@ -716,7 +881,9 @@ def _entity_dedup_lsh(sf_dir: str):
 
 def _minhash_bands(sf_dir: str):
     """MinHash-LSH banding rows (doc_id, band_id, band_hash) — the
-    blocking stage of near-dup dedup (SURVEY §2.8)."""
+    blocking stage of near-dup dedup (SURVEY §2.8).  Oracle-checked:
+    md5-based shingle/band hashing is reproduced exactly in SQL
+    (the permutation constants are embedded in the query)."""
     import ray.data as rd
 
     from ..functions.dedup import MinHasher, band_rows
@@ -727,6 +894,145 @@ def _minhash_bands(sf_dir: str):
                           concurrency=2, batch_size=256)
     return sigs.map_batches(lambda b: band_rows(b, 16, 4),
                             batch_format="pyarrow")
+
+
+_MINHASH_CTES = """
+WITH RECURSIVE perms(pi, a, b) AS (VALUES
+    (0, 2297359619001564596, 570641018389960891),
+    (1, 1396682528897996047, 787603798186516972),
+    (2, 1973689801170867272, 293750097594324124),
+    (3, 1819927849474927637, 962864383515356972),
+    (4, 572192888165898362, 1375216642409152344),
+    (5, 571748048327668951, 2063949654057552392),
+    (6, 1071453510346823115, 410343612402300032),
+    (7, 2143071682933157237, 1359814319648410247),
+    (8, 1865242737500154728, 101865178233748542),
+    (9, 1532418594269339779, 1207550233880778226),
+    (10, 379716980844854581, 1510001446519210375),
+    (11, 1750777661071092056, 1918593514066211234),
+    (12, 1520798217888136606, 392368560994791802),
+    (13, 1611122243678701954, 1365882634414198249),
+    (14, 1048235628103308220, 2000839474307464185),
+    (15, 1077373049702139041, 2137406799659846683),
+    (16, 1000592739665268026, 2086389863579132104),
+    (17, 456675647751657725, 2274448960578859787),
+    (18, 1050450229337746265, 1492305152117099552),
+    (19, 760543396461257179, 1172444636525752822),
+    (20, 2063321781277379071, 1124925287146532413),
+    (21, 267364570529679360, 1386887510159385380),
+    (22, 777431531920034492, 1929643330193279659),
+    (23, 2146497176616232719, 231644453789772501),
+    (24, 1495477363401685950, 225285373686556194),
+    (25, 648881935158774718, 1793298793622896354),
+    (26, 1377488174878099308, 2206124335314378670),
+    (27, 262579006026876148, 1627828948548348546),
+    (28, 1704747971477620217, 198948935564477444),
+    (29, 856858769658023397, 1130364857072845302),
+    (30, 1983852346201383559, 386776297324261773),
+    (31, 839771884757445449, 2191391983603931930),
+    (32, 1199990111390225682, 419346625420198094),
+    (33, 1362947483897176665, 969210764397336409),
+    (34, 1671865959972055054, 468900105785203579),
+    (35, 1077240956986238970, 1990245566174715570),
+    (36, 1007446255075745114, 579766154391765855),
+    (37, 1801732545371167618, 210484898835848432),
+    (38, 1092656530294298716, 1187158319135118332),
+    (39, 1201851346935503804, 158101386990278531),
+    (40, 2251208029941317036, 600745515900680676),
+    (41, 2216872713715991304, 2292786955474901222),
+    (42, 634356285132873763, 652699705481037454),
+    (43, 633099677421309009, 102400447934616092),
+    (44, 161962062168655410, 1914738081494129164),
+    (45, 692163906031803780, 1420028748837633862),
+    (46, 1138368374822601726, 733284897621110002),
+    (47, 370189644521515574, 668164788960253723),
+    (48, 861652531725782788, 1008993515362167465),
+    (49, 1104119908775765469, 1072131779469420093),
+    (50, 1744778438383761810, 155022034638842868),
+    (51, 463618807884355116, 2240552382924550939),
+    (52, 1189795419742834890, 990075153342510699),
+    (53, 365750060173591524, 1135767110662776147),
+    (54, 1805935812952358751, 323906358285871037),
+    (55, 864677038069918991, 725736267669063295),
+    (56, 1632398491907562958, 1059583932984535030),
+    (57, 1309402721808639228, 389065880395732440),
+    (58, 834296198785359550, 1254442603959937213),
+    (59, 1389599250197995221, 2030099650348479872),
+    (60, 252301427447193325, 1898818616440063258),
+    (61, 393820126512235375, 961219165520271992),
+    (62, 1452450688103961368, 1254651014867448780),
+    (63, 1969251275389991129, 2042618724242302210)),
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\W+'),
+                     x -> x <> '') AS tk
+  FROM documents),
+padded AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) < 3
+              THEN list_concat(tk, list_transform(range(3 - len(tk)),
+                                                  x -> ''))
+              ELSE tk END AS tk
+  FROM toks),
+shingles AS (
+  SELECT DISTINCT doc_id,
+         CAST(('0x' || substr(md5(sh), 1, 16)) AS UBIGINT) AS h
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(len(tk) - 2),
+                      i -> tk[i + 1] || ' ' || tk[i + 2] || ' '
+                           || tk[i + 3])) AS sh
+        FROM padded)),
+sig AS (
+  SELECT doc_id, pi,
+         min(CAST((CAST(a AS HUGEINT) * CAST(h AS HUGEINT) + b)
+                  % CAST('18446744073709551616' AS HUGEINT)
+                  % 2305843009213693951 AS UBIGINT)) AS v
+  FROM shingles CROSS JOIN perms GROUP BY doc_id, pi),
+bands AS (
+  SELECT doc_id, CAST(pi // 4 AS INTEGER) AS band_id,
+         string_agg(CAST(v AS VARCHAR), ',' ORDER BY pi) AS txt
+  FROM sig GROUP BY doc_id, pi // 4)
+"""
+
+MINHASH_BANDS_SQL = _MINHASH_CTES + """
+SELECT doc_id, band_id,
+       CAST(('0x' || substr(md5(txt), 1, 15)) AS BIGINT) AS band_hash
+FROM bands
+"""
+
+NEAR_DUP_CLUSTERS_SQL = _MINHASH_CTES + """,
+band_hashes AS (
+  SELECT doc_id, band_id,
+         CAST(('0x' || substr(md5(txt), 1, 15)) AS BIGINT) AS band_hash
+  FROM bands),
+bucket_members AS (
+  SELECT band_id, band_hash, doc_id,
+         row_number() OVER (PARTITION BY band_id, band_hash
+                            ORDER BY doc_id) AS rn
+  FROM (SELECT DISTINCT band_id, band_hash, doc_id FROM band_hashes)),
+capped AS (SELECT * FROM bucket_members WHERE rn <= 50),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM capped x JOIN capped y
+    ON x.band_id = y.band_id AND x.band_hash = y.band_hash
+   AND x.doc_id < y.doc_id),
+verified AS (
+  SELECT c.a, c.b
+  FROM cand c
+  JOIN sig va ON va.doc_id = c.a
+  JOIN sig vb ON vb.doc_id = c.b AND vb.pi = va.pi
+  GROUP BY c.a, c.b
+  HAVING sum(CASE WHEN va.v = vb.v THEN 1 ELSE 0 END) >= 32),
+sym AS (
+  SELECT a AS x, b AS y FROM verified
+  UNION SELECT b, a FROM verified
+  UNION SELECT doc_id, doc_id FROM documents),
+reach(x, y) AS (
+  SELECT x, y FROM sym
+  UNION
+  SELECT r.x, s.y FROM reach r JOIN sym s ON r.y = s.x)
+SELECT x AS doc_id, min(y) AS cluster FROM reach GROUP BY x
+"""
 
 
 def registry() -> Registry:
@@ -743,6 +1049,8 @@ def registry() -> Registry:
         "sort_spo_limit": (_sort_spo_limit, SORT_SPO_SQL),
         "indexed_pattern_scan": (_indexed_pattern_scan, INDEXED_SCAN_SQL),
         "rdfs_entailment": (_rdfs_entailment, RDFS_ENTAILMENT_SQL),
+        "rdfs_entailment_full": (_rdfs_entailment_full,
+                                 RDFS_ENTAILMENT_FULL_SQL),
         "turtle_roundtrip": (_turtle_roundtrip, TURTLE_ROUNDTRIP_SQL),
         "rdfxml_roundtrip": (_rdfxml_roundtrip, RDFXML_ROUNDTRIP_SQL),
         "jsonld_roundtrip": (_jsonld_roundtrip, JSONLD_ROUNDTRIP_SQL),
@@ -771,9 +1079,11 @@ def registry() -> Registry:
         "graph_remove_matching": (_graph_remove_matching,
                                   GRAPH_REMOVE_MATCHING_SQL),
         "graph_names": (_graph_names, GRAPH_NAMES_SQL),
+        "indexed_quad_scan": (_indexed_quad_scan, INDEXED_QUAD_SCAN_SQL),
         "entity_dedup_lsh": (_entity_dedup_lsh, None),
         "ngram_jaccard": (_ngram_jaccard, NGRAM_JACCARD_SQL),
         "ivf_knn": (_ivf_knn, None),
+        "embedding_near_dup_lsh": (_embedding_near_dup_lsh, None),
         "media_features": (_media_features, None),
         # rows-only
         "kg_pipeline": (_kg_pipeline, None),
@@ -781,9 +1091,10 @@ def registry() -> Registry:
         "lang_id": (_lang_id, None),
         "simhash_fingerprint": (_simhash, None),
         "c14n_digests": (_c14n_digests, None),
-        "near_dup_clusters": (_near_dup_clusters, None),
-        "minhash_bands": (_minhash_bands, None),
+        "near_dup_clusters": (_near_dup_clusters, NEAR_DUP_CLUSTERS_SQL),
+        "minhash_bands": (_minhash_bands, MINHASH_BANDS_SQL),
         "entity_links": (_entity_links, None),
+        "entity_links_docs": (_entity_links_docs, ENTITY_LINKS_DOCS_SQL),
         "mention_triples": (_mention_triples, None),
     })
     return out

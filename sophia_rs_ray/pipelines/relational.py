@@ -39,6 +39,31 @@ def _round_col(b: pa.Table, col: str, digits: int) -> pa.Table:
     return b.set_column(i, col, rounded)
 
 
+def _cents(col, scale: float = 1e2):
+    """Exact integer representation of a decimal-valued double column
+    (round half away from zero).  The driver's money/measure columns
+    are exact 2-decimal values stored as doubles, so summing these
+    integers IS the SQL DECIMAL sum — order-independent and therefore
+    bit-deterministic across any distribution of partial aggregates.
+    (r1 quantized both sides with floor(x*s+0.5); that biased negative
+    values toward +inf and weakened the oracle — the oracles now use
+    true DECIMAL casts and these integers reproduce them exactly.)"""
+    import numpy as np
+
+    x = col.to_numpy(zero_copy_only=False)
+    return (np.sign(x) * np.floor(np.abs(x) * scale + 0.5)).astype("int64")
+
+
+def _int_round2(s4):
+    """Integer half-away-from-zero rounding of a scale-4 sum to scale-2
+    cents (matches DuckDB's round(DECIMAL, 2)); stays exact where a
+    float division could land on the wrong side of a .xx5 boundary."""
+    import numpy as np
+
+    s4 = np.asarray(s4, dtype="int64")
+    return np.sign(s4) * ((np.abs(s4) + 50) // 100)
+
+
 # ---------------------------------------------------------------------------
 # aggregates (partial pre-aggregation before the shuffle)
 # ---------------------------------------------------------------------------
@@ -54,26 +79,20 @@ def tpch_q1(sf_dir: str):
                 "l_extendedprice", "l_discount"])
 
     def partial(b: pa.Table) -> pa.Table:
-        import numpy as np
-
-        # quantize every measure to integers BEFORE summing: integer
-        # sums are order-independent, so distributed partials match the
-        # oracle bit-exactly (floats summed in a different order can
-        # land on the other side of a rounding boundary)
-        def q(col, scale):
-            return np.floor(col.to_numpy(zero_copy_only=False) * scale
-                            + 0.5).astype("int64")
-
-        disc_price = pc.multiply(b["l_extendedprice"],
-                                 pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        # exact DECIMAL semantics in integers: cents for the scale-2
+        # columns, and disc_price as the exact integer product
+        # cents(price) × (100 − cents(discount)) at scale 4 — no float
+        # multiplication anywhere, so the sum equals DuckDB's
+        # DECIMAL(18,2) × DECIMAL arithmetic bit-for-bit
+        p_cents = _cents(b["l_extendedprice"])
+        d_cents = _cents(b["l_discount"])
         t = pa.table({
             "l_returnflag": b["l_returnflag"],
             "l_linestatus": b["l_linestatus"],
-            "q_qty": pa.array(q(b["l_quantity"], 1e2), pa.int64()),
-            "q_price": pa.array(q(b["l_extendedprice"], 1e2), pa.int64()),
-            "q_disc_price": pa.array(
-                q(disc_price.combine_chunks() if hasattr(disc_price, "combine_chunks") else disc_price, 1e6), pa.int64()),
-            "q_disc": pa.array(q(b["l_discount"], 1e6), pa.int64()),
+            "q_qty": pa.array(_cents(b["l_quantity"]), pa.int64()),
+            "q_price": pa.array(p_cents, pa.int64()),
+            "q_disc_price": pa.array(p_cents * (100 - d_cents), pa.int64()),
+            "q_disc": pa.array(d_cents, pa.int64()),
             "one": pa.array([1] * len(b), pa.int64()),
         })
         return t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
@@ -96,32 +115,34 @@ def tpch_q1(sf_dir: str):
         return pa.table({
             "l_returnflag": b["l_returnflag"],
             "l_linestatus": b["l_linestatus"],
-            "sum_qty": pa.array(round_away(qq / 1e2, 2)),
-            "sum_base_price": pa.array(round_away(
-                b["_qp"].to_numpy(zero_copy_only=False) / 1e2, 2)),
-            "sum_disc_price": pa.array(round_away(
-                b["_qdp"].to_numpy(zero_copy_only=False) / 1e6, 2)),
+            "sum_qty": pa.array(qq / 1e2),
+            "sum_base_price": pa.array(
+                b["_qp"].to_numpy(zero_copy_only=False) / 1e2),
+            "sum_disc_price": pa.array(
+                _int_round2(b["_qdp"].to_numpy(zero_copy_only=False)) / 1e2),
             "avg_qty": pa.array(round_away(qq / 1e2 / n, 4)),
-            "avg_disc": pa.array(round_away(qd / 1e6 / n, 4)),
+            "avg_disc": pa.array(round_away(qd / 1e2 / n, 4)),
             "count_order": b["count_order"],
         })
 
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
+# Oracle at TRUE SQL DECIMAL semantics (the driver's money columns are
+# exact 2-decimal values): no quantization mirroring — the Ray side's
+# integer arithmetic must reproduce real DECIMAL sums (r1 ADVICE).
 TPCH_Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) / 100.0, 2)
-           AS sum_qty,
-       round(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0,
-             2) AS sum_base_price,
-       round(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000
-                            + 0.5) AS BIGINT)) / 1000000.0, 2)
-           AS sum_disc_price,
-       round(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) / 100.0
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS sum_base_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+            AS DOUBLE) AS sum_disc_price,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
              / count(*), 4) AS avg_qty,
-       round(sum(CAST(floor(l_discount * 1000000 + 0.5) AS BIGINT))
-             / 1000000.0 / count(*), 4) AS avg_disc,
+       round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             / count(*), 4) AS avg_disc,
        count(*) AS count_order
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
@@ -135,17 +156,12 @@ def events_hourly(sf_dir: str):
     ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
 
     def partial(b: pa.Table) -> pa.Table:
-        import numpy as np
-
         hour = pc.divide(pc.cast(b["ts"], pa.int64()),
                          pa.scalar(3_600_000_000))
-        # quantize to 1e-6 BEFORE summing: integer sums are
-        # order-independent, so the distributed sum is bit-identical to
-        # the oracle's regardless of partial-aggregation order
-        q = np.floor(b["value"].to_numpy(zero_copy_only=False) * 1e6
-                     + 0.5).astype("int64")
+        # the value column is exact 2-decimal: cents sums ARE the SQL
+        # DECIMAL sums, order-independent across partials
         b = pa.table({"event_type": b["event_type"], "hour": hour,
-                      "q": pa.array(q, pa.int64()),
+                      "q": pa.array(_cents(b["value"]), pa.int64()),
                       "one": pa.array([1] * len(b), pa.int64())})
         return b.group_by(["event_type", "hour"]).aggregate(
             [("q", "sum"), ("one", "sum")])
@@ -157,7 +173,7 @@ def events_hourly(sf_dir: str):
 
     def finalize(b: pa.Table) -> pa.Table:
         avg = round_away(
-            b["_sq"].to_numpy(zero_copy_only=False) / 1e6
+            b["_sq"].to_numpy(zero_copy_only=False) / 1e2
             / b["n"].to_numpy(zero_copy_only=False).astype("float64"), 4)
         return pa.table({"event_type": b["event_type"], "hour": b["hour"],
                          "n": b["n"], "avg_value": pa.array(avg)})
@@ -168,8 +184,8 @@ def events_hourly(sf_dir: str):
 EVENTS_HOURLY_SQL = """
 SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
        count(*) AS n,
-       round(sum(CAST(floor("value" * 1000000 + 0.5) AS BIGINT))
-             / 1000000.0 / count(*), 4) AS avg_value
+       round(CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE)
+             / count(*), 4) AS avg_value
 FROM events GROUP BY 1, 2
 """
 
@@ -259,40 +275,86 @@ GROUP BY c_mktsegment
 """
 
 
-def customers_without_orders(sf_dir: str):
+#: build-side row count above which semi/anti joins stop broadcasting a
+#: driver-collected key set and run a distributed left_semi/left_anti
+#: Dataset.join instead (the driver would otherwise be both the
+#: bandwidth and the memory bottleneck — r1 VERDICT item 5)
+_BROADCAST_KEY_LIMIT = 2_000_000
+
+
+def _distinct_keys(ds, col: str, num_partitions: int = 16):
+    """Distinct values of one column via the hash exchange (per-block
+    combiner first — no full-row shuffle)."""
+    from ..functions.exchange import hash_aggregate
+
+    def dedup(t: pa.Table) -> pa.Table:
+        return pa.table({col: pc.unique(t[col])})
+
+    return hash_aggregate(ds, [col], dedup, dedup,
+                          num_partitions=num_partitions)
+
+
+def _semi_anti_counted(left, build, key_left: str, key_right: str,
+                       anti: bool, group_fn, *,
+                       force_distributed: bool = False):
+    """Semi/anti join + grouped count with an explicit scale gate:
+    below ``_BROADCAST_KEY_LIMIT`` build rows the distinct key set is
+    collected once and broadcast via ``ray.put`` (no shuffle); above
+    it, a distributed ``left_semi``/``left_anti`` Dataset.join."""
+    import ray
+    from ..util import safe_join as _sj
+
+    build = build.materialize()
+    if force_distributed or build.count() > _BROADCAST_KEY_LIMIT:
+        marker = _distinct_keys(build, key_right)
+        how = "left_anti" if anti else "left_semi"
+        filtered = _sj(left, marker, how, 16,
+                       on=(key_left,), right_on=(key_right,))
+        return group_fn(filtered, None)
+    keys = set()
+    for b in build.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        keys.update(b[key_right].to_pylist())
+    return group_fn(left, ray.put(keys))
+
+
+def customers_without_orders(sf_dir: str, *, force_distributed: bool = False):
     """Anti join (SPARQL MINUS, exec.rs:754-790): customers with no
-    *large* (totalprice > 450000) order, counted per nation. Broadcast
-    the right side's key set, filter on the left — the scale pattern for
-    semi/anti joins whose key set fits in memory (else: left_anti
-    Dataset.join)."""
+    *large* (totalprice > 450000) order, counted per nation.  Gated:
+    broadcast key-set filter while the build side is small, distributed
+    left_anti join above ``_BROADCAST_KEY_LIMIT``."""
     import ray
     from ray.data.aggregate import Sum
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    keys = set()
-    for b in orders.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        big = b.filter(pc.greater(b["o_totalprice"], pa.scalar(450000.0)))
-        keys.update(big["o_custkey"].to_pylist())
-    keys_ref = ray.put(keys)
+    big = orders.map_batches(
+        lambda b: pa.table({"o_custkey": b.filter(
+            pc.greater(b["o_totalprice"], pa.scalar(450000.0)))["o_custkey"]}),
+        batch_format="pyarrow")
 
     nation = _read(sf_dir, "nation").to_pandas()
     n2name_ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
 
-    def partial(b: pa.Table) -> pa.Table:
-        import ray as _ray
-        ks = _ray.get(keys_ref)
-        lut = _ray.get(n2name_ref)
-        mask = [k not in ks for k in b["c_custkey"].to_pylist()]
-        b = b.filter(pa.array(mask))
-        names = [lut.get(k) for k in b["c_nationkey"].to_pylist()]
-        t = pa.table({"n_name": names,
-                      "one": pa.array([1] * len(b), pa.int64())})
-        return t.group_by("n_name").aggregate([("one", "sum")])
+    def group_fn(left, keys_ref):
+        def partial(b: pa.Table) -> pa.Table:
+            import ray as _ray
+            lut = _ray.get(n2name_ref)
+            if keys_ref is not None:
+                ks = _ray.get(keys_ref)
+                mask = [k not in ks for k in b["c_custkey"].to_pylist()]
+                b = b.filter(pa.array(mask))
+            names = [lut.get(k) for k in b["c_nationkey"].to_pylist()]
+            t = pa.table({"n_name": names,
+                          "one": pa.array([1] * len(b), pa.int64())})
+            return t.group_by("n_name").aggregate([("one", "sum")])
 
-    return (cust.map_batches(partial, batch_format="pyarrow")
-            .groupby("n_name").aggregate(Sum("one_sum", alias_name="n")))
+        return (left.map_batches(partial, batch_format="pyarrow")
+                .groupby("n_name").aggregate(Sum("one_sum", alias_name="n")))
+
+    return _semi_anti_counted(cust, big, "c_custkey", "o_custkey",
+                              True, group_fn,
+                              force_distributed=force_distributed)
 
 
 CUSTOMERS_WITHOUT_ORDERS_SQL = """
@@ -304,32 +366,37 @@ GROUP BY n_name
 """
 
 
-def large_parts_in_lineitem(sf_dir: str):
+def large_parts_in_lineitem(sf_dir: str, *, force_distributed: bool = False):
     """Semi join (SPARQL EXISTS): parts with size > 40 that appear in
-    lineitem, counted per brand. Broadcast distinct-key filter."""
+    lineitem, counted per brand.  Gated like customers_without_orders:
+    broadcast distinct-key filter below the limit, distributed
+    left_semi join above it."""
     import ray
     from ray.data.aggregate import Sum
 
     li = _read(sf_dir, "lineitem", ["l_partkey"])
-    keys = set()
-    for b in li.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        keys.update(b["l_partkey"].to_pylist())
-    keys_ref = ray.put(keys)
-
     part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+    part = part.map_batches(
+        lambda b: b.filter(pc.greater(b["p_size"], pa.scalar(40))),
+        batch_format="pyarrow")
 
-    def partial(b: pa.Table) -> pa.Table:
-        import ray as _ray
-        ks = _ray.get(keys_ref)
-        b = b.filter(pc.greater(b["p_size"], pa.scalar(40)))
-        mask = [k in ks for k in b["p_partkey"].to_pylist()]
-        b = b.filter(pa.array(mask))
-        t = pa.table({"p_brand": b["p_brand"],
-                      "one": pa.array([1] * len(b), pa.int64())})
-        return t.group_by("p_brand").aggregate([("one", "sum")])
+    def group_fn(left, keys_ref):
+        def partial(b: pa.Table) -> pa.Table:
+            if keys_ref is not None:
+                import ray as _ray
+                ks = _ray.get(keys_ref)
+                mask = [k in ks for k in b["p_partkey"].to_pylist()]
+                b = b.filter(pa.array(mask))
+            t = pa.table({"p_brand": b["p_brand"],
+                          "one": pa.array([1] * len(b), pa.int64())})
+            return t.group_by("p_brand").aggregate([("one", "sum")])
 
-    return (part.map_batches(partial, batch_format="pyarrow")
-            .groupby("p_brand").aggregate(Sum("one_sum", alias_name="n")))
+        return (left.map_batches(partial, batch_format="pyarrow")
+                .groupby("p_brand").aggregate(Sum("one_sum", alias_name="n")))
+
+    return _semi_anti_counted(part, li, "p_partkey", "l_partkey",
+                              False, group_fn,
+                              force_distributed=force_distributed)
 
 
 LARGE_PARTS_SQL = """
@@ -355,15 +422,11 @@ def top_orders_by_revenue(sf_dir: str, k: int = 10):
     from ..util import topk
 
     def combine(b: pa.Table) -> pa.Table:
-        import numpy as np
-
-        rev = pc.multiply(b["l_extendedprice"],
-                          pc.subtract(pa.scalar(1.0), b["l_discount"]))
-        # integer-quantized revenue: order-independent sums (see tpch_q1)
-        q = np.floor(rev.to_numpy(zero_copy_only=False) * 1e6
-                     + 0.5).astype("int64")
+        # exact integer revenue at scale 4: cents(price) × (100 −
+        # cents(discount)) — true DECIMAL semantics, order-independent
+        rev = _cents(b["l_extendedprice"]) * (100 - _cents(b["l_discount"]))
         t = pa.table({"l_orderkey": b["l_orderkey"],
-                      "rev": pa.array(q, pa.int64())})
+                      "rev": pa.array(rev, pa.int64())})
         return (t.group_by("l_orderkey").aggregate([("rev", "sum")])
                 .rename_columns(["l_orderkey", "rev"]))
 
@@ -372,8 +435,8 @@ def top_orders_by_revenue(sf_dir: str, k: int = 10):
              .rename_columns(["l_orderkey", "revenue"]))
         i = g.column_names.index("revenue")
         g = g.set_column(i, "revenue", pa.array(
-            g["revenue"].to_numpy(zero_copy_only=False) / 1e6))
-        return _round_col(g, "revenue", 2)
+            _int_round2(g["revenue"].to_numpy(zero_copy_only=False)) / 1e2))
+        return g
 
     agg = hash_aggregate(li, ["l_orderkey"], combine, finalize,
                          num_partitions=16)
@@ -383,8 +446,9 @@ def top_orders_by_revenue(sf_dir: str, k: int = 10):
 
 TOP_ORDERS_SQL = """
 SELECT l_orderkey,
-       round(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000
-                            + 0.5) AS BIGINT)) / 1000000.0, 2) AS revenue
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+            AS DOUBLE) AS revenue
 FROM lineitem GROUP BY l_orderkey
 ORDER BY revenue DESC, l_orderkey LIMIT 10
 """
@@ -408,14 +472,14 @@ def nations_per_region_concat(sf_dir: str):
         names = [lut.get(k) for k in b["n_regionkey"].to_pylist()]
         return b.append_column("r_name", pa.array(names, pa.string()))
 
-    def concat(g):
-        import pandas as pd
-        names = sorted(g["n_name"])
-        return pd.DataFrame({"r_name": [g["r_name"].iloc[0]],
-                             "nations": [",".join(names)]})
+    def concat(g: pa.Table) -> pa.Table:
+        names = sorted(g["n_name"].to_pylist())
+        return pa.table({"r_name": g["r_name"].slice(0, 1),
+                         "nations": pa.array([",".join(names)],
+                                             pa.string())})
 
     return (nation.map_batches(add_rname, batch_format="pyarrow")
-            .groupby("r_name").map_groups(concat, batch_format="pandas"))
+            .groupby("r_name").map_groups(concat, batch_format="pyarrow"))
 
 
 NATIONS_CONCAT_SQL = """

@@ -103,6 +103,16 @@ class Distinct:
 
 
 @dataclass
+class Reduced:
+    """SELECT REDUCED — eliminates ADJACENT duplicate solutions only
+    (exec.rs:575-595), block-locally: a streaming dedup with no
+    shuffle, unlike Distinct's exchange.  Spec-legal (REDUCED may drop
+    any subset of duplicates) and matches the reference's cardinality
+    on sorted inputs."""
+    child: "Node"
+
+
+@dataclass
 class OrderBy:
     keys: Sequence[Tuple[Expr, bool]]  # (expr, ascending)
     child: "Node"
@@ -701,8 +711,121 @@ def _distinct(ds, num_partitions: int = 8):
 
 
 # ---------------------------------------------------------------------------
-# distributed GROUP BY: partial-aggregate states through the hash exchange
+# vectorized FILTER fast paths (pyarrow.compute kernels)
 # ---------------------------------------------------------------------------
+#
+# The expression evaluator is deliberately row-wise (expr.py docstring);
+# the overwhelmingly common FILTER shapes — Var <op> constant-literal,
+# possibly under && — get compiled to Arrow kernels instead (r1 VERDICT
+# item 7).  Semantics preserved exactly: comparison errors (unbound,
+# non-numeric operand against a numeric constant) DROP the row, matching
+# SPARQL error propagation.
+
+_NT_LIT_RE = (r'^"(?P<lex>.*)"'
+              r'(?:\^\^<(?P<dt>[^>]*)>|@(?P<lang>[A-Za-z0-9-]+))?$')
+_NUM_SYNTAX_RE = r"^[+-]?(?:[0-9]+\.?[0-9]*|\.[0-9]+)(?:[eE][+-]?[0-9]+)?$"
+_CMP_KERNELS = {
+    "=": pc.equal, "!=": pc.not_equal, "<": pc.less,
+    "<=": pc.less_equal, ">": pc.greater, ">=": pc.greater_equal,
+}
+
+
+def _numeric_values_arr(col):
+    """NT-text column → (valid numeric bool mask, float64 values)."""
+    col = pc.cast(col, pa.string())
+    ext = pc.extract_regex(col, _NT_LIT_RE)
+    matched = pc.is_valid(ext)
+    lex = pc.struct_field(ext, "lex")
+    dt = pc.struct_field(ext, "dt")
+    num_dts = pa.array(sorted(
+        XSD + d for d in ("integer", "decimal", "double", "float", "long",
+                          "int", "short", "byte", "nonNegativeInteger",
+                          "positiveInteger", "negativeInteger",
+                          "nonPositiveInteger", "unsignedLong",
+                          "unsignedInt", "unsignedShort", "unsignedByte")))
+    dt_ok = pc.is_in(dt, value_set=num_dts)
+    syn_ok = pc.match_substring_regex(
+        pc.coalesce(lex, pa.scalar("")), _NUM_SYNTAX_RE)
+    valid = pc.and_kleene(matched, pc.and_(
+        pc.fill_null(dt_ok, False), syn_ok))
+    valid = pc.fill_null(valid, False)
+    vals = pc.cast(pc.if_else(valid, lex, pa.scalar(None, pa.string())),
+                   pa.float64())
+    return valid, vals
+
+
+def _compile_fast_filter(e: Expr):
+    """Expr → batch→bool-mask function using Arrow kernels, or None
+    when the shape isn't supported (falls back to row-wise eval)."""
+    if isinstance(e, FnCall) and e.fn == "&&" and len(e.args) == 2:
+        fa = _compile_fast_filter(e.args[0])
+        fb = _compile_fast_filter(e.args[1])
+        if fa is None or fb is None:
+            return None
+        return lambda b: pc.and_(fa(b), fb(b))
+    if not (isinstance(e, FnCall) and e.fn in _CMP_KERNELS
+            and len(e.args) == 2):
+        return None
+    a, c = e.args
+    if isinstance(c, Var) and isinstance(a, Const):
+        flip = {"<": ">", ">": "<", "<=": ">=", ">=": "<="}
+        a, c = c, a
+        e = FnCall(flip.get(e.fn, e.fn), a, c)
+    if not (isinstance(a, Var) and isinstance(c, Const)):
+        return None
+    term = c.term
+    op = e.fn
+    kern = _CMP_KERNELS[op]
+    name = a.name
+    v = value_of(term) if term[0] == 2 else None
+    if term[0] == 2 and v is not None and v[0] == "num":
+        x = float(v[1])
+
+        def num_mask(b: pa.Table):
+            if name not in b.column_names:
+                return pa.array([False] * b.num_rows)
+            col = pc.cast(b[name], pa.string())
+            valid, vals = _numeric_values_arr(col)
+            cmpres = pc.fill_null(kern(vals, pa.scalar(x)), False)
+            out = pc.and_(valid, cmpres)
+            if op == "!=":
+                # a non-literal term != a literal is plain term
+                # inequality → always True (SPARQL = on mixed kinds)
+                nonlit = pc.invert(pc.fill_null(pc.match_substring_regex(
+                    pc.coalesce(col, pa.scalar("")), _NT_LIT_RE), False))
+                nonlit = pc.and_(nonlit, pc.is_valid(col))
+                out = pc.or_(out, nonlit)
+            return out
+
+        return num_mask
+    if op == "=" and (term[0] != 2
+                      or (v is not None and v[0] in ("str", "lang"))):
+        # text equality is exact here: canonical NT is injective per
+        # value for IRIs/bnodes/plain/lang strings, and every
+        # cross-type pair either errors or is unequal → dropped on
+        # both paths
+        txt = format_term(term)
+
+        def eq_mask(b: pa.Table):
+            if name not in b.column_names:
+                return pa.array([False] * b.num_rows)
+            col = pc.cast(b[name], pa.string())
+            return pc.fill_null(pc.equal(col, pa.scalar(txt)), False)
+
+        return eq_mask
+    if op == "!=" and term[0] != 2:
+        # non-literal constant: SPARQL != against ANY term is plain
+        # term inequality (no value spaces involved)
+        txt = format_term(term)
+
+        def ne_mask(b: pa.Table):
+            if name not in b.column_names:
+                return pa.array([False] * b.num_rows)
+            col = pc.cast(b[name], pa.string())
+            return pc.fill_null(pc.not_equal(col, pa.scalar(txt)), False)
+
+        return ne_mask
+    return None
 #
 # Replaces the r1 groupby().map_groups() path (VERDICT items 1-2): each
 # block is collapsed to ≤1 partial state per distinct key BEFORE the
@@ -1025,6 +1148,10 @@ def evaluate(node: Node, triples_ds, *, num_partitions: int = 8,
 
     if isinstance(node, Filter):
         child = ev(node.child)
+        fast = _compile_fast_filter(node.expr)
+        if fast is not None:
+            return child.map_batches(
+                lambda b: b.filter(fast(b)), batch_format="pyarrow")
 
         def filt(b: pa.Table) -> pa.Table:
             res = _expr_batch_eval(node.expr, b)
@@ -1052,6 +1179,24 @@ def evaluate(node: Node, triples_ds, *, num_partitions: int = 8,
 
     if isinstance(node, Distinct):
         return _distinct(ev(node.child), num_partitions)
+
+    if isinstance(node, Reduced):
+        child = ev(node.child)
+        cols = _vars_of(child)
+        if not cols:
+            return child
+
+        def drop_adjacent(b: pa.Table) -> pa.Table:
+            import numpy as np
+
+            if b.num_rows <= 1:
+                return b
+            keys = _row_key_array(b, cols).to_numpy(zero_copy_only=False)
+            keep = np.ones(len(keys), dtype=bool)
+            keep[1:] = keys[1:] != keys[:-1]
+            return b.filter(pa.array(keep))
+
+        return child.map_batches(drop_adjacent, batch_format="pyarrow")
 
     if isinstance(node, OrderBy):
         return _eval_order_by(node, ev(node.child), limit=None)

@@ -747,7 +747,7 @@ class _Parser:
 
     # --- solution modifiers -------------------------------------------------
     def _parse_modifiers(self, node: Node, group_vars, aggs,
-                         select_items, star, distinct):
+                         select_items, star, distinct, reduced=False):
         having: List[Expr] = []
         if self.at_kw("HAVING"):
             self.next()
@@ -801,6 +801,9 @@ class _Parser:
             node = Project(proj, node)
         if distinct:
             node = Distinct(node)
+        elif reduced:
+            from .algebra import Reduced
+            node = Reduced(node)
         if order:
             node = OrderBy(order, node)
         if limit is not None or offset:
@@ -830,12 +833,13 @@ class _Parser:
         if self.at_kw("SELECT"):
             self.next()
             distinct = False
+            reduced = False
             if self.at_kw("DISTINCT"):
                 self.next()
                 distinct = True
             elif self.at_kw("REDUCED"):
-                self.next()  # REDUCED may drop dups — Distinct is allowed
-                distinct = True
+                self.next()  # strict REDUCED: adjacent-dup elimination
+                reduced = True
             star, items = self._parse_select_items()
             dataset = self._parse_dataset_clause()
             if self.at_kw("WHERE"):
@@ -855,7 +859,8 @@ class _Parser:
             if aggs and star:
                 raise SparqlParseError("SELECT * with aggregates")
             node, proj = self._parse_modifiers(
-                node, group_vars, aggs, items, star, distinct)
+                node, group_vars, aggs, items, star, distinct,
+                reduced=reduced)
             self._expect_eof()
             return SelectQuery(node, proj, dataset)
         if self.at_kw("ASK"):

@@ -44,44 +44,96 @@ def entity_name_table(nt_ds, *, subject_prefix: str = "",
     return nt_ds.map_batches(pick, batch_format="pyarrow")
 
 
-def entity_mapping(nt_ds, *, subject_prefix: str = "",
-                   name_predicate: str = SCHEMA_NAME,
-                   threshold: float = 0.9,
-                   **neardup_kwargs) -> Dict[str, str]:
-    """NT-IRI → canonical NT-IRI for MERGED entities only (identity
-    rows omitted).  Name near-dup at ``threshold`` Jaccard over word
-    shingles; canonical = min IRI in the component."""
+def entity_mapping_ds(nt_ds, *, subject_prefix: str = "",
+                      name_predicate: str = SCHEMA_NAME,
+                      threshold: float = 0.9, **neardup_kwargs):
+    """Dataset of (old, canon) NT-IRI pairs for MERGED entities only
+    (identity rows filtered out) — stays distributed; callers choose
+    broadcast-dict vs join-rewrite by its size."""
     from .neardup import near_dup_clusters
 
     ents = entity_name_table(nt_ds, subject_prefix=subject_prefix,
                              name_predicate=name_predicate)
     clusters = near_dup_clusters(ents, threshold=threshold,
                                  **neardup_kwargs)
+    return clusters.map_batches(
+        lambda b: (lambda f: pa.table({
+            "old": pc.cast(f["doc_id"], pa.string()),
+            "canon": pc.cast(f["cluster"], pa.string())}))(
+            b.filter(pc.invert(pc.equal(b["cluster"], b["doc_id"])))),
+        batch_format="pyarrow")
+
+
+def entity_mapping(nt_ds, **kwargs) -> Dict[str, str]:
+    """Driver-side dict view of ``entity_mapping_ds`` (small mappings)."""
     mapping: Dict[str, str] = {}
-    for r in clusters.take_all():
-        if r["cluster"] != r["doc_id"]:
-            mapping[r["doc_id"]] = r["cluster"]
+    for r in entity_mapping_ds(nt_ds, **kwargs).take_all():
+        mapping[r["old"]] = r["canon"]
     return mapping
 
 
-def exact_entity_mapping(nt_ds, *, subject_prefix: str = "",
-                         name_predicate: str = SCHEMA_NAME) -> Dict[str, str]:
-    """NT-IRI → canonical NT-IRI for entities whose names are *exactly*
+def exact_entity_mapping_ds(nt_ds, *, subject_prefix: str = "",
+                            name_predicate: str = SCHEMA_NAME):
+    """Dataset (old, canon) for entities whose names are *exactly*
     equal (canonical = min IRI per name group) — the SQL-checkable
-    sibling of ``entity_mapping``; same shape as `SetGraph`-style exact
-    dedup (groupby key → min, SURVEY §2.8).  The mapping is the small
-    side (only entities, only merged rows) and is broadcast."""
+    sibling of ``entity_mapping_ds``."""
     from ray.data.aggregate import Min
 
     ents = entity_name_table(nt_ds, subject_prefix=subject_prefix,
                              name_predicate=name_predicate)
     canon = ents.groupby("text").aggregate(Min("doc_id", alias_name="canon"))
     pairs = safe_join(ents, canon, "inner", 8, on=("text",))
+    return pairs.map_batches(
+        lambda b: (lambda f: pa.table({
+            "old": pc.cast(f["doc_id"], pa.string()),
+            "canon": pc.cast(f["canon"], pa.string())}))(
+            b.filter(pc.invert(pc.equal(b["doc_id"], b["canon"])))),
+        batch_format="pyarrow")
+
+
+def exact_entity_mapping(nt_ds, **kwargs) -> Dict[str, str]:
+    """Driver-side dict view of ``exact_entity_mapping_ds``."""
     mapping: Dict[str, str] = {}
-    for r in pairs.take_all():
-        if r["doc_id"] != r["canon"]:
-            mapping[r["doc_id"]] = r["canon"]
+    for r in exact_entity_mapping_ds(nt_ds, **kwargs).take_all():
+        mapping[r["old"]] = r["canon"]
     return mapping
+
+
+#: merged-entity count above which the rewrite stops broadcasting a
+#: driver dict and runs distributed join-rewrites instead
+_MAPPING_BROADCAST_LIMIT = 5_000_000
+
+
+def rewrite_via_join(nt_ds, mapping_ds, *, num_partitions: int = 16):
+    """Distributed rewrite: left-join the triple table against the
+    (old, canon) mapping on s then on o, coalescing matches — the
+    above-RAM path the broadcast dict can't serve."""
+    mapping_ds = mapping_ds.map_batches(
+        lambda b: pa.table({
+            "old": pc.cast(b["old"], pa.large_string()),
+            "canon": pc.cast(b["canon"], pa.large_string())}),
+        batch_format="pyarrow").materialize()  # match triple col types
+    for col in ("s", "o"):
+        if mapping_ds.count() == 0:
+            break
+        nt_ds = safe_join(
+            nt_ds, mapping_ds, "left_outer", num_partitions,
+            on=(col,), right_on=("old",))
+
+        def merge(b: pa.Table, _col=col) -> pa.Table:
+            out = {}
+            for c in b.column_names:
+                if c == _col:
+                    out[c] = pc.cast(
+                        pc.coalesce(b["canon"], b[_col]), pa.large_string())
+                elif c in ("canon", "old"):
+                    continue
+                else:
+                    out[c] = b[c]
+            return pa.table(out)
+
+        nt_ds = nt_ds.map_batches(merge, batch_format="pyarrow")
+    return nt_ds
 
 
 class RewriteTerms:
@@ -115,17 +167,31 @@ def canonicalize_entities(nt_ds, *, subject_prefix: str = "",
                           **neardup_kwargs):
     """Full stage: triples → (mapping via LSH+CC, or exact name match
     with ``method="exact"``) → rewritten, deduped triples.
-    Returns (dataset, mapping)."""
+    Returns (dataset, mapping) — ``mapping`` is a driver dict on the
+    broadcast path, or the (old, canon) Dataset when the merged-entity
+    count exceeds ``_MAPPING_BROADCAST_LIMIT`` (join-rewrite path)."""
     import ray
 
     nt_ds = nt_ds.materialize()  # consumed twice: mapping build + rewrite
     if method == "exact":
-        mapping = exact_entity_mapping(nt_ds, subject_prefix=subject_prefix,
-                                       name_predicate=name_predicate)
+        map_ds = exact_entity_mapping_ds(
+            nt_ds, subject_prefix=subject_prefix,
+            name_predicate=name_predicate)
     else:
-        mapping = entity_mapping(nt_ds, subject_prefix=subject_prefix,
-                                 name_predicate=name_predicate,
-                                 threshold=threshold, **neardup_kwargs)
+        map_ds = entity_mapping_ds(nt_ds, subject_prefix=subject_prefix,
+                                   name_predicate=name_predicate,
+                                   threshold=threshold, **neardup_kwargs)
+    map_ds = map_ds.materialize()
+    if map_ds.count() > _MAPPING_BROADCAST_LIMIT:
+        out = rewrite_via_join(nt_ds, map_ds)
+        if dedup:
+            from .dedup import dedup_triples
+
+            carry = tuple(c for c in ("url",)
+                          if c in nt_ds.schema().names)
+            out = dedup_triples(out, carry_min=carry)
+        return out, map_ds
+    mapping = {r["old"]: r["canon"] for r in map_ds.take_all()}
     ref = ray.put(mapping)
     out = nt_ds.map_batches(RewriteTerms,
                             fn_constructor_kwargs={"mapping_ref": ref},

@@ -63,46 +63,86 @@ ORDERS: Dict[str, Tuple[str, str, str]] = {
     "osp": ("o", "s", "p"),
 }
 
+#: quad layouts (reference ``inmem/src/dataset.rs:215-222`` GSPO family):
+#: graph-name-led orders so GRAPH-bound patterns prune to one shard
+QUAD_ORDERS: Dict[str, Tuple[str, ...]] = {
+    "gspo": ("g", "s", "p", "o"),
+    "gpos": ("g", "p", "o", "s"),
+    "gosp": ("g", "o", "s", "p"),
+}
+
+
+def _order_cols(order: str) -> Tuple[str, ...]:
+    try:
+        return ORDERS[order]
+    except KeyError:
+        return QUAD_ORDERS[order]
+
 #: default sub-partition (salt) factor per order.  The salt key is the
 #: hash of the two NON-leading terms, so ANY hub leading term (rdf:type
 #: predicates in POS, schema:Person-style objects in OSP, celebrity
 #: subjects in SPO) fans out over `salt` balanced writers while a bound
 #: leading term still prunes to one shard directory (SURVEY §7.4).
 #: POS gets the largest factor (predicates are the most skewed term).
-DEFAULT_SALTS: Dict[str, int] = {"spo": 1, "pos": 4, "osp": 1}
+DEFAULT_SALTS: Dict[str, int] = {"spo": 1, "pos": 4, "osp": 1,
+                                 # graph names are few and hot: spread
+                                 # each graph over salted sub-files
+                                 "gspo": 4, "gpos": 4, "gosp": 4}
 
 _MASK64 = (1 << 64) - 1
 _FIB = 0x9E3779B97F4A7C15  # Fibonacci multiplier spreads crc32's 32 bits
 
 
-def _h(text: str) -> int:
-    return (zlib.crc32(text.encode()) * _FIB) & _MASK64
+def _hash_arr(arr):
+    """Vectorized uint64 content hash of a string array/chunked array —
+    polars' xxhash-family row hash (measured deterministic across
+    processes for a fixed polars version, which is all shard routing
+    and resume need).  Falls back to the original per-row crc32 loop
+    when polars is unavailable; both paths are self-consistent (scalar
+    `shard_of` routes through the same function)."""
+    import numpy as np
+
+    if isinstance(arr, pa.Array):
+        arr = pa.chunked_array([arr])
+    try:
+        import polars as pl
+
+        return pl.Series(pl.from_arrow(pc.cast(arr, pa.string()))) \
+            .hash(seed=0).to_numpy().astype(np.uint64)
+    except ImportError:
+        crc = zlib.crc32
+        return np.fromiter(
+            (((crc(t.encode()) * _FIB) & _MASK64)
+             for t in arr.to_pylist()),
+            dtype=np.uint64, count=len(arr))
 
 
 def shard_of(term_nt: str, num_shards: int) -> int:
     """Deterministic cross-process shard id of a canonical-NT term (the
-    content-hash analogue of BasicTermIndex ids, SURVEY §1.5).  crc32,
-    not sha256: the shard id only needs determinism + spread, and it is
-    on the per-row hot path of every materialize exchange."""
-    return (_h(term_nt) >> 40) % num_shards
+    content-hash analogue of BasicTermIndex ids, SURVEY §1.5)."""
+    h = int(_hash_arr(pa.array([term_nt], pa.string()))[0])
+    return (h >> 40) % num_shards
 
 
 def shards_of(arr, num_shards: int) -> List[int]:
-    """Batch shard ids for a pyarrow string array (one tight loop)."""
-    crc = zlib.crc32
-    return [(((crc(t.encode()) * _FIB) & _MASK64) >> 40) % num_shards
-            for t in arr.to_pylist()]
+    """Batch shard ids for a pyarrow string array (vectorized)."""
+    import numpy as np
+
+    return ((_hash_arr(arr) >> np.uint64(40))
+            % np.uint64(num_shards)).astype(np.int64).tolist()
 
 
 def _row_digests(tbl: pa.Table, cols: Sequence[str]) -> int:
     """Commutative 64-bit content digest (lineage/equality checks, not
-    crypto): sum over rows of crc32(row)·FIB."""
-    acc = 0
-    crc = zlib.crc32
-    its = [tbl[c].to_pylist() for c in cols]
-    for parts in zip(*its):
-        acc = (acc + crc("\x1f".join(parts).encode()) * _FIB) & _MASK64
-    return acc
+    crypto): sum over rows of hash(row)."""
+    import numpy as np
+
+    if tbl.num_rows == 0:
+        return 0
+    parts = [pc.cast(tbl[c], pa.string()) for c in cols]
+    joined = parts[0] if len(parts) == 1 else \
+        pc.binary_join_element_wise(*parts, pa.scalar("\x1f"))
+    return int(np.sum(_hash_arr(joined), dtype=np.uint64) & np.uint64(_MASK64))
 
 
 def load_manifest(out_dir: str, order: str) -> Dict[Tuple[int, int], dict]:
@@ -139,11 +179,12 @@ def _write_one_partition(tbl: pa.Table, out_dir: str, order: str,
                          shard: int, salt: int, distinct: bool) -> dict:
     """Dedup/sort/write one (shard, salt) partition + manifest; all
     kernels are Arrow (group_by/take/sort_by/parquet)."""
-    cols = ORDERS[order]
+    cols = _order_cols(order)
     t0 = time.perf_counter()
-    tbl = tbl.select(["s", "p", "o"])
+    keep = [c for c in ("g", "s", "p", "o") if c in cols]
+    tbl = tbl.select(keep)
     if distinct:
-        tbl = tbl.group_by(["s", "p", "o"]).aggregate([])
+        tbl = tbl.group_by(keep).aggregate([])
     tbl = tbl.sort_by([(c, "ascending") for c in cols])
     d = os.path.join(out_dir, order, f"shard={shard}")
     os.makedirs(d, exist_ok=True)
@@ -154,7 +195,7 @@ def _write_one_partition(tbl: pa.Table, out_dir: str, order: str,
         "order": order, "shard": shard, "salt": salt, "rows": tbl.num_rows,
         "min_key": tbl[cols[0]][0].as_py(),
         "max_key": tbl[cols[0]][tbl.num_rows - 1].as_py(),
-        "digest": _row_digests(tbl, ("s", "p", "o")),
+        "digest": _row_digests(tbl, keep),
         "wall_ms": round(1000 * (time.perf_counter() - t0), 1),
     }
     mtmp = os.path.join(d, f"_manifest-{salt}.json.tmp")
@@ -197,23 +238,23 @@ def _split_block(tbl: pa.Table, orders: Tuple[str, ...], num_shards: int,
     order — NOT a filter per partition (that is O(partitions × rows))."""
     import numpy as np
 
-    tbl = tbl.select(["s", "p", "o"])
+    need = [c for c in ("g", "s", "p", "o")
+            if any(c in _order_cols(o) for o in orders)]
+    tbl = tbl.select(need)
     out = []
-    crc = zlib.crc32
     for oi, order in enumerate(orders):
-        lead, second, third = ORDERS[order]
+        cols = _order_cols(order)
+        lead, rest = cols[0], cols[1:]
         n_salt = salts.get(order, 1)
-        sh = np.fromiter((((((crc(t.encode()) * _FIB) & _MASK64) >> 40)
-                           % num_shards) for t in tbl[lead].to_pylist()),
-                         dtype=np.int64, count=tbl.num_rows)
+        sh = ((_hash_arr(tbl[lead]) >> np.uint64(40))
+              % np.uint64(num_shards)).astype(np.int64)
         if n_salt > 1:
-            # salt on BOTH remaining terms: splits any hub lead evenly
-            sa = np.fromiter(
-                ((((crc(b.encode(), crc(a.encode())) * _FIB) & _MASK64)
-                  >> 24) % n_salt
-                 for a, b in zip(tbl[second].to_pylist(),
-                                 tbl[third].to_pylist())),
-                dtype=np.int64, count=tbl.num_rows)
+            # salt on ALL remaining terms: splits any hub lead evenly
+            joined = pc.binary_join_element_wise(
+                *[pc.cast(tbl[c], pa.string()) for c in rest],
+                pa.scalar("\x1f"))
+            sa = ((_hash_arr(joined) >> np.uint64(24))
+                  % np.uint64(n_salt)).astype(np.int64)
             part = sh * n_salt + sa
         else:
             part = sh
@@ -288,20 +329,25 @@ def _materialize_groupby(nt_ds, out_dir: str, orders: List[str],
     for o in orders:
         os.makedirs(os.path.join(out_dir, o), exist_ok=True)
     done_sets = {oi: frozenset(done[o]) for oi, o in enumerate(orders)}
-    crc = zlib.crc32
 
     def explode(b: pa.Table) -> pa.Table:
-        b = b.select(["s", "p", "o"])
+        import numpy as np
+
+        need = [c for c in ("g", "s", "p", "o")
+                if any(c in _order_cols(o) for o in orders)]
+        b = b.select(need)
         parts = []
         for oi, order in enumerate(orders):
-            lead, second, third = ORDERS[order]
+            cols = _order_cols(order)
+            lead, rest = cols[0], cols[1:]
             n_salt = salts.get(order, 1)
             sh = shards_of(b[lead], num_shards)
             if n_salt > 1:
-                sa = [(((crc(y.encode(), crc(x.encode())) * _FIB)
-                        & _MASK64) >> 24) % n_salt
-                      for x, y in zip(b[second].to_pylist(),
-                                      b[third].to_pylist())]
+                joined = pc.binary_join_element_wise(
+                    *[pc.cast(b[c], pa.string()) for c in rest],
+                    pa.scalar("\x1f"))
+                sa = ((_hash_arr(joined) >> np.uint64(24))
+                      % np.uint64(n_salt)).astype(np.int64).tolist()
             else:
                 sa = [0] * b.num_rows
             t = (b.append_column("ord", pa.array([oi] * b.num_rows, pa.int8()))
@@ -416,6 +462,54 @@ def triples_matching(out_dir: str, *, s: Optional[str] = None,
             e = pds.field(col) == val
             expr = e if expr is None else expr & e
     return rd.read_parquet(paths, columns=["s", "p", "o"], filter=expr)
+
+
+def quads_matching(out_dir: str, *, s: Optional[str] = None,
+                   p: Optional[str] = None, o: Optional[str] = None,
+                   g: Optional[str] = None, num_shards: int = 16):
+    """Distributed quad-pattern match over the GSPO-family layouts
+    (``inmem/src/dataset.rs:215-222``): a bound graph name prunes to
+    ONE shard directory of the graph-led order; remaining bound terms
+    push down as Arrow dataset filters."""
+    import ray.data as rd
+
+    base_orders = [d for d in (os.listdir(out_dir)
+                               if os.path.isdir(out_dir) else [])
+                   if d in QUAD_ORDERS]
+    if not base_orders:
+        raise FileNotFoundError(f"no quad layouts under {out_dir}")
+    # pick the layout whose prefix after g covers the bound positions
+    order = "gspo"
+    if s is None and p is not None and "gpos" in base_orders:
+        order = "gpos"
+    elif s is None and p is None and o is not None \
+            and "gosp" in base_orders:
+        order = "gosp"
+    if order not in base_orders:
+        order = base_orders[0]
+    base = os.path.join(out_dir, order)
+    if g is not None:
+        dirs = [os.path.join(base, f"shard={shard_of(g, num_shards)}")]
+    else:
+        dirs = [os.path.join(base, d) for d in sorted(os.listdir(base))
+                if d.startswith("shard=")]
+    paths = []
+    for pth in dirs:
+        if os.path.isdir(pth):
+            paths.extend(os.path.join(pth, f) for f in sorted(os.listdir(pth))
+                         if f.startswith("part-") and f.endswith(".parquet"))
+    if not paths:
+        return rd.from_arrow(pa.table(
+            {c: pa.array([], pa.large_string())
+             for c in ("g", "s", "p", "o")}))
+    import pyarrow.dataset as pds
+    expr = None
+    for col, val in (("g", g), ("s", s), ("p", p), ("o", o)):
+        if val is not None:
+            e = pds.field(col) == val
+            expr = e if expr is None else expr & e
+    return rd.read_parquet(paths, columns=["g", "s", "p", "o"],
+                           filter=expr)
 
 
 def dataset_digest(out_dir: str, order: str = "spo") -> int:

@@ -60,3 +60,67 @@ def test_cosine_near_dup_pairs(emb_ds):
     # no duplicate unordered pairs
     keys = [(r["id_a"], r["id_b"]) for r in pairs]
     assert len(keys) == len(set(keys))
+
+
+def test_cosine_tiles_match_duckdb_exact(emb_ds, sf_dir):
+    # distributed tile pairs == exact SQL all-pairs
+    import duckdb
+
+    got = sorted((r["id_a"], r["id_b"]) for r in
+                 cosine_near_dup(emb_ds, threshold=0.4).take_all())
+    want = duckdb.sql(f"""
+        SELECT CAST(a.vec_id AS BIGINT), CAST(b.vec_id AS BIGINT)
+        FROM read_parquet('{sf_dir}/embeddings.parquet') a
+        JOIN read_parquet('{sf_dir}/embeddings.parquet') b
+          ON CAST(a.vec_id AS BIGINT) < CAST(b.vec_id AS BIGINT)
+        WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                     b.embedding::DOUBLE[]) >= 0.4
+    """).fetchall()
+    assert got == sorted(want)
+
+
+def test_cosine_lsh_recall(emb_ds):
+    from sophia_rs_ray.functions.ann import cosine_near_dup_lsh
+
+    exact = {(r["id_a"], r["id_b"])
+             for r in cosine_near_dup(emb_ds, threshold=0.4).take_all()}
+    lsh = {(r["id_a"], r["id_b"])
+           for r in cosine_near_dup_lsh(emb_ds, threshold=0.4).take_all()}
+    # no false positives (exact verification) and high recall
+    assert lsh <= exact
+    assert len(lsh) >= 0.9 * len(exact)
+
+
+def test_ivf_persisted_layout_pruned_read(emb_ds, tmp_path):
+    import os
+
+    from sophia_rs_ray.functions.ann import (ivf_probe_files,
+                                             ivf_topk_indexed,
+                                             materialize_ivf)
+
+    out = str(tmp_path / "ivf")
+    man = materialize_ivf(emb_ds, out, n_buckets=16)
+    assert sum(man["buckets"].values()) == emb_ds.count()
+    rows = emb_ds.take_all()
+    q = next(r["embedding"] for r in rows if r["vec_id"] == 0)
+    files = ivf_probe_files(out, q, n_probe=4)
+    # the probed read touches at most n_probe of the 16 bucket files
+    all_files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert 1 <= len(files) <= 4 < len(all_files)
+    probed_bytes = sum(os.path.getsize(f) for f in files)
+    total_bytes = sum(os.path.getsize(os.path.join(out, f))
+                      for f in all_files)
+    assert probed_bytes < 0.6 * total_bytes
+    # resume: second call reuses the manifest (no rewrite)
+    mtimes = {f: os.path.getmtime(os.path.join(out, f)) for f in all_files}
+    man2 = materialize_ivf(emb_ds, out, n_buckets=16)
+    assert man2 == man
+    assert all(os.path.getmtime(os.path.join(out, f)) == m
+               for f, m in mtimes.items())
+    # results match the scan-based variant at the same probe setting
+    a = [r["vec_id"] for r in
+         ivf_topk_indexed(out, q, k=10, n_probe=8, exclude_id=0).take_all()]
+    b = [r["vec_id"] for r in
+         ivf_topk(emb_ds, q, k=10, n_buckets=16, n_probe=8,
+                  exclude_id=0).take_all()]
+    assert a == b

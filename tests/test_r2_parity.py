@@ -1,0 +1,100 @@
+"""Round-2 parity items: JSON-LD @reverse, BCP47 validation, strict
+REDUCED semantics (reference jsonld/src/parser.rs, bcp47/src/_tag.rs,
+sparql/src/exec.rs:575-595)."""
+
+import pyarrow as pa
+import pytest
+
+from sophia_rs_ray.terms import format_term
+
+
+def _trs(text, base=None):
+    from sophia_rs_ray.jsonld import jsonld_to_triples
+
+    trs, err = jsonld_to_triples(text, base)
+    assert err is None, err
+    return {(format_term(s), format_term(p), format_term(o))
+            for (s, p, o, _g) in trs}
+
+
+def test_jsonld_reverse_node_map():
+    got = _trs("""{
+      "@id": "http://ex/alice",
+      "@reverse": {
+        "http://ex/knows": [{"@id": "http://ex/bob"},
+                            {"@id": "http://ex/carol"}]
+      }
+    }""")
+    assert ("<http://ex/bob>", "<http://ex/knows>", "<http://ex/alice>") in got
+    assert ("<http://ex/carol>", "<http://ex/knows>",
+            "<http://ex/alice>") in got
+
+
+def test_jsonld_reverse_term_definition():
+    got = _trs("""{
+      "@context": {"children": {"@reverse": "http://ex/parent"}},
+      "@id": "http://ex/mom",
+      "children": [{"@id": "http://ex/kid1"}, "http://ex/kid2"]
+    }""")
+    assert ("<http://ex/kid1>", "<http://ex/parent>", "<http://ex/mom>") in got
+    assert ("<http://ex/kid2>", "<http://ex/parent>", "<http://ex/mom>") in got
+
+
+def test_jsonld_reverse_nested_properties():
+    got = _trs("""{
+      "@id": "http://ex/a",
+      "@reverse": {"http://ex/rel": {"@id": "http://ex/b",
+                                     "http://ex/name": "B"}}
+    }""")
+    assert ("<http://ex/b>", "<http://ex/rel>", "<http://ex/a>") in got
+    assert ("<http://ex/b>", "<http://ex/name>", '"B"') in got
+
+
+def test_jsonld_reverse_drops_literals():
+    got = _trs("""{
+      "@id": "http://ex/a",
+      "@reverse": {"http://ex/rel": [{"@value": "nope"}]}
+    }""")
+    assert not any(p == "<http://ex/rel>" for (_s, p, _o) in got)
+
+
+def test_bcp47_validation():
+    from sophia_rs_ray.bcp47 import is_valid_tag
+
+    for good in ("en", "en-GB", "zh-Hant-CN", "de-CH-1901", "sl-rozaj",
+                 "x-private", "i-klingon", "en-GB-oed", "az-Arab-x-AZE",
+                 "es-419", "en-a-bbb-x-a-ccc"):
+        assert is_valid_tag(good), good
+    for bad in ("a", "en--b", "123", "en-", "-en", "tlh-a", "x",
+                "i-notgrandfathered"):
+        assert not is_valid_tag(bad), bad
+
+
+def test_bcp47_strict_nt_parse():
+    from sophia_rs_ray.ntriples import NtParseError, parse_line
+
+    assert parse_line('<u:s> <u:p> "x"@en-GB .') is not None
+    # "a" passes the NT lexical grammar but is not well-formed BCP47
+    with pytest.raises(NtParseError, match="BCP47"):
+        parse_line('<u:s> <u:p> "x"@a .')
+    # lax mode keeps the generalized behavior
+    assert parse_line('<u:s> <u:p> "x"@a .', strict=False) is not None
+
+
+def test_strict_reduced(ray_session):
+    import ray.data as rd
+
+    from sophia_rs_ray.sparql.run import select
+
+    rows = [("<u:a>", "<u:p>", '"1"'), ("<u:a>", "<u:p>", '"1"'),
+            ("<u:a>", "<u:p>", '"2"'), ("<u:a>", "<u:p>", '"1"')]
+    g = rd.from_arrow(pa.table({
+        "s": pa.array([r[0] for r in rows], pa.large_string()),
+        "p": pa.array([r[1] for r in rows], pa.large_string()),
+        "o": pa.array([r[2] for r in rows], pa.large_string())}))
+    # DISTINCT collapses to 2; REDUCED (adjacent-only) may keep the
+    # non-adjacent repeat → 3 in one block
+    dis = select("SELECT DISTINCT ?o WHERE { ?s ?p ?o }", g).take_all()
+    red = select("SELECT REDUCED ?o WHERE { ?s ?p ?o }", g).take_all()
+    assert len(dis) == 2
+    assert len(red) == 3

@@ -390,3 +390,43 @@ def test_offset_without_limit(graph):
     rows = evaluate(q, graph).take_all()
     INT = '^^<http://www.w3.org/2001/XMLSchema#integer>'
     assert [r["n"] for r in rows] == [f'"300"{INT}', f'"350"{INT}']
+
+
+def test_fast_filter_matches_slow_path(graph, ray_session):
+    # vectorized FILTER kernels must agree with the row-wise evaluator
+    # on every comparison shape over mixed term kinds
+    import ray.data as rd
+    from sophia_rs_ray.sparql.algebra import _compile_fast_filter
+    from sophia_rs_ray.sparql.expr import _parse
+    from sophia_rs_ray.sparql import ebv
+    from sophia_rs_ray.sparql.expr import eval_expr
+
+    INT = "^^<http://www.w3.org/2001/XMLSchema#integer>"
+    DBL = "^^<http://www.w3.org/2001/XMLSchema#double>"
+    vals = ['"5"' + INT, '"05"' + INT, '"5.0"' + DBL, '"-3"' + INT,
+            '"abc"', '"5"', '"x"@en', '<http://iri>', '_:b1',
+            '"2024-01-01T00:00:00Z"^^<http://www.w3.org/2001/XMLSchema#dateTime>',
+            None]
+    tbl = pa.table({"x": pa.array(vals, pa.string())})
+    exprs = [
+        FnCall(">", Var("x"), Const(int_literal(4))),
+        FnCall("<=", Var("x"), Const(int_literal(5))),
+        FnCall("=", Var("x"), Const(int_literal(5))),
+        FnCall("!=", Var("x"), Const(int_literal(5))),
+        FnCall("=", Var("x"), Const(literal("5"))),
+        FnCall("=", Var("x"), Const(langlit("x", "en"))),
+        FnCall("=", Var("x"), Const(iri("http://iri"))),
+        FnCall("!=", Var("x"), Const(iri("http://iri"))),
+        FnCall("&&", FnCall(">", Var("x"), Const(int_literal(0))),
+               FnCall("<", Var("x"), Const(int_literal(6)))),
+    ]
+    for e in exprs:
+        fast = _compile_fast_filter(e)
+        assert fast is not None, e.fn
+        got = fast(tbl).to_pylist()
+        want = []
+        for v in vals:
+            row = {"x": _parse(v) if v is not None else None}
+            r = eval_expr(e, row)
+            want.append(r is not None and ebv(r) is True)
+        assert got == want, (e.fn, got, want)
