@@ -144,3 +144,72 @@ def hash_aggregate(ds, key_cols: Sequence[str],
     out_refs = [reduce.remote(finalize, *cols[j])
                 for j in range(num_partitions)]
     return rd.from_arrow_refs(out_refs)
+
+
+def _join_reduce(join_type, on, right_on, l_suffix, r_suffix, n_left,
+                 *parts):
+    left = [p for p in parts[:n_left] if p is not None]
+    right = [p for p in parts[n_left:] if p is not None]
+    lt = pa.concat_tables(left, promote_options="default")
+    rt = pa.concat_tables(right, promote_options="default")
+    return lt.join(rt, keys=list(on), right_keys=list(right_on),
+                   join_type=join_type,
+                   left_suffix=l_suffix, right_suffix=r_suffix,
+                   use_threads=False)
+
+
+def exchange_join(left_ds, right_ds, join_type: str, num_partitions: int,
+                  *, on, right_on=None, left_suffix=None,
+                  right_suffix=None):
+    """Hash join via the raw-task exchange: both sides split per block
+    by key hash (one object per partition), each partition joined
+    locally with Arrow's Acero join kernel.  Pure tasks — no actor
+    pools to deadlock, no empty-block schema bug, measured faster than
+    Ray's hash-shuffle join operator at bench scale (see BASELINE.md).
+
+    ``join_type``: Acero names — "inner", "left outer", "right outer",
+    "full outer", "left semi", "left anti", …"""
+    import ray
+    import ray.data as rd
+
+    on = list(on)
+    right_on = list(right_on) if right_on else on
+    l_refs = left_ds.to_arrow_refs()
+    r_refs = right_ds.to_arrow_refs()
+
+    def _schema_of(ds, refs):
+        sch = ds.schema()
+        return pa.schema([(n, t) for n, t in zip(sch.names, sch.types)])
+
+    if not l_refs or not r_refs:
+        # empty side: synthesize the join result schema locally
+        lt = _schema_of(left_ds, l_refs).empty_table() if not l_refs else None
+        rt = _schema_of(right_ds, r_refs).empty_table() if not r_refs else None
+        if lt is None:
+            lt = pa.concat_tables(ray.get(l_refs), promote_options="default")
+        if rt is None:
+            rt = pa.concat_tables(ray.get(r_refs), promote_options="default")
+        return rd.from_arrow(lt.join(
+            rt, keys=on, right_keys=right_on, join_type=join_type,
+            left_suffix=left_suffix, right_suffix=right_suffix,
+            use_threads=False))
+
+    split = ray.remote(num_returns=num_partitions)(_map_side) \
+        if num_partitions > 1 else ray.remote(_map_side)
+    reduce = ray.remote(_join_reduce)
+    l_parts = [split.remote(r, tuple(on), num_partitions, None)
+               for r in l_refs]
+    r_parts = [split.remote(r, tuple(right_on), num_partitions, None)
+               for r in r_refs]
+    if num_partitions == 1:
+        unwrap = ray.remote(lambda t: t[0])
+        l_cols = [tuple(unwrap.remote(r) for r in l_parts)]
+        r_cols = [tuple(unwrap.remote(r) for r in r_parts)]
+    else:
+        l_cols = list(zip(*l_parts))
+        r_cols = list(zip(*r_parts))
+    out = [reduce.remote(join_type, tuple(on), tuple(right_on),
+                         left_suffix, right_suffix, len(l_cols[j]),
+                         *l_cols[j], *r_cols[j])
+           for j in range(num_partitions)]
+    return rd.from_arrow_refs(out)

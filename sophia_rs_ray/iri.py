@@ -144,3 +144,84 @@ class BaseIri:
                 out += "?" + q
             return out
         return resolve(self.text, ref)
+
+
+class Relativizer:
+    """Relativize IRIs against a fixed base (the inverse of `resolve`;
+    reference ``iri/src/relativize.rs:22``).  Produces at most
+    ``parents`` levels of ``../``; returns None when the IRI cannot be
+    expressed relative to the base (different scheme/authority or above
+    the pseudo-root).  Invariant (tested): ``resolve(base, rel) ==
+    iri`` whenever a relative form is returned."""
+
+    def __init__(self, base: str, parents: int = 2):
+        self.base = base
+        scheme, auth, path, _q, _f = split_iri(base)
+        if scheme is None:
+            raise ValueError(f"base must be absolute: {base!r}")
+        path_begin = len(scheme) + 1 + (len(auth) + 2 if auth is not None
+                                        else 0)
+        # split_iri already excludes query/fragment from path
+        self.path_end = path_begin + len(path)
+        rest = base[self.path_end:]
+        hash_i = rest.find("#")
+        self.query_end = self.path_end + (hash_i if hash_i >= 0
+                                          else len(rest))
+        slashes = []
+        pos = self.path_end
+        for _ in range(parents + 1):
+            i = base.rfind("/", path_begin, pos)
+            if i > path_begin:  # a slash strictly inside the path
+                pos = i
+                slashes.append(pos)
+            else:
+                break
+        has_root = base[path_begin:path_begin + 1] == "/"
+        if len(slashes) > parents:
+            self.pseudoroot = slashes.pop() + 1
+        elif has_root:
+            self.pseudoroot = path_begin + 1
+        else:
+            self.pseudoroot = path_begin
+        self.slashes = slashes
+
+    def relativize(self, iri: str) -> Optional[str]:
+        base = self.base
+        n = 0
+        for a, b in zip(base, iri):
+            if a != b:
+                break
+            n += 1
+        lcp = n
+        if lcp < self.pseudoroot:
+            return None
+        if lcp < self.path_end or (
+            lcp == self.path_end and (
+                (len(iri) > lcp and iri[lcp] not in "?#")
+                or (base[lcp:lcp + 1] == "?"
+                    and (len(iri) == lcp or iri[lcp:lcp + 1] == "#")))):
+            for nb, slash in enumerate(self.slashes):
+                if lcp > slash:
+                    if nb == 0:
+                        tail = iri[slash + 1:]
+                        if not tail or tail[0] in "?#":
+                            return "./" + tail
+                        return tail
+                    parts = [".."] * (nb + 1)
+                    parts[nb] = iri[slash + 1:]
+                    return "/".join(parts)
+            if not self.slashes:
+                tail = iri[self.pseudoroot:]
+                if iri[self.pseudoroot - 1:self.pseudoroot] == "/" and (
+                        not tail or tail[0] in "?#"):
+                    return "./" + tail
+                return tail
+            nb = len(self.slashes)
+            parts = [".."] * (nb + 1)
+            parts[nb] = iri[self.pseudoroot:]
+            return "/".join(parts)
+        if lcp < self.query_end or (
+                len(iri) > self.query_end
+                and iri[self.query_end] != "#"):
+            return iri[self.path_end:]
+        return iri[self.query_end:]

@@ -527,13 +527,20 @@ def _abbrev(iri_text: str, prefixes: Dict[str, str]) -> Optional[str]:
     return None
 
 
-def format_term_turtle(t: Term, prefixes: Dict[str, str]) -> str:
+def format_term_turtle(t: Term, prefixes: Dict[str, str],
+                       relativizer=None) -> str:
     kind, lex, dt, lang, _direction = t
     if kind == KIND_IRI:
         if lex == RDF_TYPE:
             return "a"
         ab = _abbrev(lex, prefixes)
-        return ab if ab is not None else format_term(t)
+        if ab is not None:
+            return ab
+        if relativizer is not None:
+            rel = relativizer.relativize(lex)
+            if rel is not None:
+                return f"<{rel}>"
+        return format_term(t)
     if kind == KIND_LITERAL and not lang:
         if dt == XSD_INTEGER and _INTEGER_RE.match(lex):
             return lex
@@ -552,23 +559,33 @@ def format_term_turtle(t: Term, prefixes: Dict[str, str]) -> str:
 
 
 def serialize_turtle(triples, prefixes: Optional[Dict[str, str]] = None,
-                     emit_prefixes: bool = True, indent: str = "  ") -> str:
+                     emit_prefixes: bool = True, indent: str = "  ",
+                     base: Optional[str] = None) -> str:
     """Triples → pretty Turtle: subject grouping with ';'/',', prefix
     abbreviation, sugar literals. Input order defines subject order
-    (sort upstream for deterministic output)."""
+    (sort upstream for deterministic output).  With ``base``, IRIs are
+    relativized against it (@base emitted first; reference
+    iri/src/relativize.rs via turtle pretty serializer)."""
     prefixes = dict(prefixes if prefixes is not None else DEFAULT_PREFIXES)
+    relativizer = None
+    if base is not None:
+        from .iri import Relativizer
+
+        relativizer = Relativizer(base)
     out = []
     if emit_prefixes:
+        if base is not None:
+            out.append(f"@base <{base}> .")
         for pfx, ns in prefixes.items():
             out.append(f"@prefix {pfx}: <{ns}> .")
-        if prefixes:
+        if prefixes or base is not None:
             out.append("")
     # group consecutive same-subject triples, then same-predicate objects
     groups: List[Tuple[str, List[Tuple[str, List[str]]]]] = []
     for (s, p, o) in triples:
-        st = format_term_turtle(s, prefixes)
-        pt = format_term_turtle(p, prefixes)
-        ot = format_term_turtle(o, prefixes)
+        st = format_term_turtle(s, prefixes, relativizer)
+        pt = format_term_turtle(p, prefixes, relativizer)
+        ot = format_term_turtle(o, prefixes, relativizer)
         if not groups or groups[-1][0] != st:
             groups.append((st, []))
         plist = groups[-1][1]

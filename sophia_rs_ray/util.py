@@ -25,21 +25,34 @@ def squash_empty_blocks(ds, target_rows: int = 65536):
                           batch_size=target_rows)
 
 
-def safe_join(left, right, join_type: str, num_partitions: int, *,
-              on, right_on=None, left_suffix=None, right_suffix=None):
-    """``Dataset.join`` with both sides squashed of empty blocks (see
-    ``squash_empty_blocks``) and MATERIALIZED first.  Use this instead
-    of raw ``.join``:
+_ACERO_JOIN_TYPE = {
+    "inner": "inner", "left_outer": "left outer",
+    "right_outer": "right outer", "full_outer": "full outer",
+    "left_semi": "left semi", "right_semi": "right semi",
+    "left_anti": "left anti", "right_anti": "right anti",
+}
 
-    - the raw operator crashes when either side's first block is empty;
-    - two join operators live in one streaming DAG (e.g. a chained BGP)
-      starve each other's hash-shuffle aggregator actor pools and
-      deadlock on small clusters — materializing the inputs executes
-      any upstream join to completion before this one spawns its pool,
-      so at most one all-to-all stage runs at a time (the join is a
-      barrier anyway; the extra cost is object-store residency, which
-      the shuffle pays regardless).
-    """
+
+def safe_join(left, right, join_type: str, num_partitions: int, *,
+              on, right_on=None, left_suffix=None, right_suffix=None,
+              use_ray_join: bool = False):
+    """Distributed hash join — by default the raw-task exchange join
+    (``functions.exchange.exchange_join``: per-block hash split + one
+    local Acero join per partition), measured ~8× faster than Ray's
+    hash-shuffle join operator at bench scale AND immune to its two
+    defects (the empty-first-block schema crash and the nested-join
+    actor-pool deadlock).  Null join keys never match (SQL semantics)
+    on both paths.
+
+    ``use_ray_join=True`` keeps the old operator (both sides squashed
+    of empty blocks and materialized first — see r1 notes)."""
+    if not use_ray_join:
+        from .functions.exchange import exchange_join
+
+        return exchange_join(
+            left, right, _ACERO_JOIN_TYPE[join_type], num_partitions,
+            on=tuple(on), right_on=tuple(right_on) if right_on else None,
+            left_suffix=left_suffix, right_suffix=right_suffix)
     return squash_empty_blocks(left).materialize().join(
         squash_empty_blocks(right).materialize(), join_type,
         num_partitions,

@@ -85,7 +85,9 @@ def test_near_dup_clusters_match_oracle(ray_session):
         g = {}
         for k, v in m.items():
             g.setdefault(v, set()).add(k)
-        return sorted(frozenset(s) for s in g.values())
+        # sort by member lists: frozensets only have a PARTIAL order, so
+        # sorted(frozensets) depends on input order
+        return sorted(sorted(s) for s in g.values())
     assert partition(got) == partition(want)
 
 
