@@ -91,6 +91,29 @@ SELECT s, o FROM ({DOC_TRIPLES_SQL}) WHERE p = '<{DC_LANGUAGE}>'
 """
 
 
+def _resource_view(sf_dir: str):
+    """Distributed Resource-API pivot (resource/src/resource/_struct.rs
+    getter semantics at corpus scale): one row per subject with one
+    column per predicate, via the hash exchange (resource.py)."""
+    from ..resource import resource_view
+    from .doc_triples import DC_SOURCE, EX_NCHARS
+
+    ds = doc_triples(sf_dir)
+    return resource_view(ds, {"lang": DC_LANGUAGE, "source": DC_SOURCE,
+                              "nchars": EX_NCHARS}, num_partitions=8)
+
+
+RESOURCE_VIEW_SQL = f"""
+SELECT s,
+       min(CASE WHEN p = '<{DC_LANGUAGE}>' THEN o END) AS lang,
+       min(CASE WHEN p = '<http://purl.org/dc/terms/source>' THEN o END)
+         AS source,
+       min(CASE WHEN p = '<http://kg.example/nchars>' THEN o END) AS nchars
+FROM ({DOC_TRIPLES_SQL})
+GROUP BY s
+"""
+
+
 def _sort_spo_limit(sf_dir: str):
     """Term-order sort (SPO) + LIMIT (exec.rs:826-941; both engines sort
     the canonical NT byte strings, ASCII → identical collation).
@@ -1046,6 +1069,7 @@ def registry() -> Registry:
         "predicate_count": (_predicate_count, PREDICATE_COUNT_SQL),
         "subjects_distinct": (_subjects_distinct, SUBJECTS_DISTINCT_SQL),
         "triples_matching": (_triples_matching, TRIPLES_MATCHING_SQL),
+        "resource_view": (_resource_view, RESOURCE_VIEW_SQL),
         "sort_spo_limit": (_sort_spo_limit, SORT_SPO_SQL),
         "indexed_pattern_scan": (_indexed_pattern_scan, INDEXED_SCAN_SQL),
         "rdfs_entailment": (_rdfs_entailment, RDFS_ENTAILMENT_SQL),
