@@ -206,6 +206,40 @@ class InlineData:
 
 
 @dataclass
+class Service:
+    """SERVICE (SILENT)? <endpoint> { … } — federation probe
+    (sparql/src/exec.rs SERVICE via ``sparql_client/src/lib.rs:58-98``).
+
+    The child group is forwarded VERBATIM (token-reconstructed) as
+    ``SELECT * WHERE { … }`` to a pluggable resolver —
+    ``set_service_resolver(fn)`` with ``fn(endpoint_iri, query_text)
+    -> results-document str`` (JSON/XML/TSV auto-detected, parsed by
+    ``sparql.results``).  No network stack ships with this engine; the
+    resolver IS the transport (tests inject a local one, a deployment
+    would plug an HTTP client).  The fetch is one driver-side call per
+    SERVICE clause — same blocking-client shape as the reference — and
+    the returned bindings join distributed like any other operand.
+
+    ``silent``: on resolver failure the clause evaluates to one
+    all-null solution over ``vars`` (spec: the empty solution mapping),
+    which the compatible-mapping join treats as identity."""
+    endpoint: Term
+    query_text: str
+    vars: Tuple[str, ...]
+    silent: bool = False
+
+
+_SERVICE_RESOLVER = None
+
+
+def set_service_resolver(fn) -> None:
+    """Register the SERVICE transport: ``fn(endpoint_iri, query_text)
+    -> str`` (a SPARQL results document).  Pass None to clear."""
+    global _SERVICE_RESOLVER
+    _SERVICE_RESOLVER = fn
+
+
+@dataclass
 class GraphPattern:
     """GRAPH ?g { … } / GRAPH <iri> { … } (exec.rs:652-707).
 
@@ -220,7 +254,7 @@ class GraphPattern:
 
 Node = U[BGP, Join, LeftJoin, Union, Minus, Filter, Extend, Project,
          Distinct, OrderBy, Slice, Group, PathPlus, PathStar,
-         PathPattern, Exists, InlineData, GraphPattern]
+         PathPattern, Exists, InlineData, GraphPattern, Service]
 
 
 # ---------------------------------------------------------------------------
@@ -1087,6 +1121,33 @@ def evaluate(node: Node, triples_ds, *, num_partitions: int = 8,
             batch_format="pyarrow")
         return evaluate(node.child, scoped,
                         num_partitions=num_partitions)
+
+    if isinstance(node, Service):
+        import ray.data as rd
+
+        from .results import parse_results, rows_to_dataset
+
+        try:
+            if _SERVICE_RESOLVER is None:
+                raise RuntimeError(
+                    "no SPARQL SERVICE resolver registered "
+                    "(algebra.set_service_resolver)")
+            doc = _SERVICE_RESOLVER(node.endpoint[1], node.query_text)
+            head = doc.lstrip()[:1]
+            fmt = "json" if head == "{" else ("xml" if head == "<"
+                                              else "tsv")
+            parsed = parse_results(doc, fmt)
+            if isinstance(parsed, bool):
+                raise ValueError("SERVICE returned an ASK document")
+            vars_, rows = parsed
+            return rows_to_dataset(vars_, rows)
+        except Exception:
+            if not node.silent:
+                raise
+            # SILENT failure = the empty solution mapping: one all-null
+            # row, identity under the compatible-mapping join
+            return rd.from_arrow(pa.table(
+                {v: pa.array([None], pa.string()) for v in node.vars}))
 
     if isinstance(node, InlineData):
         import ray.data as rd

@@ -418,6 +418,34 @@ class _Parser:
                     raise SparqlParseError("GRAPH needs a ?var or IRI")
                 from .algebra import GraphPattern
                 acc = join(acc, GraphPattern(name, self.parse_group()))
+            elif self.at_kw("SERVICE"):
+                self.next()
+                silent = False
+                if self.at_kw("SILENT"):
+                    self.next()
+                    silent = True
+                endpoint = self.parse_term()
+                if isinstance(endpoint, Var) or endpoint[0] != KIND_IRI:
+                    raise SparqlParseError(
+                        "SERVICE needs a constant IRI endpoint "
+                        "(variable endpoints unsupported)")
+                # validate the group, then forward its TOKEN TEXT
+                # verbatim to the resolver (whitespace-normalized)
+                start = self.i
+                self.parse_group()
+                toks = self.toks[start:self.i]
+                # expand PNAMEs: the outer prologue is not forwarded
+                raw = " ".join(
+                    f"<{self._expand_pname(v)}>" if k == "PNAME" else v
+                    for k, v in toks)
+                svars = tuple(dict.fromkeys(
+                    v[1:] for k, v in toks if k == "VAR"))
+                if not svars:
+                    raise SparqlParseError(
+                        "SERVICE group binds no variables")
+                from .algebra import Service
+                acc = join(acc, Service(
+                    endpoint, f"SELECT * WHERE {raw}", svars, silent))
             elif self.at_kw("VALUES"):
                 acc = join(acc, self._parse_values())
             elif self.at_op("{"):

@@ -567,3 +567,87 @@ def test_path_star_joins_with_bgp(path_graph):
         "SELECT ?s ?o WHERE { ?s <urn:knows>+ ?o }", path_graph))
     rows = sorted((r["s"], r["y"]) for r in out.take_all())
     assert rows == [("<urn:a>", "<urn:y>")]
+
+
+# -- SERVICE federation (sparql_client parity; resolver-injected) -----
+
+def test_service_join(graph):
+    from sophia_rs_ray.sparql.algebra import set_service_resolver
+    from sophia_rs_ray.sparql.results import bindings_to_json
+
+    calls = []
+
+    def resolver(endpoint, query):
+        calls.append((endpoint, query))
+        # remote endpoint knows emails for alice/bob
+        return bindings_to_json([
+            {"x": f"<{EX}alice>", "mail": '"alice@example.org"'},
+            {"x": f"<{EX}bob>", "mail": '"bob@example.org"'},
+        ], vars=["x", "mail"])
+
+    set_service_resolver(resolver)
+    try:
+        out = select(f"""
+            PREFIX foaf: <{FOAF}>
+            SELECT ?n ?mail WHERE {{
+                ?x foaf:name ?n .
+                SERVICE <http://remote.example/sparql> {{
+                    ?x foaf:mbox ?mail
+                }}
+            }}
+        """, graph)
+        got = rows(out)
+    finally:
+        set_service_resolver(None)
+    assert got == [
+        (("mail", '"alice@example.org"'), ("n", '"Alice"')),
+        (("mail", '"bob@example.org"'), ("n", '"Bob"')),
+    ]
+    (endpoint, query), = calls
+    assert endpoint == "http://remote.example/sparql"
+    # PNAME expanded, group forwarded verbatim as SELECT *
+    assert query == (
+        "SELECT * WHERE { ?x <http://xmlns.com/foaf/0.1/mbox> ?mail }")
+
+
+def test_service_silent_failure_is_identity(graph):
+    from sophia_rs_ray.sparql.algebra import set_service_resolver
+
+    def resolver(endpoint, query):
+        raise OSError("endpoint down")
+
+    set_service_resolver(resolver)
+    try:
+        out = select(f"""
+            PREFIX foaf: <{FOAF}>
+            SELECT ?n ?mail WHERE {{
+                ?x foaf:name ?n .
+                SERVICE SILENT <http://remote.example/sparql> {{
+                    ?x foaf:mbox ?mail
+                }}
+            }}
+        """, graph)
+        got = sorted((r["n"], r["mail"]) for r in out.take_all())
+    finally:
+        set_service_resolver(None)
+    # every name survives, mail unbound
+    assert got == [('"Alice"', None), ('"Bob"', None), ('"Carol"', None)]
+
+
+def test_service_loud_failure_raises(graph):
+    from sophia_rs_ray.sparql.algebra import set_service_resolver
+
+    set_service_resolver(None)
+    with pytest.raises(Exception):
+        select(f"""
+            SELECT ?mail WHERE {{
+                SERVICE <http://remote.example/sparql> {{
+                    ?x <{FOAF}mbox> ?mail
+                }}
+            }}
+        """, graph).take_all()
+
+
+def test_service_variable_endpoint_rejected(graph):
+    with pytest.raises(SparqlParseError):
+        parse_query("SELECT ?m WHERE { SERVICE ?e { ?x ?p ?m } }")
