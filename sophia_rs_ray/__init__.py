@@ -27,4 +27,14 @@ Nothing in this package calls ``ray.init``/``ray.shutdown`` — sessions
 are owned by the caller (driver, bench.py, pytest fixture).
 """
 
+import os as _os
+
+# Polars sizes its rayon pool to ALL cores at import time; inside a Ray
+# worker that means num_cpus × cores threads stampeding one machine
+# (measured: the 32-CPU flagship arm went 71 s → 38 s with the pin).
+# Ray tasks are the parallelism unit — library kernels stay serial.
+# Must run before the first `import polars` anywhere in the process;
+# respects an explicit user override.
+_os.environ.setdefault("POLARS_MAX_THREADS", "1")
+
 __version__ = "0.1.0"
