@@ -120,8 +120,22 @@ def hash_aggregate(ds, key_cols: Sequence[str],
     import ray
     import ray.data as rd
 
-    block_refs = ds.to_arrow_refs()
-    if not block_refs:
+    split = ray.remote(num_returns=num_partitions)(_map_side) \
+        if num_partitions > 1 else ray.remote(_map_side)
+    reduce = ray.remote(_reduce_side)
+    # launch each block's map-side split the moment the block
+    # materializes: the exchange overlaps the producing stage instead
+    # of waiting behind a full-dataset to_arrow_refs() barrier
+    try:
+        part_refs = [
+            split.remote(r, tuple(key_cols), num_partitions, combine)
+            for bundle in ds.iter_internal_ref_bundles()
+            for r in bundle.block_refs]
+    except AttributeError:  # older Ray: no streaming ref API
+        part_refs = [
+            split.remote(r, tuple(key_cols), num_partitions, combine)
+            for r in ds.to_arrow_refs()]
+    if not part_refs:
         # zero-block input: derive the output schema from the fns on an
         # empty batch so downstream operators keep working
         schema = ds.schema()
@@ -130,11 +144,6 @@ def hash_aggregate(ds, key_cols: Sequence[str],
         t = combine(empty) if combine is not None else empty
         t = finalize(t) if finalize is not None else t
         return rd.from_arrow(t)
-    split = ray.remote(num_returns=num_partitions)(_map_side) \
-        if num_partitions > 1 else ray.remote(_map_side)
-    reduce = ray.remote(_reduce_side)
-    part_refs = [split.remote(r, tuple(key_cols), num_partitions, combine)
-                 for r in block_refs]
     if num_partitions == 1:
         # num_returns=1 tasks return the 1-tuple itself; unwrap remotely
         unwrap = ray.remote(lambda t: t[0])

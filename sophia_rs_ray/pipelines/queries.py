@@ -623,7 +623,6 @@ def _gazetteer_mentions(sf_dir: str):
     match non-overlap semantics are mirrored by the RE2 alternation in
     the DuckDB oracle (longest-first alternation ⇒ same matches)."""
     import ray.data as rd
-    from ray.data.aggregate import Sum
 
     from ..stages.ner import MentionDetector
 
@@ -640,9 +639,15 @@ def _gazetteer_mentions(sf_dir: str):
                       "one": pa.array([1] * len(b), pa.int64())})
         return t.group_by(["doc_id", "surface"]).aggregate([("one", "sum")])
 
-    return (mentions.map_batches(partial, batch_format="pyarrow")
-            .groupby(["doc_id", "surface"])
-            .aggregate(Sum("one_sum", alias_name="n")))
+    def final(t: pa.Table) -> pa.Table:
+        out = t.group_by(["doc_id", "surface"]).aggregate(
+            [("one_sum", "sum")])
+        return out.rename_columns(["doc_id", "surface", "n"])
+
+    from ..functions.exchange import hash_aggregate
+
+    return hash_aggregate(mentions, ["doc_id", "surface"],
+                          partial, final, num_partitions=8)
 
 
 GAZETTEER_SQL = r"""
@@ -672,7 +677,6 @@ def _entity_links_docs(sf_dir: str):
     reproduces the argmax as a CASE."""
     import ray
     import ray.data as rd
-    from ray.data.aggregate import Sum
 
     from ..stages.ner import MentionDetector, score_links
 
@@ -708,9 +712,15 @@ def _entity_links_docs(sf_dir: str):
         return t.group_by(["doc_id", "surface", "entity"]).aggregate(
             [("one", "sum")])
 
-    return (links.map_batches(partial, batch_format="pyarrow")
-            .groupby(["doc_id", "surface", "entity"])
-            .aggregate(Sum("one_sum", alias_name="n")))
+    def final(t: pa.Table) -> pa.Table:
+        out = t.group_by(["doc_id", "surface", "entity"]).aggregate(
+            [("one_sum", "sum")])
+        return out.rename_columns(["doc_id", "surface", "entity", "n"])
+
+    from ..functions.exchange import hash_aggregate
+
+    return hash_aggregate(links, ["doc_id", "surface", "entity"],
+                          partial, final, num_partitions=8)
 
 
 ENTITY_LINKS_DOCS_SQL = r"""
