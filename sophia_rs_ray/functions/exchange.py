@@ -88,11 +88,21 @@ def _split_by_key(tbl: pa.Table, key_cols: Sequence[str],
 
 
 def _map_side(block, key_cols, num_partitions, combine):
+    if block.num_rows == 0 and \
+            not all(k in block.column_names for k in key_cols):
+        # schema-less empty (e.g. an empty exchange-join partition that
+        # map_batches passed through without calling the fn): it
+        # contributes nothing and its schema is unusable — skip it
+        return (None,) * max(num_partitions, 1)
     t = combine(block) if combine is not None else block
     return _split_by_key(t, key_cols, num_partitions)
 
 
 def _reduce_side(finalize, *parts):
+    parts = [p for p in parts if p is not None]
+    if not parts:
+        raise ValueError(
+            "hash_aggregate: every input block was a schema-less empty")
     # Ray can skip projections (select_columns) on zero-row blocks, so
     # empty parts may carry a stale wider schema; concat-promoting them
     # would resurrect phantom columns.  Rows define the schema: drop
@@ -153,6 +163,23 @@ def hash_aggregate(ds, key_cols: Sequence[str],
     out_refs = [reduce.remote(finalize, *cols[j])
                 for j in range(num_partitions)]
     return rd.from_arrow_refs(out_refs)
+
+
+def grouped_sum(ds, keys: Sequence[str], cols: Sequence[str], *,
+                num_partitions: int = 2):
+    """Per-key SUM of ``cols`` via the hash exchange — the drop-in
+    replacement for ``groupby(keys).aggregate(Sum(...))`` tails over
+    per-batch partials (Ray's sort-based groupby costs ~1 s fixed
+    overhead per call at bench scale; see BASELINE.md).  Output columns
+    keep their input names: keys + cols."""
+    keys, cols = list(keys), list(cols)
+
+    def gsum(t: pa.Table) -> pa.Table:
+        out = t.group_by(keys).aggregate([(c, "sum") for c in cols])
+        return out.rename_columns(keys + cols)
+
+    return hash_aggregate(ds, keys, gsum, gsum,
+                          num_partitions=num_partitions)
 
 
 def _join_reduce(join_type, on, right_on, l_suffix, r_suffix, n_left,

@@ -46,8 +46,8 @@ SELECT DISTINCT s, p, o FROM (
 
 def _predicate_count(sf_dir: str):
     """POS-index-style aggregate: triples per predicate, with per-batch
-    partial aggregation before the groupby shuffle."""
-    from ray.data.aggregate import Sum
+    partial aggregation before the exchange."""
+    from ..functions.exchange import hash_aggregate
 
     ds = doc_triples(sf_dir)
 
@@ -55,8 +55,15 @@ def _predicate_count(sf_dir: str):
         t = pa.table({"p": b["p"], "one": pa.array([1] * len(b), pa.int64())})
         return t.group_by("p").aggregate([("one", "sum")])
 
-    return (ds.map_batches(partial, batch_format="pyarrow")
-            .groupby("p").aggregate(Sum("one_sum", alias_name="n")))
+    def _gsum(t: pa.Table) -> pa.Table:
+        return t.group_by(["p"]).aggregate(
+            [("one_sum", "sum")]).rename_columns(["p", "one_sum"])
+
+    def _final(t: pa.Table) -> pa.Table:
+        return _gsum(t).rename_columns(["p", "n"])
+
+    return hash_aggregate(ds.map_batches(partial, batch_format="pyarrow"),
+                          ["p"], _gsum, _final, num_partitions=2)
 
 
 PREDICATE_COUNT_SQL = f"""
@@ -66,11 +73,16 @@ SELECT p, count(*) AS n FROM ({DOC_TRIPLES_SQL}) GROUP BY p
 
 def _subjects_distinct(sf_dir: str):
     """`Graph::subjects()` projection with dedup (api/src/graph.rs:193)."""
-    from ray.data.aggregate import Count
+    from ..functions.exchange import hash_aggregate
 
     ds = doc_triples(sf_dir)
-    agg = ds.groupby("s").aggregate(Count(alias_name="_n"))
-    return agg.map_batches(lambda b: b.select(["s"]), batch_format="pyarrow")
+
+    def dedup(t: pa.Table) -> pa.Table:
+        return t.group_by(["s"]).aggregate([])
+
+    proj = ds.map_batches(lambda b: b.select(["s"]),
+                          batch_format="pyarrow")
+    return hash_aggregate(proj, ["s"], dedup, dedup, num_partitions=8)
 
 
 SUBJECTS_DISTINCT_SQL = f"SELECT DISTINCT s FROM ({DOC_TRIPLES_SQL})"
@@ -232,7 +244,6 @@ def _dedup_exact_docs(sf_dir: str):
     """Exact near... exact duplicate grouping by full text content:
     hash-partition on content key, keep min(doc_id) + multiplicity."""
     import ray.data as rd
-    from ray.data.aggregate import Min, Sum
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
@@ -245,11 +256,19 @@ def _dedup_exact_docs(sf_dir: str):
                       "one": pa.array([1] * len(b), pa.int64())})
         return t.group_by("k").aggregate([("doc_id", "min"), ("one", "sum")])
 
-    agg = (ds.map_batches(keyed, batch_format="pyarrow")
-           .groupby("k").aggregate(Min("doc_id_min", alias_name="rep_id"),
-                                   Sum("one_sum", alias_name="n_dups")))
-    return agg.map_batches(lambda b: b.select(["rep_id", "n_dups"]),
-                           batch_format="pyarrow")
+    from ..functions.exchange import hash_aggregate
+
+    def _merge(t: pa.Table) -> pa.Table:
+        return t.group_by(["k"]).aggregate(
+            [("doc_id_min", "min"), ("one_sum", "sum")]) \
+            .rename_columns(["k", "doc_id_min", "one_sum"])
+
+    def _final(t: pa.Table) -> pa.Table:
+        return _merge(t).rename_columns(["k", "rep_id", "n_dups"]) \
+            .select(["rep_id", "n_dups"])
+
+    return hash_aggregate(ds.map_batches(keyed, batch_format="pyarrow"),
+                          ["k"], _merge, _final, num_partitions=4)
 
 
 DEDUP_EXACT_SQL = """
@@ -923,6 +942,9 @@ def _minhash_bands(sf_dir: str):
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
+    # concurrency must stay below the session CPU count: an actor pool
+    # equal to it reserves every slot and starves the read tasks
+    # (observed hang at num_cpus=4 with concurrency=4)
     sigs = ds.map_batches(MinHasher, batch_format="pyarrow",
                           concurrency=2, batch_size=256)
     return sigs.map_batches(lambda b: band_rows(b, 16, 4),

@@ -70,9 +70,9 @@ def _int_round2(s4):
 
 def tpch_q1(sf_dir: str):
     """Q1-style grouped aggregate. Pattern: per-batch pyarrow hash-groupby
-    partials (combiner) → small groupby over partials → finalize.
+    partials (combiner) → exchange group-sum over partials → finalize.
     The wide shuffle moves ≤ (groups × blocks) rows instead of all rows."""
-    from ray.data.aggregate import Sum
+    from ..functions.exchange import grouped_sum
 
     ds = _read(sf_dir, "lineitem",
                ["l_returnflag", "l_linestatus", "l_quantity",
@@ -100,29 +100,27 @@ def tpch_q1(sf_dir: str):
              ("q_disc_price", "sum"), ("q_disc", "sum"), ("one", "sum")])
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("q_qty_sum", alias_name="_qq"),
-        Sum("q_price_sum", alias_name="_qp"),
-        Sum("q_disc_price_sum", alias_name="_qdp"),
-        Sum("q_disc_sum", alias_name="_qd"),
-        Sum("one_sum", alias_name="count_order"),
-    )
+    agg = grouped_sum(partials, ["l_returnflag", "l_linestatus"],
+                      ["q_qty_sum", "q_price_sum", "q_disc_price_sum",
+                       "q_disc_sum", "one_sum"])
 
     def finalize(b: pa.Table) -> pa.Table:
-        n = b["count_order"].to_numpy(zero_copy_only=False).astype("float64")
-        qq = b["_qq"].to_numpy(zero_copy_only=False)
-        qd = b["_qd"].to_numpy(zero_copy_only=False)
+        n = b["one_sum"].to_numpy(zero_copy_only=False).astype("float64")
+        qq = b["q_qty_sum"].to_numpy(zero_copy_only=False)
+        qd = b["q_disc_sum"].to_numpy(zero_copy_only=False)
         return pa.table({
             "l_returnflag": b["l_returnflag"],
             "l_linestatus": b["l_linestatus"],
             "sum_qty": pa.array(qq / 1e2),
             "sum_base_price": pa.array(
-                b["_qp"].to_numpy(zero_copy_only=False) / 1e2),
+                b["q_price_sum"].to_numpy(zero_copy_only=False) / 1e2),
             "sum_disc_price": pa.array(
-                _int_round2(b["_qdp"].to_numpy(zero_copy_only=False)) / 1e2),
+                _int_round2(
+                    b["q_disc_price_sum"].to_numpy(zero_copy_only=False))
+                / 1e2),
             "avg_qty": pa.array(round_away(qq / 1e2 / n, 4)),
             "avg_disc": pa.array(round_away(qd / 1e2 / n, 4)),
-            "count_order": b["count_order"],
+            "count_order": b["one_sum"],
         })
 
     return agg.map_batches(finalize, batch_format="pyarrow")
@@ -151,7 +149,7 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 def events_hourly(sf_dir: str):
     """Tumbling-window aggregate over the events stream table
     (SURVEY §2.11: window = groupby on a derived time bucket)."""
-    from ray.data.aggregate import Sum
+    from ..functions.exchange import grouped_sum
 
     ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
 
@@ -166,17 +164,16 @@ def events_hourly(sf_dir: str):
         return b.group_by(["event_type", "hour"]).aggregate(
             [("q", "sum"), ("one", "sum")])
 
-    agg = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby(["event_type", "hour"]).aggregate(
-            Sum("q_sum", alias_name="_sq"),
-            Sum("one_sum", alias_name="n"))
+    agg = grouped_sum(ds.map_batches(partial, batch_format="pyarrow"),
+                      ["event_type", "hour"], ["q_sum", "one_sum"])
 
     def finalize(b: pa.Table) -> pa.Table:
         avg = round_away(
-            b["_sq"].to_numpy(zero_copy_only=False) / 1e2
-            / b["n"].to_numpy(zero_copy_only=False).astype("float64"), 4)
+            b["q_sum"].to_numpy(zero_copy_only=False) / 1e2
+            / b["one_sum"].to_numpy(zero_copy_only=False).astype("float64"),
+            4)
         return pa.table({"event_type": b["event_type"], "hour": b["hour"],
-                         "n": b["n"], "avg_value": pa.array(avg)})
+                         "n": b["one_sum"], "avg_value": pa.array(avg)})
 
     return agg.map_batches(finalize, batch_format="pyarrow")
 
@@ -199,7 +196,6 @@ def customers_per_region(sf_dir: str):
     small side is `ray.put` once and looked up per batch — no shuffle
     (SURVEY §2.5 'small patterns → broadcast join')."""
     import ray
-    from ray.data.aggregate import Sum
 
     nation = _read(sf_dir, "nation").to_pandas()
     region = _read(sf_dir, "region").to_pandas()
@@ -217,8 +213,17 @@ def customers_per_region(sf_dir: str):
                       "one": pa.array([1] * len(b), pa.int64())})
         return t.group_by("r_name").aggregate([("one", "sum")])
 
-    return (ds.map_batches(partial, batch_format="pyarrow")
-            .groupby("r_name").aggregate(Sum("one_sum", alias_name="n_customers")))
+    from ..functions.exchange import hash_aggregate
+
+    def _gsum(t: pa.Table) -> pa.Table:
+        return t.group_by(["r_name"]).aggregate(
+            [("one_sum", "sum")]).rename_columns(["r_name", "one_sum"])
+
+    def _final(t: pa.Table) -> pa.Table:
+        return _gsum(t).rename_columns(["r_name", "n_customers"])
+
+    return hash_aggregate(ds.map_batches(partial, batch_format="pyarrow"),
+                          ["r_name"], _gsum, _final, num_partitions=2)
 
 
 CUSTOMERS_PER_REGION_SQL = """
@@ -233,7 +238,6 @@ def orders_per_segment(sf_dir: str):
     """Left-outer join (SPARQL OPTIONAL): per-customer order counts
     (0 when absent) aggregated per market segment. Both sides large →
     hash-partitioned Dataset.join."""
-    from ray.data.aggregate import Sum
 
     from ..functions.exchange import hash_aggregate
 
@@ -258,10 +262,19 @@ def orders_per_segment(sf_dir: str):
         return t.group_by("c_mktsegment").aggregate(
             [("cnt", "sum"), ("one", "sum")])
 
-    return (joined.map_batches(partial, batch_format="pyarrow")
-            .groupby("c_mktsegment").aggregate(
-                Sum("one_sum", alias_name="n_customers"),
-                Sum("cnt_sum", alias_name="n_orders")))
+    def _gsum(t: pa.Table) -> pa.Table:
+        return t.group_by(["c_mktsegment"]).aggregate(
+            [("cnt_sum", "sum"), ("one_sum", "sum")]) \
+            .rename_columns(["c_mktsegment", "cnt_sum", "one_sum"])
+
+    def _final(t: pa.Table) -> pa.Table:
+        return _gsum(t).rename_columns(
+            ["c_mktsegment", "n_orders", "n_customers"])
+
+    return hash_aggregate(joined.map_batches(partial,
+                                             batch_format="pyarrow"),
+                          ["c_mktsegment"], _gsum, _final,
+                          num_partitions=2)
 
 
 ORDERS_PER_SEGMENT_SQL = """
@@ -323,7 +336,6 @@ def customers_without_orders(sf_dir: str, *, force_distributed: bool = False):
     broadcast key-set filter while the build side is small, distributed
     left_anti join above ``_BROADCAST_KEY_LIMIT``."""
     import ray
-    from ray.data.aggregate import Sum
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     big = orders.map_batches(
@@ -349,8 +361,18 @@ def customers_without_orders(sf_dir: str, *, force_distributed: bool = False):
                           "one": pa.array([1] * len(b), pa.int64())})
             return t.group_by("n_name").aggregate([("one", "sum")])
 
-        return (left.map_batches(partial, batch_format="pyarrow")
-                .groupby("n_name").aggregate(Sum("one_sum", alias_name="n")))
+        from ..functions.exchange import hash_aggregate
+
+        def _gsum(t: pa.Table) -> pa.Table:
+            return t.group_by(["n_name"]).aggregate(
+                [("one_sum", "sum")]).rename_columns(["n_name", "one_sum"])
+
+        def _final(t: pa.Table) -> pa.Table:
+            return _gsum(t).rename_columns(["n_name", "n"])
+
+        return hash_aggregate(
+            left.map_batches(partial, batch_format="pyarrow"),
+            ["n_name"], _gsum, _final, num_partitions=2)
 
     return _semi_anti_counted(cust, big, "c_custkey", "o_custkey",
                               True, group_fn,
@@ -372,7 +394,6 @@ def large_parts_in_lineitem(sf_dir: str, *, force_distributed: bool = False):
     broadcast distinct-key filter below the limit, distributed
     left_semi join above it."""
     import ray
-    from ray.data.aggregate import Sum
 
     li = _read(sf_dir, "lineitem", ["l_partkey"])
     part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
@@ -391,8 +412,19 @@ def large_parts_in_lineitem(sf_dir: str, *, force_distributed: bool = False):
                           "one": pa.array([1] * len(b), pa.int64())})
             return t.group_by("p_brand").aggregate([("one", "sum")])
 
-        return (left.map_batches(partial, batch_format="pyarrow")
-                .groupby("p_brand").aggregate(Sum("one_sum", alias_name="n")))
+        from ..functions.exchange import hash_aggregate
+
+        def _gsum(t: pa.Table) -> pa.Table:
+            return t.group_by(["p_brand"]).aggregate(
+                [("one_sum", "sum")]).rename_columns(["p_brand",
+                                                      "one_sum"])
+
+        def _final(t: pa.Table) -> pa.Table:
+            return _gsum(t).rename_columns(["p_brand", "n"])
+
+        return hash_aggregate(
+            left.map_batches(partial, batch_format="pyarrow"),
+            ["p_brand"], _gsum, _final, num_partitions=2)
 
     return _semi_anti_counted(part, li, "p_partkey", "l_partkey",
                               False, group_fn,
