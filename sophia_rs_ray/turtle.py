@@ -58,6 +58,7 @@ from .terms import (
 RDF_FIRST = RDF + "first"
 RDF_REST = RDF + "rest"
 RDF_NIL = RDF + "nil"
+RDF_REIFIES = RDF + "reifies"
 
 
 class TurtleParseError(ValueError):
@@ -110,6 +111,7 @@ class TurtleParser:
         self.strict = strict
         self.triples: List[Tuple[Term, Term, Term]] = []
         self._anon = 0
+        self._reified_stmt = False  # last parsed term was << s p o >>
 
     def emit(self, s: Term, p: Term, o: Term):
         self.triples.append((s, p, o))
@@ -235,6 +237,29 @@ class TurtleParser:
                 self.skip_ws()
                 self.expect(")>>")
                 return triple_term(s, p, o)
+            if self.text.startswith("<<", self.pos):
+                # RDF 1.2 reified triple << s p o (~ reifier)? >> —
+                # expands to `reifier rdf:reifies <<( s p o )>>` and
+                # evaluates to the reifier
+                # (rdf12-turtle reifiedTriple; reference
+                # turtle/src/parser/turtle/test.rs:624-660)
+                if as_predicate:
+                    self.err("reified triple not allowed as predicate")
+                self.pos += 2
+                s = self.parse_term(as_subject=True)
+                p = self.parse_term(as_predicate=True)
+                o = self.parse_term()
+                self.skip_ws()
+                if self.accept("~"):
+                    self.skip_ws()
+                    r = self.parse_term(as_subject=True)
+                    self.skip_ws()
+                else:
+                    r = self.fresh_bnode()
+                self.expect(">>")
+                self.emit(r, iri(RDF_REIFIES), triple_term(s, p, o))
+                self._reified_stmt = True
+                return r
             t = self.parse_iriref()
             if t is None:
                 self.err("bad IRI")
@@ -317,6 +342,7 @@ class TurtleParser:
                 o = self.parse_term()
                 self.emit(subject, p, o)
                 self.skip_ws()
+                self._parse_annotation(subject, p, o)
                 if not self.accept(","):
                     break
             if not self.accept(";"):
@@ -326,6 +352,40 @@ class TurtleParser:
             while self.accept(";"):
                 self.skip_ws()
             if self.peek() in ("]", ".", ""):
+                return
+
+    def _parse_annotation(self, s: Term, p: Term, o: Term):
+        """``annotation ::= (reifier | annotationBlock)*`` after an
+        object (rdf12-turtle; reference _tx_source.rs:516-534): ``~ r``
+        names a reifier for the asserted triple, ``{| … |}`` attaches a
+        predicate-object list to the (current or fresh) reifier."""
+        reifier = None
+        while True:
+            if self.peek() == "~":
+                self.pos += 1
+                self.skip_ws()
+                nxt = self.peek()
+                if nxt in (",", ";", ".", "]", "|", "{", "~", ""):
+                    reifier = self.fresh_bnode()  # bare '~'
+                else:
+                    reifier = self.parse_term(as_subject=True)
+                self.emit(reifier, iri(RDF_REIFIES), triple_term(s, p, o))
+                self.skip_ws()
+            elif self.text.startswith("{|", self.pos):
+                self.pos += 2
+                if reifier is None:
+                    reifier = self.fresh_bnode()
+                    self.emit(reifier, iri(RDF_REIFIES),
+                              triple_term(s, p, o))
+                self.skip_ws()
+                self.parse_predicate_object_list(reifier)
+                self.skip_ws()
+                self.expect("|}")
+                self.skip_ws()
+                # a later block gets its own fresh reifier unless a new
+                # '~' names one
+                reifier = None
+            else:
                 return
 
     def parse_directive(self) -> bool:
@@ -376,10 +436,13 @@ class TurtleParser:
                 break
             if self.parse_directive():
                 continue
+            self._reified_stmt = False
             s = self.parse_term(as_subject=True)
             self.skip_ws()
-            # a bare property-list bnode may be a statement on its own
-            if self.peek() == "." and s[0] == KIND_BNODE:
+            # a bare property-list bnode or reified triple may be a
+            # statement on its own (`<< :s :p :o ~ :r >> .`)
+            if self.peek() == "." and (s[0] == KIND_BNODE
+                                       or self._reified_stmt):
                 self.expect(".")
                 continue
             self.parse_predicate_object_list(s)
@@ -439,6 +502,7 @@ class TriGParser(TurtleParser):
             if self.peek() == "{":
                 self.parse_block()
                 continue
+            self._reified_stmt = False
             s = self.parse_term(as_subject=True)
             self.skip_ws()
             if self.peek() == "{":
@@ -447,7 +511,8 @@ class TriGParser(TurtleParser):
                 self.parse_block()
                 self.graph = None
                 continue
-            if self.peek() == "." and s[0] == KIND_BNODE:
+            if self.peek() == "." and (s[0] == KIND_BNODE
+                                       or self._reified_stmt):
                 self.expect(".")
                 continue
             self.parse_predicate_object_list(s)
