@@ -72,10 +72,10 @@ _TOKEN_RE = re.compile(r"""
                     |\d+(?:[eE][+-]?\d+)?))
   | (?P<VAR>[?$][A-Za-z_][A-Za-z0-9_]*)
   | (?P<BNODE>_:[A-Za-z0-9_][A-Za-z0-9_.-]*)
-  | (?P<PNAME>[A-Za-z_][A-Za-z0-9_.-]*?:[A-Za-z0-9_][A-Za-z0-9_.%-]*
-             |[A-Za-z_][A-Za-z0-9_.-]*?:)
+  | (?P<PNAME>(?:[A-Za-z_][A-Za-z0-9_.-]*?)?:[A-Za-z0-9_][A-Za-z0-9_.%-]*
+             |(?:[A-Za-z_][A-Za-z0-9_.-]*?)?:)
   | (?P<KEYWORD>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<OP>\^\^|&&|\|\||!=|<=|>=|[{}()\[\];,.=<>!+*/|^?-])
+  | (?P<OP><<\(|\)>>|<<|>>|\^\^|&&|\|\||!=|<=|>=|[{}()\[\];,.=<>!+*/|^?~-])
 """, re.VERBOSE)
 
 
@@ -261,6 +261,24 @@ class _Parser:
         if k == "KEYWORD" and v == "a":
             self.next()
             return iri(RDF_TYPE)
+        if k == "OP" and v == "<<(":
+            # RDF 1.2 triple term — constant only: the engine stores
+            # triple terms as canonical-NT strings in the s/o columns,
+            # so a constant pattern is an exact match while variables
+            # inside would need per-row destructuring (explicit error,
+            # not a misparse)
+            self.next()
+            parts = []
+            for role in ("subject", "predicate", "object"):
+                t = self.parse_term()
+                if isinstance(t, Var):
+                    raise SparqlParseError(
+                        "variables inside triple terms are not "
+                        f"supported (?{t.name} in {role} position)")
+                parts.append(t)
+            self.eat_op(")>>")
+            from ..terms import triple_term
+            return triple_term(*parts)
         raise SparqlParseError(f"expected term, got {v!r}")
 
     # --- expressions (precedence climbing) ---------------------------------
@@ -676,6 +694,32 @@ class _Parser:
                 patterns.append((cur, rest, nxt))
                 cur = nxt
             return head
+        if self.at_op("<<"):
+            # RDF 1.2 reified triple pattern << s p o (~ r)? >> —
+            # expands to the pattern (r, rdf:reifies, <<( s p o )>>)
+            # and evaluates to r (fresh non-distinguished var when
+            # anonymous).  Inner terms must be constant (see the
+            # triple-term note in parse_term); the reifier may be a
+            # variable.
+            self.next()
+            parts = []
+            for role in ("subject", "predicate", "object"):
+                t = self.parse_term()
+                if isinstance(t, Var):
+                    raise SparqlParseError(
+                        "variables inside reified triple patterns are "
+                        f"not supported (?{t.name} in {role} position)")
+                parts.append(t)
+            if self.at_op("~"):
+                self.next()
+                r = self.parse_term()
+            else:
+                r = self._fresh_var()
+            self.eat_op(">>")
+            from ..terms import triple_term
+            patterns.append((r, iri(RDF_NS + "reifies"),
+                             triple_term(*parts)))
+            return r
         return self.parse_term()
 
     def _parse_po_list(self, s, patterns, nodes):

@@ -651,3 +651,67 @@ def test_service_loud_failure_raises(graph):
 def test_service_variable_endpoint_rejected(graph):
     with pytest.raises(SparqlParseError):
         parse_query("SELECT ?m WHERE { SERVICE ?e { ?x ?p ?m } }")
+
+
+# -- RDF 1.2 triple terms / reified triple patterns --------------------
+
+@pytest.fixture()
+def reified_graph(ray_session):
+    """Graph built from annotated Turtle: the annotation expands to
+    rdf:reifies + annotation triples (turtle corpus semantics)."""
+    import ray.data as rd
+
+    from sophia_rs_ray.terms import format_term
+    from sophia_rs_ray.turtle import parse_turtle
+
+    trs = parse_turtle("""
+        PREFIX : <http://example.org/>
+        :alice :knows :bob ~ :r1 {| :since "2020" |}.
+        :bob :knows :carol {| :since "2021" |}.
+    """)
+    rows_ = [(format_term(s), format_term(p), format_term(o))
+             for (s, p, o) in trs]
+    return rd.from_arrow(pa.table({
+        "s": pa.array([r[0] for r in rows_], pa.large_string()),
+        "p": pa.array([r[1] for r in rows_], pa.large_string()),
+        "o": pa.array([r[2] for r in rows_], pa.large_string()),
+    }))
+
+
+def test_constant_triple_term_object(reified_graph):
+    out = select(f"""
+        PREFIX : <{EX}>
+        PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+        SELECT ?r WHERE {{
+            ?r rdf:reifies <<( :alice :knows :bob )>>
+        }}
+    """, reified_graph)
+    assert [r["r"] for r in out.take_all()] == [f"<{EX}r1>"]
+
+
+def test_reified_triple_pattern_named_reifier(reified_graph):
+    out = select(f"""
+        PREFIX : <{EX}>
+        SELECT ?r ?since WHERE {{
+            << :alice :knows :bob ~ ?r >> :since ?since
+        }}
+    """, reified_graph)
+    got = [(r["r"], r["since"]) for r in out.take_all()]
+    assert got == [(f"<{EX}r1>", '"2020"')]
+
+
+def test_reified_triple_pattern_anonymous(reified_graph):
+    out = select(f"""
+        PREFIX : <{EX}>
+        SELECT ?since WHERE {{
+            << :bob :knows :carol >> :since ?since
+        }}
+    """, reified_graph)
+    assert sorted(r["since"] for r in out.take_all()) == ['"2021"']
+
+
+def test_triple_term_vars_rejected():
+    with pytest.raises(SparqlParseError):
+        parse_query("SELECT ?a WHERE { ?r ?p <<( ?a <x:b> <x:c> )>> }")
+    with pytest.raises(SparqlParseError):
+        parse_query("SELECT ?r WHERE { << ?a <x:b> <x:c> >> ?p ?r }")
