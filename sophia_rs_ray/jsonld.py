@@ -3,9 +3,13 @@
 Plays the role of the reference's ``JsonLdParser``
 (``jsonld/src/parser.rs:42``, options ``jsonld/src/options.rs:34``) for the
 embedded-in-web-pages use case. Like the reference's default
-``NoLoader``, no remote contexts are ever dereferenced — a small
+``NoLoader``, no remote contexts are dereferenced by default — a small
 compiled-in mapping covers the contexts that occur in web data
-(schema.org); inline dict contexts are fully supported.
+(schema.org); inline dict contexts are fully supported, and
+:class:`JsonLdOptions` exposes the reference's options surface
+(``base``, ``expand_context``, a pluggable ``context_loader`` standing
+in for ``with_document_loader``, and ``processing_mode`` with 1.0
+conflict detection).
 
 Supported subset (documented deviations from full JSON-LD 1.1):
 
@@ -105,33 +109,84 @@ def canonical_double(v: float) -> str:
     return mant + "E" + str(int(exp))
 
 
-class _Context:
-    __slots__ = ("terms", "vocab", "base")
+class JsonLdOptions:
+    """Processing options (reference ``jsonld/src/options.rs:34``).
 
-    def __init__(self, base: Optional[str]):
+    - ``base``: document base IRI (``with_base`` /
+      ``options.rs:177-185``);
+    - ``expand_context``: a context applied BEFORE the document's own
+      (``with_expand_context``, ``options.rs:305-314``) — a dict, a
+      list, or a remote URL resolved through the loader;
+    - ``context_loader``: ``fn(url) -> context | None`` — the
+      pluggable document loader (``with_document_loader*``,
+      ``options.rs:208-304``).  Default None = the reference's
+      ``NoLoader`` plus the compiled-in well-known table; a deployment
+      plugs an HTTP client here.  May return the raw remote document
+      (``{"@context": …}``) or the context itself;
+    - ``processing_mode``: ``"json-ld-1.1"`` (default) or
+      ``"json-ld-1.0"`` — in 1.0 mode a context carrying
+      ``"@version": 1.1`` raises a processing-mode conflict, per the
+      spec."""
+
+    __slots__ = ("base", "expand_context", "context_loader",
+                 "processing_mode")
+
+    def __init__(self, base: Optional[str] = None, expand_context=None,
+                 context_loader=None,
+                 processing_mode: str = "json-ld-1.1"):
+        if processing_mode not in ("json-ld-1.0", "json-ld-1.1"):
+            raise ValueError(f"bad processing mode {processing_mode!r}")
+        self.base = base
+        self.expand_context = expand_context
+        self.context_loader = context_loader
+        self.processing_mode = processing_mode
+
+
+class _Context:
+    __slots__ = ("terms", "vocab", "base", "options")
+
+    def __init__(self, base: Optional[str],
+                 options: Optional[JsonLdOptions] = None):
         self.terms: Dict[str, dict] = {}
         self.vocab: Optional[str] = None
         self.base = base
+        self.options = options
 
     def copy(self) -> "_Context":
-        c = _Context(self.base)
+        c = _Context(self.base, self.options)
         c.terms = dict(self.terms)
         c.vocab = self.vocab
         return c
+
+    def _load_remote(self, url: str) -> Any:
+        loader = self.options.context_loader if self.options else None
+        if loader is not None:
+            doc = loader(url)
+            if isinstance(doc, dict) and "@context" in doc:
+                return doc["@context"]
+            if doc is not None:
+                return doc
+        return _KNOWN_REMOTE.get(url.rstrip("/")
+                                 if url.rstrip("/") in _KNOWN_REMOTE
+                                 else url, _KNOWN_REMOTE.get(url))
 
     def apply(self, ctx: Any) -> "_Context":
         out = self.copy()
         for part in ctx if isinstance(ctx, list) else [ctx]:
             if isinstance(part, str):
-                part = _KNOWN_REMOTE.get(part.rstrip("/") if part.rstrip("/") in
-                                         _KNOWN_REMOTE else part, _KNOWN_REMOTE.get(part))
+                part = self._load_remote(part)
                 if part is None:
                     continue  # unknown remote context: NoLoader behavior
             if part is None:
-                out = _Context(self.base)
+                out = _Context(self.base, self.options)
                 continue
             if not isinstance(part, dict):
                 continue
+            if part.get("@version") == 1.1 and self.options is not None \
+                    and self.options.processing_mode == "json-ld-1.0":
+                raise ValueError(
+                    "processing mode conflict: context requires "
+                    "JSON-LD 1.1 but options set json-ld-1.0")
             if "@vocab" in part:
                 out.vocab = part["@vocab"]
             if "@base" in part and isinstance(part["@base"], str):
@@ -183,8 +238,11 @@ class _Context:
 class JsonLdExpander:
     """One document → list of (s, p, o, graph) with deterministic bnodes."""
 
-    def __init__(self, base: Optional[str] = None):
-        self.base = base
+    def __init__(self, base: Optional[str] = None,
+                 options: Optional[JsonLdOptions] = None):
+        self.options = options
+        self.base = base if base is not None else \
+            (options.base if options else None)
         self.counter = 0
         self.triples: List[Tuple[Term, Term, Term, Optional[Term]]] = []
 
@@ -194,7 +252,11 @@ class JsonLdExpander:
         return t
 
     def to_rdf(self, doc: Any) -> List[Tuple[Term, Term, Term, Optional[Term]]]:
-        ctx = _Context(self.base)
+        ctx = _Context(self.base, self.options)
+        if self.options is not None and \
+                self.options.expand_context is not None:
+            # with_expand_context: applied before the document's own
+            ctx = ctx.apply(self.options.expand_context)
         self._node(doc, ctx, graph=None)
         return self.triples
 
@@ -357,7 +419,8 @@ class JsonLdExpander:
 
 
 def jsonld_to_triples(
-    text: str, base: Optional[str] = None
+    text: str, base: Optional[str] = None,
+    options: Optional[JsonLdOptions] = None,
 ) -> Tuple[List[Tuple[Term, Term, Term, Optional[Term]]], Optional[str]]:
     """Parse + expand one JSON-LD document → (triples, error). Parse errors
     are returned, not raised (per-row error semantics)."""
@@ -366,7 +429,7 @@ def jsonld_to_triples(
     except (json.JSONDecodeError, RecursionError) as e:
         return [], f"json: {e}"
     try:
-        return JsonLdExpander(base).to_rdf(doc), None
+        return JsonLdExpander(base, options).to_rdf(doc), None
     except (RecursionError, ValueError, TypeError, KeyError) as e:
         return [], f"jsonld: {e}"
 

@@ -98,3 +98,79 @@ def test_strict_reduced(ray_session):
     red = select("SELECT REDUCED ?o WHERE { ?s ?p ?o }", g).take_all()
     assert len(dis) == 2
     assert len(red) == 3
+
+
+# -- JsonLdOptions surface (jsonld/src/options.rs:34,177-314) ----------
+
+def test_jsonld_options_context_loader():
+    from sophia_rs_ray.jsonld import JsonLdOptions, jsonld_to_triples
+
+    calls = []
+
+    def loader(url):
+        calls.append(url)
+        if url == "http://ctx.example/v1":
+            return {"@context": {"name": "http://schema.org/name"}}
+        return None
+
+    doc = ('{"@context": "http://ctx.example/v1", '
+           '"@id": "http://e.org/x", "name": "N"}')
+    trs, err = jsonld_to_triples(
+        doc, options=JsonLdOptions(context_loader=loader))
+    assert err is None and len(trs) == 1
+    assert trs[0][1][1] == "http://schema.org/name"
+    assert calls == ["http://ctx.example/v1"]
+
+
+def test_jsonld_options_unknown_remote_still_noloader():
+    from sophia_rs_ray.jsonld import jsonld_to_triples
+
+    doc = ('{"@context": "http://unknown.example/ctx", '
+           '"@id": "http://e.org/x", "name": "N"}')
+    trs, err = jsonld_to_triples(doc)
+    assert err is None and trs == []  # term drops, NoLoader behavior
+
+
+def test_jsonld_options_expand_context():
+    from sophia_rs_ray.jsonld import JsonLdOptions, jsonld_to_triples
+
+    doc = '{"@id": "http://e.org/x", "name": "N"}'
+    opts = JsonLdOptions(
+        expand_context={"name": "http://schema.org/name"})
+    trs, err = jsonld_to_triples(doc, options=opts)
+    assert err is None and trs[0][1][1] == "http://schema.org/name"
+    # document's own context still overrides the expand context
+    doc2 = ('{"@context": {"name": "http://other.org/name"}, '
+            '"@id": "http://e.org/x", "name": "N"}')
+    trs2, _ = jsonld_to_triples(doc2, options=opts)
+    assert trs2[0][1][1] == "http://other.org/name"
+
+
+def test_jsonld_options_base():
+    from sophia_rs_ray.jsonld import JsonLdOptions, jsonld_to_triples
+
+    doc = '{"@id": "x", "@type": "http://t.example/T"}'
+    trs, err = jsonld_to_triples(
+        doc, options=JsonLdOptions(base="http://base.example/dir/"))
+    assert err is None and trs[0][0][1] == "http://base.example/dir/x"
+
+
+def test_jsonld_processing_mode_conflict():
+    from sophia_rs_ray.jsonld import JsonLdOptions, jsonld_to_triples
+
+    doc = ('{"@context": {"@version": 1.1, '
+           '"name": "http://schema.org/name"}, '
+           '"@id": "http://e.org/x", "name": "N"}')
+    trs, err = jsonld_to_triples(
+        doc, options=JsonLdOptions(processing_mode="json-ld-1.0"))
+    assert trs == [] and "processing mode conflict" in err
+    trs2, err2 = jsonld_to_triples(doc)  # 1.1 default: fine
+    assert err2 is None and len(trs2) == 1
+
+
+def test_jsonld_bad_processing_mode_rejected():
+    import pytest
+
+    from sophia_rs_ray.jsonld import JsonLdOptions
+    with pytest.raises(ValueError):
+        JsonLdOptions(processing_mode="json-ld-2.0")
