@@ -340,8 +340,41 @@ FROM terms
 """
 
 
+def sparql_subquery(sf_dir: str):
+    """SubSelect (`{ SELECT … }`, SPARQL 1.1 §18.2.2.11; desugared by
+    the reference's spargebra into nested Project/Group algebra —
+    sparql/src/exec.rs:125-180): per-source MAX via an aggregating
+    subquery joined back on the shared projected variable, filtered to
+    the row(s) attaining the max."""
+    from ..sparql.run import select
+
+    q = """
+      PREFIX dc: <http://purl.org/dc/terms/>
+      PREFIX ex: <http://kg.example/>
+      SELECT ?d ?src ?maxn WHERE {
+        ?d dc:source ?src ; ex:nchars ?n .
+        { SELECT ?src (MAX(?n2) AS ?maxn)
+          WHERE { ?x dc:source ?src ; ex:nchars ?n2 } GROUP BY ?src }
+        FILTER(?n = ?maxn)
+      }
+    """
+    return select(q, doc_triples(sf_dir))
+
+
+SPARQL_SUBQUERY_SQL = f"""
+SELECT {_D.replace("doc_id", "d.doc_id")} AS d,
+       '"' || d.source || '"' AS src,
+       '"' || m.maxn || '"{INT_DT}' AS maxn
+FROM documents d
+JOIN (SELECT source, max(cast(n_chars AS BIGINT)) AS maxn
+      FROM documents GROUP BY source) m
+  ON d.source = m.source AND cast(d.n_chars AS BIGINT) = m.maxn
+"""
+
+
 REGISTRY = {
     "sparql_bgp_filter": (sparql_bgp_filter, SPARQL_BGP_FILTER_SQL),
+    "sparql_subquery": (sparql_subquery, SPARQL_SUBQUERY_SQL),
     "sparql_group_agg": (sparql_group_agg, SPARQL_GROUP_AGG_SQL),
     "sparql_optional": (sparql_optional, SPARQL_OPTIONAL_SQL),
     "sparql_union_distinct": (sparql_union_distinct, SPARQL_UNION_DISTINCT_SQL),

@@ -38,11 +38,10 @@ from typing import Dict, List, Optional, Sequence, Tuple, Union as U
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..terms import (XSD, XSD_DOUBLE, XSD_INTEGER, Term, format_term,
-                     sort_key)
+from ..terms import XSD, XSD_DOUBLE, XSD_INTEGER, Term, format_term
 from ..util import safe_join
-from .expr import (Const, Expr, FnCall, Var, _parse, ebv, eval_expr_batch,
-                   order_key_batch, value_of)
+from .expr import (Const, Expr, FnCall, Var, _order_key, _parse, ebv,
+                   eval_expr_batch, order_key_batch, value_of)
 
 TermOrVar = U[Term, Var]
 
@@ -923,7 +922,9 @@ def _agg_add(a: Agg, st: dict, val: Optional[str]):
     if fn == "SAMPLE":
         st["m"] = val if st["m"] is None else min(st["m"], val)
         return
-    # MIN/MAX by term order (sort_key), parse failures skipped
+    # MIN/MAX by the SPARQL ORDER BY comparator (value-aware: numbers
+    # numerically, dateTimes by instant — the reference folds through
+    # sparql_order_by, aggregate_iter.rs:276-308), parse failures skipped
     t = _parse(val)
     if t is None:
         return
@@ -931,8 +932,8 @@ def _agg_add(a: Agg, st: dict, val: Optional[str]):
         st["m"] = val
         return
     cur = _parse(st["m"])
-    better = sort_key(t) < sort_key(cur) if fn == "MIN" \
-        else sort_key(t) > sort_key(cur)
+    better = _order_key(t) < _order_key(cur) if fn == "MIN" \
+        else _order_key(t) > _order_key(cur)
     if better:
         st["m"] = val
 
@@ -973,7 +974,7 @@ def _agg_merge(a: Agg, st: dict, other_json: str):
     if st["m"] is None:
         st["m"] = o["m"]
         return
-    sk_o, sk_c = sort_key(_parse(o["m"])), sort_key(_parse(st["m"]))
+    sk_o, sk_c = _order_key(_parse(o["m"])), _order_key(_parse(st["m"]))
     if (a.fn == "MIN" and sk_o < sk_c) or (a.fn == "MAX" and sk_o > sk_c):
         st["m"] = o["m"]
 
@@ -1005,8 +1006,8 @@ def _agg_final(a: Agg, st: dict) -> Optional[str]:
         terms = [t for t in (_parse(v) for v in vals) if t is not None]
         if not terms:
             return None
-        pick = min(terms, key=sort_key) if fn == "MIN" else \
-            max(terms, key=sort_key)
+        pick = min(terms, key=_order_key) if fn == "MIN" else \
+            max(terms, key=_order_key)
         return format_term(pick)
     if fn == "COUNT":
         return format_term((2, str(st["n"]), XSD_INTEGER, "", 0))

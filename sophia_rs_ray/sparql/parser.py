@@ -17,7 +17,8 @@ Supported grammar (the operator inventory of SURVEY §2.5-2.9):
   compositions rewritten to joins/unions; `+` `*` `?` over arbitrary
   sub-paths with free endpoints and negated property sets `!(p|^q)`
   via the general PathPattern evaluator (semi-naive distributed
-  closure); DESCRIBE.
+  closure); SubSelect `{ SELECT … }` groups (with their own modifiers
+  and trailing VALUES clause, SPARQL 1.1 §18.2.2.11); DESCRIBE.
 
 Restrictions are explicit errors, not silent misparses.
 """
@@ -388,8 +389,20 @@ class _Parser:
     # --- group graph pattern ------------------------------------------------
     def parse_group(self) -> Node:
         """`{ ... }` → algebra node. FILTERs apply at group end (SPARQL
-        scoping); EXISTS filters become Exists semi-joins."""
+        scoping); EXISTS filters become Exists semi-joins. A group whose
+        first token is SELECT is a SubSelect (SPARQL 1.1 §18.2.2.11,
+        desugared by the reference's spargebra into the same nested
+        Project/Group algebra — sparql/src/exec.rs:125-180): evaluated
+        independently, only its projected variables join the outer
+        scope."""
         self.eat_op("{")
+        if self.at_kw("SELECT"):
+            self.next()
+            node, _, _ = self._parse_select_body(with_dataset=False)
+            if self.at_kw("VALUES"):  # SubSelect trailing ValuesClause
+                node = Join(node, self._parse_values())
+            self.eat_op("}")
+            return node
         acc: Optional[Node] = None
         filters: List[Expr] = []
         exists: List[Tuple[Node, bool]] = []
@@ -855,7 +868,13 @@ class _Parser:
             else:
                 offset = int(v)
 
-        # assemble: Group → HAVING → Extend/Project → Distinct → Order → Slice
+        # assemble: Group → HAVING → Extend → [Order/Slice] → Project →
+        # Distinct → [Order/Slice].  ORDER BY evaluates BEFORE projection
+        # (SPARQL 1.1 §18.2.5: sort keys may reference non-projected
+        # variables); when every key IS projected we keep the sort after
+        # Project/Distinct instead, which preserves the Slice∘OrderBy
+        # top-k pushdown and re-establishes order after the Distinct
+        # exchange.
         if aggs or group_vars:
             node = Group(group_vars, aggs, node)
         for h in having:
@@ -869,6 +888,33 @@ class _Parser:
             else:
                 node = Extend(alias, e, node)
                 proj.append(alias)
+
+        def _expr_vars(e, out):
+            if isinstance(e, Var):
+                out.add(e.name)
+            elif isinstance(e, FnCall):
+                for a in e.args:
+                    _expr_vars(a, out)
+
+        order_vars: set = set()
+        for e, _asc in order:
+            _expr_vars(e, order_vars)
+        pre_project_sort = bool(order) and not star \
+            and not order_vars.issubset(set(proj))
+        if pre_project_sort:
+            if distinct or reduced:
+                # With DISTINCT the slice counts distinct solutions, so
+                # sorting/slicing before projection is wrong — and the
+                # spec restricts ORDER BY under DISTINCT to projected
+                # variables anyway.
+                raise SparqlParseError(
+                    "ORDER BY with DISTINCT/REDUCED may only use "
+                    "projected variables")
+            node = OrderBy(order, node)
+            if limit is not None or offset:
+                node = Slice(node, offset=offset or 0, limit=limit)
+            node = Project(proj, node)
+            return node, proj
         if not star:
             node = Project(proj, node)
         if distinct:
@@ -899,40 +945,49 @@ class _Parser:
             target.append(f"<{t[1]}>")
         return tuple(froms), tuple(named)
 
+    def _parse_select_body(self, with_dataset: bool = True):
+        """Everything after the SELECT keyword: DISTINCT/REDUCED,
+        select items, [dataset clause], WHERE group, GROUP BY and
+        solution modifiers. Shared by top-level SELECT and SubSelect
+        groups. → (node, projected-var names, dataset clause)."""
+        distinct = False
+        reduced = False
+        if self.at_kw("DISTINCT"):
+            self.next()
+            distinct = True
+        elif self.at_kw("REDUCED"):
+            self.next()  # strict REDUCED: adjacent-dup elimination
+            reduced = True
+        star, items = self._parse_select_items()
+        dataset = self._parse_dataset_clause() if with_dataset \
+            else ((), ())
+        if self.at_kw("WHERE"):
+            self.next()
+        node = self.parse_group()
+        group_vars: List[str] = []
+        aggs: List[Agg] = []
+        if self.at_kw("GROUP"):
+            self.next()
+            self.eat_kw("BY")
+            while self.peek()[0] == "VAR":
+                group_vars.append(self.next()[1][1:])
+        for alias, e, agg in items:
+            if agg is not None:
+                agg.alias = alias
+                aggs.append(agg)
+        if aggs and star:
+            raise SparqlParseError("SELECT * with aggregates")
+        node, proj = self._parse_modifiers(
+            node, group_vars, aggs, items, star, distinct,
+            reduced=reduced)
+        return node, proj, dataset
+
     # --- top level ----------------------------------------------------------
     def parse(self):
         self.parse_prologue()
         if self.at_kw("SELECT"):
             self.next()
-            distinct = False
-            reduced = False
-            if self.at_kw("DISTINCT"):
-                self.next()
-                distinct = True
-            elif self.at_kw("REDUCED"):
-                self.next()  # strict REDUCED: adjacent-dup elimination
-                reduced = True
-            star, items = self._parse_select_items()
-            dataset = self._parse_dataset_clause()
-            if self.at_kw("WHERE"):
-                self.next()
-            node = self.parse_group()
-            group_vars: List[str] = []
-            aggs: List[Agg] = []
-            if self.at_kw("GROUP"):
-                self.next()
-                self.eat_kw("BY")
-                while self.peek()[0] == "VAR":
-                    group_vars.append(self.next()[1][1:])
-            for idx, (alias, e, agg) in enumerate(items):
-                if agg is not None:
-                    agg.alias = alias
-                    aggs.append(agg)
-            if aggs and star:
-                raise SparqlParseError("SELECT * with aggregates")
-            node, proj = self._parse_modifiers(
-                node, group_vars, aggs, items, star, distinct,
-                reduced=reduced)
+            node, proj, dataset = self._parse_select_body()
             self._expect_eof()
             return SelectQuery(node, proj, dataset)
         if self.at_kw("ASK"):

@@ -715,3 +715,140 @@ def test_triple_term_vars_rejected():
         parse_query("SELECT ?a WHERE { ?r ?p <<( ?a <x:b> <x:c> )>> }")
     with pytest.raises(SparqlParseError):
         parse_query("SELECT ?r WHERE { << ?a <x:b> <x:c> >> ?p ?r }")
+
+
+# --- SubSelect (SPARQL 1.1 §18.2.2.11; spargebra desugars `{ SELECT … }`
+# into nested Project/Group algebra, executed by the same dispatch at
+# sparql/src/exec.rs:125-180) -------------------------------------------------
+
+def test_subselect_aggregate_join(graph):
+    """Outer BGP joined against an aggregating subquery on the shared
+    projected variable."""
+    out = select(f"""
+        PREFIX foaf: <{FOAF}>
+        SELECT ?x ?cnt WHERE {{
+            ?x foaf:name ?n .
+            {{ SELECT ?x (COUNT(*) AS ?cnt)
+               WHERE {{ ?x foaf:knows ?y }} GROUP BY ?x }}
+        }}
+    """, graph)
+    got = sorted((r["x"], r["cnt"]) for r in out.take_all())
+    one = '"1"^^<http://www.w3.org/2001/XMLSchema#integer>'
+    assert got == [(f"<{EX}alice>", one), (f"<{EX}bob>", one)]
+
+
+def test_subselect_scoping_hides_unprojected_vars(graph):
+    """Variables not projected by the subquery are out of scope outside:
+    the outer ?y must NOT join with the subquery's internal ?y."""
+    out = select(f"""
+        PREFIX foaf: <{FOAF}>
+        SELECT ?x ?y WHERE {{
+            {{ SELECT ?x WHERE {{ ?x foaf:knows ?y }} }}
+            ?x foaf:age ?y .
+        }}
+    """, graph)
+    got = sorted((r["x"], r["y"]) for r in out.take_all())
+    xsd_int = "<http://www.w3.org/2001/XMLSchema#integer>"
+    assert got == [(f"<{EX}alice>", f'"30"^^{xsd_int}'),
+                   (f"<{EX}bob>", f'"25"^^{xsd_int}')]
+
+
+def test_subselect_limit_order(graph):
+    """ORDER BY + LIMIT inside the subquery apply before the outer join."""
+    out = select(f"""
+        PREFIX foaf: <{FOAF}>
+        SELECT ?n WHERE {{
+            ?x foaf:name ?n .
+            {{ SELECT ?x WHERE {{ ?x foaf:age ?a }} ORDER BY ?a LIMIT 1 }}
+        }}
+    """, graph)
+    assert [r["n"] for r in out.take_all()] == ['"Bob"']
+
+
+def test_subselect_in_union_arm(graph):
+    out = select(f"""
+        PREFIX foaf: <{FOAF}>
+        SELECT ?x WHERE {{
+            {{ SELECT ?x WHERE {{ ?x foaf:age ?a }}
+               ORDER BY DESC(?a) LIMIT 1 }}
+            UNION
+            {{ ?x foaf:name "Carol" }}
+        }}
+    """, graph)
+    got = sorted(r["x"] for r in out.take_all())
+    assert got == [f"<{EX}alice>", f"<{EX}carol>"]
+
+
+def test_subselect_distinct_star(graph):
+    """SELECT * subselect projects every inner variable (no-op wrapper)."""
+    out = select(f"""
+        PREFIX foaf: <{FOAF}>
+        SELECT ?y WHERE {{ {{ SELECT DISTINCT * WHERE
+            {{ ?x foaf:knows ?y }} }} }}
+    """, graph)
+    assert sorted(r["y"] for r in out.take_all()) == [
+        f"<{EX}bob>", f"<{EX}carol>"]
+
+
+def test_subselect_trailing_values(graph):
+    """SubSelect ::= SelectClause WhereClause SolutionModifier ValuesClause."""
+    out = select(f"""
+        PREFIX foaf: <{FOAF}>
+        SELECT ?x ?n WHERE {{
+            {{ SELECT ?x ?n WHERE {{ ?x foaf:name ?n }}
+               VALUES ?n {{ "Alice" "Carol" }} }}
+        }}
+    """, graph)
+    got = sorted(r["n"] for r in out.take_all())
+    assert got == ['"Alice"', '"Carol"']
+
+
+def test_min_max_numeric_by_value(graph):
+    """MIN/MAX fold through the SPARQL ORDER BY comparator, i.e. by
+    VALUE for numbers (aggregate_iter.rs:276-308 routes through
+    sparql_order_by) — "25" < "30" numerically even though "30" < "9"
+    would hold lexically."""
+    out = select(f"""
+        PREFIX foaf: <{FOAF}>
+        SELECT (MIN(?a) AS ?lo) (MAX(?a) AS ?hi)
+        WHERE {{ ?x foaf:age ?a }}
+    """, graph)
+    xsd_int = "<http://www.w3.org/2001/XMLSchema#integer>"
+    r = out.take_all()[0]
+    assert r["lo"] == f'"25"^^{xsd_int}'
+    assert r["hi"] == f'"30"^^{xsd_int}'
+
+
+def test_max_value_vs_lexical(ray_session):
+    """Explicit lexical-trap case: max(9, 554) = 554 (lexically "95"
+    style traps: "9…" > "5…")."""
+    import ray.data as rd
+
+    xsd_int = "<http://www.w3.org/2001/XMLSchema#integer>"
+    g = rd.from_arrow(pa.table({
+        "s": pa.array(["<u:a>", "<u:b>"], pa.large_string()),
+        "p": pa.array(["<p:n>", "<p:n>"], pa.large_string()),
+        "o": pa.array([f'"9"^^{xsd_int}', f'"554"^^{xsd_int}'],
+                      pa.large_string()),
+    }))
+    out = select("SELECT (MAX(?n) AS ?mx) (MIN(?n) AS ?mn) "
+                 "WHERE { ?s <p:n> ?n }", g)
+    r = out.take_all()[0]
+    assert r["mx"] == f'"554"^^{xsd_int}'
+    assert r["mn"] == f'"9"^^{xsd_int}'
+
+
+def test_order_by_unprojected_var(graph):
+    """ORDER BY may reference variables absent from the projection
+    (SPARQL 1.1 §18.2.5) — the sort must run BEFORE Project."""
+    out = select(f"""
+        PREFIX foaf: <{FOAF}>
+        SELECT ?x WHERE {{ ?x foaf:age ?a }} ORDER BY ?a LIMIT 1
+    """, graph)
+    assert [r["x"] for r in out.take_all()] == [f"<{EX}bob>"]
+
+
+def test_order_by_distinct_unprojected_rejected():
+    with pytest.raises(SparqlParseError):
+        parse_query("SELECT DISTINCT ?x WHERE { ?x <p:a> ?a } "
+                    "ORDER BY ?a")
