@@ -1123,6 +1123,10 @@ def registry() -> Registry:
         "nations_per_region_concat": (R.nations_per_region_concat,
                                       R.NATIONS_CONCAT_SQL),
         "customer_ancestors": (R.customer_ancestors, R.CUSTOMER_ANCESTORS_SQL),
+        # temporal operators (session/as-of/rolling windows)
+        "user_sessions": (R.user_sessions, R.USER_SESSIONS_SQL),
+        "clicks_asof_view": (R.clicks_asof_view, R.CLICKS_ASOF_VIEW_SQL),
+        "events_rolling_1h": (R.events_rolling_1h, R.EVENTS_ROLLING_1H_SQL),
         # training-data ops
         "dedup_exact_docs": (_dedup_exact_docs, DEDUP_EXACT_SQL),
         "token_counts": (_token_counts, TOKEN_COUNTS_SQL),

@@ -581,3 +581,122 @@ WITH RECURSIVE anc(node, ancestor) AS (
 )
 SELECT node, ancestor FROM anc
 """
+
+
+# ---------------------------------------------------------------------------
+# temporal operators over the events stream (functions/temporal.py):
+# session windows, as-of join, rolling range windows
+# ---------------------------------------------------------------------------
+
+def user_sessions(sf_dir: str):
+    """Session-window aggregate: per-user event timelines split at
+    >30-min gaps (ONE hash exchange on user_id + vectorized numpy gap
+    scan per partition — functions/temporal.sessionize)."""
+    from ..functions.temporal import sessionize
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    return sessionize(ds, key_col="user_id", ts_col="ts",
+                      gap_us=1_800_000_000, value_col="value")
+
+
+USER_SESSIONS_SQL = """
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) - 1 AS session
+  FROM o)
+SELECT user_id, session, count(*) AS n_events,
+       min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM s GROUP BY 1, 2
+"""
+
+
+def clicks_asof_view(sf_dir: str):
+    """As-of join: every click event matched to the user's most recent
+    prior-or-simultaneous view event.  Right side pre-deduplicated to
+    max event_id per (user, ts) for tie determinism; both sides flow
+    through one hash exchange on user_id, each partition does a sorted
+    searchsorted merge (functions/temporal.asof_join)."""
+    from ..functions.exchange import hash_aggregate
+    from ..functions.temporal import asof_join
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                  "event_type"])
+
+    def _typed(name):
+        def f(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(b["event_type"], name)) \
+                    .drop_columns(["event_type"])
+        return f
+
+    clicks = ds.map_batches(_typed("click"), batch_format="pyarrow")
+    views = ds.map_batches(_typed("view"), batch_format="pyarrow")
+
+    def dmax(t: pa.Table) -> pa.Table:
+        out = t.group_by(["user_id", "ts"]).aggregate([("event_id", "max")])
+        return out.rename_columns(["user_id", "ts", "event_id"])
+
+    views = hash_aggregate(views, ["user_id"], dmax, dmax,
+                           num_partitions=4)
+    joined = asof_join(clicks, views, on="user_id", ts="ts",
+                       right_cols=["event_id", "ts"], suffix="_view")
+
+    def fin(b: pa.Table) -> pa.Table:
+        # unmatched → -1 (not null): keeps int64 dtype through pandas
+        # on both sides of the oracle compare
+        return pa.table({
+            "event_id": b["event_id"],
+            "user_id": b["user_id"],
+            "ts_us": pc.cast(pc.cast(b["ts"], pa.timestamp("us")),
+                             pa.int64()),
+            "view_id": pc.coalesce(b["event_id_view"],
+                                   pa.scalar(-1, pa.int64())),
+            "view_ts_us": pc.coalesce(
+                pc.cast(pc.cast(b["ts_view"], pa.timestamp("us")),
+                        pa.int64()),
+                pa.scalar(-1, pa.int64())),
+        })
+
+    return joined.map_batches(fin, batch_format="pyarrow")
+
+
+CLICKS_ASOF_VIEW_SQL = """
+WITH v AS (SELECT user_id, ts, max(event_id) AS view_id
+           FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+     c AS (SELECT * FROM events WHERE event_type = 'click')
+SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+       coalesce(v.view_id, -1) AS view_id,
+       coalesce(epoch_us(v.ts), -1) AS view_ts_us
+FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts
+"""
+
+
+def events_rolling_1h(sf_dir: str):
+    """Rolling range-window aggregate: per event, the count and
+    cent-exact value sum of the same user's events in the trailing
+    hour (RANGE … PRECEDING AND CURRENT ROW semantics, peers at equal
+    ts included) — prefix sums + searchsorted per user run
+    (functions/temporal.rolling_window)."""
+    from ..functions.temporal import rolling_window
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    return rolling_window(ds, key_col="user_id", ts_col="ts",
+                          window_us=3_600_000_000, value_col="value",
+                          keep_cols=["event_id"])
+
+
+EVENTS_ROLLING_1H_SQL = """
+SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       count(*) OVER w AS n_w,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_w
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
