@@ -474,6 +474,38 @@ def _lang_id(sf_dir: str):
     return ds.map_batches(lang_id_batch, batch_format="pyarrow")
 
 
+#: mirrors functions/text.lang_id_batch exactly: distinct lowercased
+#: [a-zA-Z']+ words from the first 2000 chars, per-language stopword-hit
+#: ratio, argmax with ties to the lexicographically-first language code
+#: ('und' when every profile scores 0).  Ratios are k/14 or k/15 so
+#: round(x, 4) never lands on a decimal half — Python banker's rounding
+#: and DuckDB half-away rounding agree on every reachable value.
+LANG_ID_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           regexp_extract_all(substr(text, 1, 2000), '[a-zA-Z'']+'),
+           x -> lower(x))) AS words
+  FROM documents
+), s AS (
+  SELECT doc_id,
+    len(list_intersect(words, ['der','die','das','und','ist','von','zu','mit','den','im','für','auf','ein','eine'])) / 14.0 AS s_de,
+    len(list_intersect(words, ['the','of','and','to','a','in','is','that','it','for','on','with','as','at','by'])) / 15.0 AS s_en,
+    len(list_intersect(words, ['el','la','los','las','de','y','un','una','es','en','que','para','con','por','del'])) / 15.0 AS s_es,
+    len(list_intersect(words, ['le','la','les','de','des','du','et','un','une','est','pour','dans','que','au','avec'])) / 15.0 AS s_fr
+  FROM w
+)
+SELECT doc_id,
+  CASE WHEN greatest(s_de,s_en,s_es,s_fr) = 0 THEN 'und'
+       WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+       WHEN s_es >= s_fr THEN 'es'
+       ELSE 'fr' END AS pred_lang,
+  round(greatest(s_de,s_en,s_es,s_fr), 4) AS score
+FROM s
+"""
+
+
 def _simhash(sf_dir: str):
     import ray.data as rd
 
@@ -1148,7 +1180,7 @@ def registry() -> Registry:
         # rows-only
         "kg_pipeline": (_kg_pipeline, None),
         "extract_text": (_extract_text, None),
-        "lang_id": (_lang_id, None),
+        "lang_id": (_lang_id, LANG_ID_SQL),
         "simhash_fingerprint": (_simhash, None),
         "c14n_digests": (_c14n_digests, None),
         "near_dup_clusters": (_near_dup_clusters, NEAR_DUP_CLUSTERS_SQL),

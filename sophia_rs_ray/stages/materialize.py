@@ -308,9 +308,23 @@ def _write_partition(out_dir: str, order: str, shard: int, salt: int,
     return row
 
 
+def _combine_pieces(*parts):
+    """Fan-in node of the exchange's merge tree: concat ≤ fanin piece
+    objects into one.  Exists so a write task never has to fetch
+    O(input_blocks) tiny objects — at 100-TB scale (10⁵ blocks ×
+    10³ partitions) the direct exchange's per-write argument list and
+    the driver's live-ref set both blow up; the tree caps each task at
+    ``fanin`` args and lets Ray free consumed pieces continuously."""
+    parts = [p for p in parts if p is not None and p.num_rows]
+    if not parts:
+        return None
+    return pa.concat_tables(parts)
+
+
 def _materialize_exchange(nt_ds, out_dir: str, orders: List[str],
                           num_shards: int, salts: Dict[str, int],
-                          resume: bool, distinct: bool) -> Dict[str, dict]:
+                          resume: bool, distinct: bool,
+                          fanin: int = 256) -> Dict[str, dict]:
     import ray
 
     done = {o: (load_manifest(out_dir, o) if resume else {}) for o in orders}
@@ -328,24 +342,53 @@ def _materialize_exchange(nt_ds, out_dir: str, orders: List[str],
     # side of the exchange overlaps the extract stage instead of
     # waiting behind a full-dataset barrier (to_arrow_refs()).  Only
     # the reduce (write) side runs after the last block.
-    part_refs = []
+    combine = ray.remote(_combine_pieces)
+    # Per-partition merge tree: ``levels[j][d]`` holds up-to-``fanin``
+    # refs at tree depth d.  When a level fills, its refs collapse into
+    # one combine task and the driver drops them — bounding both the
+    # driver's live-ref set (O(npart · fanin · depth)) and every
+    # write/combine task's argument count at ``fanin``, independent of
+    # the input block count.  Depth is log_fanin(blocks) ≈ 2-3 even at
+    # 100 TB; below ``fanin`` blocks (every sandbox run) the tree is a
+    # single level and the plan is identical to the direct exchange.
+    levels: List[List[List]] = [[[]] for _ in range(npart)]
+
+    def push(j: int, ref, depth: int = 0) -> None:
+        lv = levels[j]
+        while len(lv) <= depth:
+            lv.append([])
+        lv[depth].append(ref)
+        if len(lv[depth]) >= fanin:
+            merged = combine.remote(*lv[depth])
+            lv[depth] = []
+            push(j, merged, depth + 1)
+
+    active = [j for j, key in enumerate(layout) if key not in done_keys]
+
+    def feed(piece_refs) -> None:
+        for j in active:
+            push(j, piece_refs[j])
+
+    n_blocks = 0
     try:
         for bundle in nt_ds.iter_internal_ref_bundles():
             for r in bundle.block_refs:
-                part_refs.append(split.remote(
-                    r, tuple(orders), num_shards, salts, done_keys))
+                n_blocks += 1
+                feed(split.remote(r, tuple(orders), num_shards, salts,
+                                  done_keys))
     except AttributeError:  # older Ray: no streaming ref API
-        part_refs = [split.remote(r, tuple(orders), num_shards, salts,
-                                  done_keys)
-                     for r in nt_ds.to_arrow_refs()]
-    cols = list(zip(*part_refs)) if part_refs else [[]] * npart
+        for r in nt_ds.to_arrow_refs():
+            n_blocks += 1
+            feed(split.remote(r, tuple(orders), num_shards, salts,
+                              done_keys))
 
     futures = {}
     for j, (oi, shard, salt) in enumerate(layout):
         if (oi, shard, salt) in done_keys:
             continue
+        refs = [r for lv in levels[j] for r in lv]
         futures[(oi, shard, salt)] = write.remote(
-            out_dir, orders[oi], shard, salt, distinct, *cols[j])
+            out_dir, orders[oi], shard, salt, distinct, *refs)
     rows = ray.get(list(futures.values()))
     written: Dict[str, Dict[Tuple[int, int], int]] = {o: {} for o in orders}
     for (oi, shard, salt), row in zip(futures, rows):
@@ -429,7 +472,8 @@ def materialize_graph(nt_ds, out_dir: str, *,
                       salts: Optional[Dict[str, int]] = None,
                       resume: bool = True,
                       distinct: bool = False,
-                      exchange: str = "tasks") -> Dict[str, dict]:
+                      exchange: str = "tasks",
+                      fanin: int = 256) -> Dict[str, dict]:
     """(s, p, o) NT rows → the sorted shard layouts. Returns a report
     ``{order: {"written": [(shard, salt), …], "skipped": […], "rows": N}}``.
 
@@ -441,7 +485,7 @@ def materialize_graph(nt_ds, out_dir: str, *,
     orders = list(orders)
     if exchange == "tasks":
         return _materialize_exchange(nt_ds, out_dir, orders, num_shards,
-                                     salts, resume, distinct)
+                                     salts, resume, distinct, fanin=fanin)
     return _materialize_groupby(nt_ds, out_dir, orders, num_shards,
                                 salts, resume, distinct)
 

@@ -112,6 +112,22 @@ def test_distinct_and_groupby_exchange_agree(ray_session, tmp_path):
         assert dataset_digest(out_a, o) == dataset_digest(out_b, o)
 
 
+def test_fanin_tree_matches_direct_exchange(graph_dir, ray_session, tmp_path):
+    """fanin=2 over 8 blocks forces a 3-deep combine tree (the 100-TB
+    bounded-fan-in path); output must be bit-identical to the direct
+    exchange (graph_dir, fanin=256 > blocks)."""
+    import ray.data as rd
+
+    out_direct, report_direct = graph_dir
+    ds = rd.from_arrow(_nt_table()).repartition(8)
+    out = str(tmp_path / "tree")
+    report = materialize_graph(ds, out, num_shards=N_SHARDS, salts=SALTS,
+                               fanin=2)
+    for o in ORDERS:
+        assert report[o]["rows"] == report_direct[o]["rows"]
+        assert dataset_digest(out, o) == dataset_digest(out_direct, o)
+
+
 def test_resume_skips_done_and_repairs_missing(graph_dir, ray_session):
     import ray.data as rd
 
