@@ -1,0 +1,332 @@
+"""Command-line tools mirroring the reference's example binaries
+(``sophia/examples/parse.rs``, ``serialize.rs``, ``canonicalize.rs``,
+``sparql.rs``) so a reference user can run the same shell pipelines:
+
+  python -m sophia_rs_ray.cli parse [FORMAT] [PATH]
+  python -m sophia_rs_ray.cli serialize FORMAT [PATH]
+  python -m sophia_rs_ray.cli canonicalize [PATH]
+  python -m sophia_rs_ray.cli sparql QUERY [DATA.nq]
+  python -m sophia_rs_ray.cli materialize NT_PATH OUT_DIR
+
+Behavioral parity with the reference examples:
+
+* ``parse`` reads stdin (or PATH), parses the given format and writes
+  N-Triples (triple formats) / N-Quads (dataset formats) to stdout.
+  ``guess`` (the default with a PATH) picks the format from the file
+  extension; the base IRI defaults to the ``file:`` URL of PATH and can
+  be overridden with ``$SOPHIA_BASE`` (parse.rs:1-22).
+* ``serialize`` reads *generalized N-Quads* from stdin (serialize.rs:36)
+  and writes the requested format; graph formats (nt/turtle/rdfxml) keep
+  only the default graph (serialize.rs:13-15).  ``$SOPHIA_PRETTY``
+  selects the pretty Turtle/TriG writer.
+* ``canonicalize`` reads N-Quads and emits RDFC-1.0 canonical N-Quads;
+  ``$SOPHIA_RDFC10_DEPTH_FACTOR`` / ``$SOPHIA_RDFC10_PERMUTATION_LIMIT``
+  tune the poison guards (canonicalize.rs:5-11).
+* ``sparql`` executes a query (inline text or a file path) against an
+  optional N-Quads dataset; SELECT prints SPARQL-TSV bindings, ASK
+  prints true/false, CONSTRUCT/DESCRIBE print Turtle (sparql.rs:28-52).
+
+Scale path: for line-oriented inputs given as a PATH, ``parse`` and
+``materialize`` run the distributed Ray pipeline (``read_text`` →
+``map_batches`` parse/format; ``materialize`` adds the sorted-layout
+exchange).  stdin and document-scoped formats (one doc = one parse unit)
+use the same pure kernels in-process.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from typing import List, Optional, Tuple
+
+_TRIPLE_FORMATS = {"nt", "turtle", "rdfxml"}
+_ALIASES = {
+    "ntriples": "nt", "nq": "nquads", "ttl": "turtle", "rdf": "rdfxml",
+    "jsonld": "jsonld", "json-ld": "jsonld",
+}
+_EXT = {
+    ".nt": "nt", ".nq": "nquads", ".ttl": "turtle", ".trig": "trig",
+    ".jsonld": "jsonld", ".json": "jsonld", ".rdf": "rdfxml",
+    ".xml": "rdfxml", ".gnq": "gnq", ".gtrig": "gtrig",
+}
+
+
+def _norm_format(fmt: str) -> str:
+    f = _ALIASES.get(fmt.lower(), fmt.lower())
+    known = {"nt", "nquads", "gnq", "turtle", "trig", "gtrig",
+             "jsonld", "rdfxml", "guess"}
+    if f not in known:
+        raise SystemExit(f"unknown format: {fmt}")
+    return f
+
+
+def _guess(path: str) -> str:
+    ext = os.path.splitext(path)[1].lower()
+    if ext not in _EXT:
+        raise SystemExit(f"cannot guess format from filename: {path}")
+    return _EXT[ext]
+
+
+def _base_iri(path: Optional[str]) -> Optional[str]:
+    env = os.environ.get("SOPHIA_BASE")
+    if env:
+        return env
+    if path:
+        return "file://" + os.path.abspath(path)
+    return None
+
+
+def _read_input(path: Optional[str]) -> str:
+    if path:
+        with open(path, "r", encoding="utf-8") as f:
+            return f.read()
+    return sys.stdin.read()
+
+
+def _parse_to_quads(text: str, fmt: str, base: Optional[str]):
+    """One document → list of (s, p, o, g-or-None) Terms."""
+    from . import jsonld, ntriples, rdfxml, turtle
+
+    if fmt == "nt":
+        return [(s, p, o, None) for s, p, o, _g
+                in ntriples.parse_document(text, quads=False)]
+    if fmt == "nquads":
+        return ntriples.parse_document(text, quads=True)
+    if fmt == "gnq":
+        return ntriples.parse_document(text, quads=True, strict=False)
+    if fmt == "turtle":
+        return [(s, p, o, None) for s, p, o
+                in turtle.parse_turtle(text, base=base)]
+    if fmt in ("trig", "gtrig"):
+        return turtle.parse_trig(text, base=base, strict=fmt == "trig")
+    if fmt == "jsonld":
+        quads, err = jsonld.jsonld_to_triples(text, base=base)
+        if err:
+            raise SystemExit(f"parse error: {err}")
+        return quads
+    if fmt == "rdfxml":
+        return [(s, p, o, None) for s, p, o
+                in rdfxml.parse_rdfxml(text, base=base)]
+    raise SystemExit(f"cannot parse format: {fmt}")
+
+
+def _default_graph_triples(quads) -> List[Tuple]:
+    return [(q[0], q[1], q[2]) for q in quads
+            if len(q) < 4 or q[3] is None]
+
+
+def _serialize_quads(quads, fmt: str, pretty: bool) -> str:
+    from . import jsonld, ntriples, rdfxml, turtle
+
+    if fmt == "nt":
+        return ntriples.serialize_document(
+            [(s, p, o) for s, p, o in _default_graph_triples(quads)])
+    if fmt in ("nquads", "gnq"):
+        return ntriples.serialize_document(quads)
+    if fmt == "turtle":
+        return turtle.serialize_turtle(_default_graph_triples(quads),
+                                       emit_prefixes=pretty)
+    if fmt in ("trig", "gtrig"):
+        return turtle.serialize_trig(quads, emit_prefixes=pretty)
+    if fmt == "jsonld":
+        return jsonld.serialize_jsonld(quads)
+    if fmt == "rdfxml":
+        return rdfxml.serialize_rdfxml(_default_graph_triples(quads))
+    raise SystemExit(f"cannot serialize format: {fmt}")
+
+
+# ---------------------------------------------------------------------------
+# Ray session management (the CLI owns its session; __ray_entry__ must not)
+# ---------------------------------------------------------------------------
+
+class _RaySession:
+    """Owns the Ray session only if this process didn't already have
+    one (so the CLI can run inside tests' shared session unharmed)."""
+
+    def __enter__(self):
+        import ray
+
+        self._ray = ray
+        self._started = not ray.is_initialized()
+        if self._started:
+            ray.init(address="local", include_dashboard=False,
+                     logging_level="ERROR")
+        return ray
+
+    def __exit__(self, *exc):
+        if self._started:
+            self._ray.shutdown()
+        return False
+
+
+def _line_format_pipeline(path: str, fmt: str, out):
+    """Distributed parse for line-oriented formats: read_text →
+    parse_nt_batch → format_nt_batch, streamed to ``out``."""
+    import ray.data as rd
+
+    from .ntriples import format_nt_batch, parse_nt_batch
+
+    quads = fmt in ("nquads", "gnq")
+    strict = fmt != "gnq"
+
+    def parse(b):
+        cols, _errors = parse_nt_batch(b["text"], quads=quads, strict=strict)
+        return format_nt_batch(cols, quads=quads)
+
+    ds = rd.read_text(path).map_batches(parse)
+    sep_cols = ("s", "p", "o", "g") if quads else ("s", "p", "o")
+    for b in ds.iter_batches(batch_format="pandas"):
+        for row in b.itertuples(index=False):
+            parts = [getattr(row, c) for c in sep_cols]
+            parts = [p for p in parts if p]
+            out.write(" ".join(parts) + " .\n")
+
+
+# ---------------------------------------------------------------------------
+# commands
+# ---------------------------------------------------------------------------
+
+def cmd_parse(argv: List[str]) -> int:
+    fmt = _norm_format(argv[0]) if argv else "guess"
+    path = argv[1] if len(argv) > 1 else None
+    if fmt == "guess":
+        fmt = _guess(path) if path else "gtrig"
+    if path and fmt in ("nt", "nquads", "gnq"):
+        with _RaySession():
+            _line_format_pipeline(path, fmt, sys.stdout)
+        return 0
+    quads = _parse_to_quads(_read_input(path), fmt, _base_iri(path))
+    as_quads = fmt not in _TRIPLE_FORMATS
+    from .ntriples import serialize_document
+
+    if as_quads:
+        sys.stdout.write(serialize_document(quads))
+    else:
+        sys.stdout.write(serialize_document(
+            [(q[0], q[1], q[2]) for q in quads]))
+    return 0
+
+
+def cmd_serialize(argv: List[str]) -> int:
+    if not argv:
+        raise SystemExit("usage: serialize FORMAT [PATH]")
+    fmt = _norm_format(argv[0])
+    path = argv[1] if len(argv) > 1 else None
+    pretty = os.environ.get("SOPHIA_PRETTY", "false").lower() in (
+        "1", "true", "yes")
+    quads = _parse_to_quads(_read_input(path), "gnq", None)
+    sys.stdout.write(_serialize_quads(quads, fmt, pretty))
+    return 0
+
+
+def cmd_canonicalize(argv: List[str]) -> int:
+    from .c14n import DEFAULT_DEPTH_FACTOR, DEFAULT_PERMUTATION_LIMIT, \
+        normalize_quads
+    from .ntriples import parse_document
+
+    path = argv[0] if argv else None
+    depth = float(os.environ.get("SOPHIA_RDFC10_DEPTH_FACTOR",
+                                 DEFAULT_DEPTH_FACTOR))
+    perm = int(os.environ.get("SOPHIA_RDFC10_PERMUTATION_LIMIT",
+                              DEFAULT_PERMUTATION_LIMIT))
+    quads = parse_document(_read_input(path), quads=True)
+    sys.stdout.write(normalize_quads(quads, depth_factor=depth,
+                                     permutation_limit=perm))
+    return 0
+
+
+def cmd_sparql(argv: List[str]) -> int:
+    if not argv:
+        raise SystemExit("usage: sparql QUERY_TEXT_OR_FILE [DATA.nq]")
+    query = argv[0]
+    if os.path.exists(query):
+        with open(query, "r", encoding="utf-8") as f:
+            query = f.read()
+    data_path = argv[1] if len(argv) > 1 else None
+
+    import pyarrow as pa
+
+    from .ntriples import parse_document
+    from .terms import format_term
+
+    rows = {"s": [], "p": [], "o": [], "g": []}
+    if data_path:
+        for s, p, o, g in parse_document(_read_input(data_path), quads=True):
+            rows["s"].append(format_term(s))
+            rows["p"].append(format_term(p))
+            rows["o"].append(format_term(o))
+            rows["g"].append(format_term(g) if g is not None else "")
+    tbl = pa.table({k: pa.array(v, pa.large_string())
+                    for k, v in rows.items()})
+
+    with _RaySession():
+        import ray.data as rd
+
+        from .sparql.results import serialize_results
+        from .sparql.run import sparql as run_sparql
+
+        res = run_sparql(query, rd.from_arrow(tbl))
+        if isinstance(res, bool):
+            sys.stdout.write("true\n" if res else "false\n")
+        elif hasattr(res, "schema") and \
+                set(res.schema().names) >= {"s", "p", "o"}:
+            # CONSTRUCT / DESCRIBE → Turtle (sparql.rs serializes the
+            # graph result with the Turtle pretty serializer)
+            from .ntriples import parse_term_text
+            from .turtle import serialize_turtle
+
+            triples = [(parse_term_text(r["s"]), parse_term_text(r["p"]),
+                        parse_term_text(r["o"]))
+                       for r in res.take_all()]
+            sys.stdout.write(serialize_turtle(triples))
+        else:
+            sys.stdout.write(serialize_results(res, "tsv"))
+    return 0
+
+
+def cmd_materialize(argv: List[str]) -> int:
+    if len(argv) < 2:
+        raise SystemExit("usage: materialize NT_PATH OUT_DIR")
+    path, out_dir = argv[0], argv[1]
+
+    with _RaySession():
+        import ray.data as rd
+
+        from .ntriples import format_nt_batch, parse_nt_batch
+        from .stages.materialize import materialize_graph
+
+        def parse(b):
+            cols, _err = parse_nt_batch(b["text"])
+            return format_nt_batch(cols)
+
+        ds = rd.read_text(path).map_batches(parse)
+        report = materialize_graph(ds, out_dir, distinct=True)
+        for order, rep in report.items():
+            sys.stdout.write(f"{order}: {rep['rows']} rows, "
+                             f"{len(rep['written'])} partitions written, "
+                             f"{len(rep['skipped'])} resumed\n")
+    return 0
+
+
+_COMMANDS = {
+    "parse": cmd_parse,
+    "serialize": cmd_serialize,
+    "canonicalize": cmd_canonicalize,
+    "sparql": cmd_sparql,
+    "materialize": cmd_materialize,
+}
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("-h", "--help"):
+        sys.stderr.write(__doc__ or "")
+        return 0 if argv else 2
+    cmd = _COMMANDS.get(argv[0])
+    if cmd is None:
+        raise SystemExit(f"unknown command: {argv[0]}")
+    return cmd(argv[1:])
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
