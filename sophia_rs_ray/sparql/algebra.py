@@ -1164,6 +1164,14 @@ def evaluate(node: Node, triples_ds, *, num_partitions: int = 8,
         return rd.from_arrow(pa.table(cols))
 
     if isinstance(node, BGP):
+        if not node.patterns:
+            # empty group pattern = the unit multiset: exactly one
+            # solution binding nothing (exec.rs BGP base case); the
+            # `_unit` column is internal and dropped by Project/SELECT
+            import ray.data as rd
+
+            return rd.from_arrow(pa.table(
+                {"_unit": pa.array([""], pa.large_string())}))
         parts = [_scan(triples_ds, p, graph_var=graph_var)
                  for p in node.patterns]
         out = parts[0]

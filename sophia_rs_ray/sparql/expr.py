@@ -21,9 +21,11 @@ from __future__ import annotations
 
 import math
 import re
+from decimal import ROUND_CEILING, ROUND_FLOOR, ROUND_HALF_UP, Decimal
 from typing import Callable, Dict, List, Optional, Sequence, Union
 from urllib.parse import quote
 
+from ..iri import is_valid_iri_ref
 from ..ntriples import parse_term_text
 from ..terms import (
     KIND_BNODE, KIND_IRI, KIND_LITERAL, KIND_TRIPLE, KIND_VARIABLE,
@@ -34,6 +36,9 @@ from ..terms import (
 )
 
 Text = Optional[str]  # canonical-NT term text; None = unbound/error
+
+#: xsd:decimal lexical space (no exponent, no special values)
+_DECIMAL_LEX = re.compile(r"^[+-]?(?:\d+(?:\.\d*)?|\.\d+)$")
 
 
 # plain-dict caches, NOT functools.lru_cache: lru wrappers pickle by
@@ -75,8 +80,13 @@ def value_of(t: Term):
         try:
             if dt in _INT_DT:
                 return ("num", int(lex))
+            if dt == XSD_DECIMAL:
+                # xsd:decimal lexical space: no exponent, no NaN/INF
+                if not _DECIMAL_LEX.match(lex):
+                    return None
+                return ("num", Decimal(lex))
             return ("num", float(lex))
-        except ValueError:
+        except (ValueError, ArithmeticError):
             return None
     if dt == XSD_BOOLEAN:
         if lex in ("true", "1"):
@@ -113,6 +123,15 @@ def _parse_datetime(lex: str):
     y, mo, d, h, mi = (int(m.group(i)) for i in range(1, 6))
     s = float(m.group(6))
     tz = m.group(7)
+    # reject out-of-range dates ("2023-02-29" is ill-formed, an error)
+    if not 1 <= mo <= 12 or h > 24 or mi > 59 or s >= 60 or \
+            (h == 24 and (mi or s)):
+        return None
+    leap = y % 4 == 0 and (y % 100 != 0 or y % 400 == 0)
+    days = (31, 29 if leap else 28, 31, 30, 31, 30,
+            31, 31, 30, 31, 30, 31)[mo - 1]
+    if not 1 <= d <= days:
+        return None
     off = 0.0
     if tz and tz != "Z":
         sign = 1 if tz[0] == "+" else -1
@@ -137,9 +156,22 @@ def ebv(t: Optional[Term]) -> Optional[bool]:
         return v[1]
     if tag == "num":
         return v[1] == v[1] and v[1] != 0
-    if tag in ("str", "lang"):
+    if tag == "str":
         return len(v[1]) > 0
+    # language-tagged strings have NO effective boolean value in the
+    # reference (value.rs:107-115): error, not truthiness
     return None
+
+
+def _promote_cmp(x, y):
+    """XPath comparison promotion: decimal compared to float/double is
+    promoted to the float tier (exact Decimal-vs-float comparison would
+    wrongly distinguish e.g. 0.1 from 0.1e0)."""
+    if isinstance(x, Decimal) and isinstance(y, float):
+        return float(x), y
+    if isinstance(y, Decimal) and isinstance(x, float):
+        return x, float(y)
+    return x, y
 
 
 def _cmp_values(a: Term, b: Term) -> Optional[int]:
@@ -149,7 +181,7 @@ def _cmp_values(a: Term, b: Term) -> Optional[int]:
     if va is None or vb is None or va[0] != vb[0]:
         return None
     if va[0] == "num":
-        x, y = va[1], vb[1]
+        x, y = _promote_cmp(va[1], vb[1])
         if x != x or y != y:
             return None
         return (x > y) - (x < y)
@@ -171,7 +203,8 @@ def _eq_values(a: Term, b: Term) -> Optional[bool]:
     va, vb = value_of(a), value_of(b)
     if va is not None and vb is not None and va[0] == vb[0]:
         if va[0] == "num":
-            return va[1] == vb[1]
+            x, y = _promote_cmp(va[1], vb[1])
+            return x == y
         if va[0] == "dt":
             return va[1][0] == vb[1][0]
         return va[1:] == vb[1:]
@@ -217,6 +250,19 @@ def _plainish(t: Term) -> Optional[str]:
     return None
 
 
+def _valid_iri(s: str) -> bool:
+    return is_valid_iri_ref(s)
+
+
+def _simple_str(t: Term) -> Optional[str]:
+    """*Simple* string argument (xsd:string, NO language tag) — required
+    for patterns, flags, tags, hash inputs (function.rs argument
+    checks); a lang-tagged literal in these positions is an error."""
+    if t[0] == KIND_LITERAL and not t[3] and t[2] == XSD_STRING:
+        return t[1]
+    return None
+
+
 def _mk_str_like(src: Term, lex: str) -> Term:
     """Result literal carrying src's lang tag (SPARQL string-fn rules)."""
     if src[3]:
@@ -224,18 +270,55 @@ def _mk_str_like(src: Term, lex: str) -> Term:
     return (KIND_LITERAL, lex, XSD_STRING, "", 0)
 
 
-def _num(t: Term) -> Optional[Union[int, float]]:
+def _num(t: Term) -> Optional[Union[int, float, Decimal]]:
     v = value_of(t)
     return v[1] if v is not None and v[0] == "num" else None
 
 
-def _mk_num(x: Union[int, float], *dts: str) -> Term:
-    """Numeric result with SPARQL promotion: all-integer args → integer,
-    else double (we collapse decimal/float into double)."""
-    if isinstance(x, int) or (all(d == XSD_INTEGER for d in dts) and dts
-                              and float(x).is_integer()):
+#: SPARQL numeric promotion ranks (value/_number.rs:5-10):
+#: NativeInt/BigInt < Decimal < Float < Double.  Python int covers the
+#: BigInt tier natively; Decimal is exact like BigDecimal.
+_NUM_RANK = {XSD_DECIMAL: 1, XSD_FLOAT: 2, XSD_DOUBLE: 3}
+
+
+def _fmt_decimal(d: Decimal) -> str:
+    """Canonical xsd:decimal: plain notation, ≥1 digit each side of the
+    point, no superfluous trailing zeros."""
+    s = format(d, "f")
+    if "." not in s:
+        return s + ".0"
+    s = s.rstrip("0")
+    if s.endswith("."):
+        s += "0"
+    return s
+
+
+def _mk_num(x: Union[int, float, Decimal], *dts: str) -> Term:
+    """Numeric result with SPARQL/XPath promotion: the result datatype
+    is the highest-rank argument type (integer < decimal < float <
+    double, ``value/_number.rs:5-10``)."""
+    rank = max((_NUM_RANK.get(d, 0) for d in dts), default=0)
+    if isinstance(x, float) and rank < 2:
+        rank = 3  # value already lost exactness (defensive)
+    if rank == 0:
         return (KIND_LITERAL, str(int(x)), XSD_INTEGER, "", 0)
-    return (KIND_LITERAL, _fmt_double(float(x)), XSD_DOUBLE, "", 0)
+    if rank == 1:
+        if not isinstance(x, Decimal):
+            x = Decimal(x)
+        return (KIND_LITERAL, _fmt_decimal(x), XSD_DECIMAL, "", 0)
+    dt = XSD_FLOAT if rank == 2 else XSD_DOUBLE
+    return (KIND_LITERAL, _fmt_double(float(x)), dt, "", 0)
+
+
+def _arith_operands(a, b):
+    """Promote two numeric Python values to a common arithmetic tier:
+    exact (int/Decimal) together, else both float."""
+    if isinstance(a, float) or isinstance(b, float):
+        return float(a), float(b)
+    if isinstance(a, Decimal) or isinstance(b, Decimal):
+        return Decimal(a) if not isinstance(a, Decimal) else a, \
+            Decimal(b) if not isinstance(b, Decimal) else b
+    return a, b
 
 
 def _fmt_double(x: float) -> str:
@@ -337,23 +420,39 @@ def _apply(fn: str, v: List[Term], row) -> Optional[Term]:  # noqa: C901
         return _mk_bool(any(_eq_values(v[0], x) is True for x in v[1:]))
 
     if fn in ("+", "-", "*", "/"):
-        if fn == "-" and len(v) == 1:
+        if len(v) == 1:
             x = _num(v[0])
-            return None if x is None else _mk_num(-x, v[0][2])
+            if x is None:
+                return None
+            return _mk_num(-x if fn == "-" else x, v[0][2])
         a, b = _num(v[0]), _num(v[1])
         if a is None or b is None:
             return None
+        a, b = _arith_operands(a, b)
         if fn == "+":
             return _mk_num(a + b, v[0][2], v[1][2])
         if fn == "-":
             return _mk_num(a - b, v[0][2], v[1][2])
         if fn == "*":
             return _mk_num(a * b, v[0][2], v[1][2])
+        # op:numeric-divide: integer ÷ integer yields decimal; division
+        # by exact zero is an error, by float/double zero is ±INF/NaN
+        if isinstance(a, float):
+            if b == 0.0:
+                r = math.nan if a == 0.0 else math.copysign(math.inf, a) \
+                    * math.copysign(1.0, b)
+            else:
+                r = a / b
+            return _mk_num(r, v[0][2], v[1][2], XSD_FLOAT)
+        if b == 0:
+            return None
+        if not isinstance(a, Decimal):
+            a, b = Decimal(a), Decimal(b)
         try:
             r = a / b
-        except ZeroDivisionError:
-            return None  # numeric division by zero is an error
-        return _mk_num(r, XSD_DOUBLE)
+        except ArithmeticError:
+            return None
+        return _mk_num(r, v[0][2], v[1][2], XSD_DECIMAL)
 
     # term accessors / constructors (function.rs:41-113, 340-440)
     if fn == "STR":
@@ -364,15 +463,16 @@ def _apply(fn: str, v: List[Term], row) -> Optional[Term]:  # noqa: C901
             return None
         return (KIND_LITERAL, v[0][3].lower(), XSD_STRING, "", 0)
     if fn == "LANGDIR":
-        # RDF 1.2 (function.rs:60): tag plus "--ltr"/"--rtl" when a
-        # base direction is set
+        # RDF 1.2 (function.rs:60): the base direction alone
+        # ("ltr"/"rtl", "" when none)
         if v[0][0] != KIND_LITERAL:
             return None
-        sfx = {0: "", 1: "--ltr", 2: "--rtl"}[v[0][4]]
-        return (KIND_LITERAL, v[0][3].lower() + sfx, XSD_STRING, "", 0)
+        return (KIND_LITERAL, {0: "", 1: "ltr", 2: "rtl"}[v[0][4]],
+                XSD_STRING, "", 0)
     if fn in ("HASLANG", "HASLANGDIR"):
+        # false (not an error) for any non-lang term (function.rs:66-77)
         if v[0][0] != KIND_LITERAL:
-            return None
+            return _FALSE
         return _mk_bool(bool(v[0][3]) if fn == "HASLANG"
                         else bool(v[0][4]))
     if fn == "DATATYPE":
@@ -384,8 +484,10 @@ def _apply(fn: str, v: List[Term], row) -> Optional[Term]:  # noqa: C901
     if fn == "IRI" or fn == "URI":
         if v[0][0] == KIND_IRI:
             return v[0]
-        s = _plainish(v[0])
-        return None if s is None else (KIND_IRI, s, "", "", 0)
+        s = _simple_str(v[0])
+        if s is None or not _valid_iri(s):
+            return None
+        return (KIND_IRI, s, "", "", 0)
     if fn == "STRDT":
         s = _plainish(v[0])
         if s is None or v[0][3] or v[1][0] != KIND_IRI:
@@ -395,7 +497,7 @@ def _apply(fn: str, v: List[Term], row) -> Optional[Term]:  # noqa: C901
         s = _plainish(v[0])
         if s is None or v[0][3]:
             return None
-        lt = _plainish(v[1])
+        lt = _simple_str(v[1])
         return None if not lt else (KIND_LITERAL, s, RDF_LANGSTRING, lt, 0)
     if fn == "STRLANGDIR":
         # (lex, tag, "ltr"|"rtl") → directional language literal
@@ -403,7 +505,7 @@ def _apply(fn: str, v: List[Term], row) -> Optional[Term]:  # noqa: C901
         s = _plainish(v[0])
         if s is None or v[0][3]:
             return None
-        lt, d = _plainish(v[1]), _plainish(v[2])
+        lt, d = _simple_str(v[1]), _simple_str(v[2])
         if not lt or d not in ("ltr", "rtl"):
             return None
         return (KIND_LITERAL, s, RDF_DIRLANGSTRING, lt,
@@ -433,8 +535,11 @@ def _apply(fn: str, v: List[Term], row) -> Optional[Term]:  # noqa: C901
         a, b = _plainish(v[0]), _plainish(v[1])
         if a is None or b is None:
             return None
-        if v[0][3] and v[1][3] and v[0][3].lower() != v[1][3].lower():
-            return None  # argument-compatibility error
+        # argument compatibility (17.4.3.1.1): a tagged second argument
+        # requires the first to carry the SAME tag and base direction
+        if v[1][3] and (v[0][3].lower() != v[1][3].lower()
+                        or v[0][4] != v[1][4]):
+            return None
         if fn == "CONTAINS":
             return _mk_bool(b in a)
         if fn == "STRSTARTS":
@@ -464,15 +569,17 @@ def _apply(fn: str, v: List[Term], row) -> Optional[Term]:  # noqa: C901
         parts = [_plainish(x) for x in v]
         if any(p is None for p in parts):
             return None
-        langs = {x[3].lower() for x in v if x[0] == KIND_LITERAL}
+        # result keeps the tag only when ALL args share tag AND base
+        # direction (function.rs:138: concat of @en and @en--ltr is plain)
+        langs = {(x[3].lower(), x[4]) for x in v if x[0] == KIND_LITERAL}
         if len(langs) == 1 and v and v[0][3]:
             return _mk_str_like(v[0], "".join(parts))
         return (KIND_LITERAL, "".join(parts), XSD_STRING, "", 0)
     if fn == "REPLACE":
         s = _plainish(v[0])
-        pat = _plainish(v[1])
-        rep = _plainish(v[2])
-        flags = _plainish(v[3]) if len(v) > 3 else ""
+        pat = _simple_str(v[1])
+        rep = _simple_str(v[2])
+        flags = _simple_str(v[3]) if len(v) > 3 else ""
         if s is None or pat is None or rep is None or flags is None:
             return None
         rxp = _rx(pat, flags)
@@ -481,8 +588,8 @@ def _apply(fn: str, v: List[Term], row) -> Optional[Term]:  # noqa: C901
         return _mk_str_like(v[0], rxp.sub(_xpath_rep(rep), s))
     if fn == "REGEX":
         s = _plainish(v[0])
-        pat = _plainish(v[1])
-        flags = _plainish(v[2]) if len(v) > 2 else ""
+        pat = _simple_str(v[1])
+        flags = _simple_str(v[2]) if len(v) > 2 else ""
         if s is None or pat is None or flags is None:
             return None
         rxp = _rx(pat, flags)
@@ -492,10 +599,14 @@ def _apply(fn: str, v: List[Term], row) -> Optional[Term]:  # noqa: C901
         return None if s is None else \
             (KIND_LITERAL, quote(s, safe="-_.~"), XSD_STRING, "", 0)
     if fn == "LANGMATCHES":
-        tag = _plainish(v[0])
-        rng = _plainish(v[1])
+        # both arguments must be SIMPLE strings (function.rs:145-153);
+        # an empty/invalid range matches nothing (false, not error)
+        tag = _simple_str(v[0])
+        rng = _simple_str(v[1])
+        if tag is None or rng is None:
+            return None
         if not tag or not rng:
-            return _mk_bool(False) if tag == "" else None
+            return _FALSE
         tag, rng = tag.lower(), rng.lower()
         if rng == "*":
             return _mk_bool(tag != "")
@@ -508,13 +619,20 @@ def _apply(fn: str, v: List[Term], row) -> Optional[Term]:  # noqa: C901
             return None
         if fn == "ABS":
             r = abs(x)
-        elif fn == "CEIL":
-            r = math.ceil(x)
-        elif fn == "FLOOR":
-            r = math.floor(x)
+        elif isinstance(x, float):
+            # f64::round: half-way cases away from zero (_number.rs:178)
+            r = {"CEIL": math.ceil, "FLOOR": math.floor,
+                 "ROUND": lambda f: math.copysign(
+                     math.floor(abs(f) + 0.5), f)}[fn](x)
+            r = float(r)
+        elif isinstance(x, Decimal):
+            # with_scale_round(0, Ceiling/Floor/HalfUp), _number.rs:149-182
+            mode = {"CEIL": ROUND_CEILING, "FLOOR": ROUND_FLOOR,
+                    "ROUND": ROUND_HALF_UP}[fn]
+            r = x.quantize(Decimal(1), rounding=mode)
         else:
-            r = math.floor(x + 0.5)  # XPath round: half up
-        return _mk_num(r if isinstance(x, int) else float(r), v[0][2])
+            r = x  # integers are fixed points of ceil/floor/round
+        return _mk_num(r, v[0][2])
 
     # date/time accessors (function.rs:247-295)
     if fn in ("YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS", "TZ",
@@ -553,15 +671,16 @@ def _apply(fn: str, v: List[Term], row) -> Optional[Term]:  # noqa: C901
 
         seed = "\x1f".join(f"{k}={row.get(k)}" for k in sorted(row)) \
             if isinstance(row, dict) else ""
-        tag = _plainish(v[0]) if v else ""
+        tag = _simple_str(v[0]) if v else ""
         if v and tag is None:
             return None
         h = _z.crc32(f"{tag}\x1e{seed}".encode())
         return (KIND_BNODE, f"b{h:08x}" + (f"_{tag}" if tag else ""),
                 "", "", 0)
     if fn in ("MD5", "SHA1", "SHA256", "SHA384", "SHA512"):
-        # hash fns over simple literals (function.rs hash family)
-        s = _plainish(v[0])
+        # hash fns require SIMPLE literals (function.rs hash family —
+        # a language-tagged argument is an error)
+        s = _simple_str(v[0])
         if s is None:
             return None
         import hashlib
@@ -588,9 +707,13 @@ def _apply(fn: str, v: List[Term], row) -> Optional[Term]:  # noqa: C901
         # override with set_pinned_now()
         return (KIND_LITERAL, _PINNED_NOW[0], XSD + "dateTime", "", 0)
 
-    # constructor casts (function.rs:434-440)
+    # constructor casts (function.rs:434-440); wrong arity = error
     if fn.startswith("XSD:"):
-        target = XSD + fn[4:].lower()
+        if len(v) != 1:
+            return None
+        local = fn[4:].lower()
+        # restore camelCase targets lost to keyword uppercasing
+        target = XSD + {"datetime": "dateTime"}.get(local, local)
         return _cast(v[0], target)
     raise ValueError(f"unknown SPARQL function {fn}")
 
@@ -644,7 +767,23 @@ def _cast(t: Term, target: str) -> Optional[Term]:
                 return (KIND_LITERAL, str(int(v[1])), XSD_INTEGER, "", 0)
             if v[0] == "str":
                 return (KIND_LITERAL, str(int(v[1].strip())), XSD_INTEGER, "", 0)
-        if target in (XSD_DOUBLE, XSD_FLOAT, XSD_DECIMAL):
+        if target == XSD_DECIMAL:
+            # exact tier: xsd:decimal has no INF/NaN lexical forms
+            if v[0] == "num":
+                if isinstance(v[1], float) and not math.isfinite(v[1]):
+                    return None
+                return (KIND_LITERAL, _fmt_decimal(Decimal(str(v[1]))
+                        if isinstance(v[1], float) else Decimal(v[1])),
+                        XSD_DECIMAL, "", 0)
+            if v[0] == "bool":
+                return (KIND_LITERAL, _fmt_decimal(Decimal(int(v[1]))),
+                        XSD_DECIMAL, "", 0)
+            if v[0] == "str":
+                if not _DECIMAL_LEX.match(v[1].strip()):
+                    return None
+                return (KIND_LITERAL, _fmt_decimal(Decimal(v[1].strip())),
+                        XSD_DECIMAL, "", 0)
+        if target in (XSD_DOUBLE, XSD_FLOAT):
             if v[0] == "num":
                 return (KIND_LITERAL, _fmt_double(float(v[1])), target, "", 0)
             if v[0] == "bool":

@@ -241,7 +241,13 @@ class _Parser:
             nk, nv = self.peek()
             if nk == "LANGTAG":
                 self.next()
-                return langlit(lex, nv[1:])
+                tag = nv[1:]
+                # RDF 1.2 directional language tag: @en--ltr / @en--rtl
+                if tag.endswith("--ltr"):
+                    return langlit(lex, tag[:-5], 1)
+                if tag.endswith("--rtl"):
+                    return langlit(lex, tag[:-5], 2)
+                return langlit(lex, tag)
             if nk == "OP" and nv == "^^":
                 self.next()
                 dt = self.parse_term()
@@ -251,11 +257,7 @@ class _Parser:
             return literal(lex)
         if k == "NUMBER":
             self.next()
-            if re.search(r"[eE]", v):
-                return literal(v, XSD_DOUBLE)
-            if "." in v:
-                return literal(v, XSD_DECIMAL)
-            return literal(v, XSD_INTEGER)
+            return self._number_term(v)
         if k == "KEYWORD" and v.upper() in ("TRUE", "FALSE"):
             self.next()
             return literal(v.lower(), XSD_BOOLEAN)
@@ -326,12 +328,35 @@ class _Parser:
         self.eat_op(")")
         return out
 
+    def _number_term(self, v: str):
+        """NUMBER token text → typed numeric literal (grammar rules
+        NumericLiteral*: exponent → double, '.' → decimal, else int)."""
+        if re.search(r"[eE]", v):
+            return literal(v, XSD_DOUBLE)
+        if "." in v:
+            return literal(v, XSD_DECIMAL)
+        return literal(v, XSD_INTEGER)
+
     def _add_expr(self) -> Expr:
         e = self._mul_expr()
-        while self.at_op("+") or self.at_op("-"):
-            op = self.next()[1]
-            e = FnCall(op, e, self._mul_expr())
-        return e
+        while True:
+            if self.at_op("+") or self.at_op("-"):
+                op = self.next()[1]
+                e = FnCall(op, e, self._mul_expr())
+                continue
+            k, v = self.peek()
+            if k == "NUMBER" and v[0] in "+-":
+                # SPARQL AdditiveExpression: "40+2" lexes as 40, +2 —
+                # the grammar folds the signed literal back into the
+                # additive chain, allowing '*'/'/' continuations on it
+                self.next()
+                rhs: Expr = Const(self._number_term(v[1:]))
+                while self.at_op("*") or self.at_op("/"):
+                    mop = self.next()[1]
+                    rhs = FnCall(mop, rhs, self._unary_expr())
+                e = FnCall(v[0], e, rhs)
+                continue
+            return e
 
     def _mul_expr(self) -> Expr:
         e = self._unary_expr()
@@ -348,8 +373,10 @@ class _Parser:
             self.next()
             return FnCall("-", self._unary_expr())
         if self.at_op("+"):
+            # unary plus is NOT a no-op: +("42") must be a numeric
+            # type error at evaluation (function tests, test.rs)
             self.next()
-            return self._unary_expr()
+            return FnCall("+", self._unary_expr())
         return self._primary_expr()
 
     def _primary_expr(self) -> Expr:

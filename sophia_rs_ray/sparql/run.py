@@ -68,8 +68,10 @@ def select(text: str, triples_ds, *, num_partitions: int = 8):
     out = evaluate(q.node, triples_ds, num_partitions=num_partitions)
 
     def drop_internal(b: pa.Table) -> pa.Table:
-        # SELECT * must not expose path chain vars (_path_N)
-        drop = [c for c in b.column_names if c.startswith("_path_")]
+        # SELECT * must not expose path chain vars (_path_N) or the
+        # empty-group unit column (_unit)
+        drop = [c for c in b.column_names
+                if c.startswith("_path_") or c == "_unit"]
         return b.drop_columns(drop) if drop else b
 
     return out.map_batches(drop_internal, batch_format="pyarrow")

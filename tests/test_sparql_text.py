@@ -357,7 +357,9 @@ def test_dir_lang_functions(ray_session):
         }
     """, nt)
     r = out.take_all()[0]
-    assert r["ld"] == '"he--rtl"'
+    # LANGDIR returns the base direction alone (function.rs:60;
+    # test.rs: langDir("chat"@en--ltr) = "ltr")
+    assert r["ld"] == '"rtl"'
     assert r["h"] == '"true"^^<http://www.w3.org/2001/XMLSchema#boolean>'
     assert r["dt"] == \
         "<http://www.w3.org/1999/02/22-rdf-syntax-ns#dirLangString>"
