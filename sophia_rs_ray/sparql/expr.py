@@ -75,7 +75,7 @@ def value_of(t: Term):
     if kind != KIND_LITERAL:
         return None
     if lang:
-        return ("lang", lex, lang.lower())
+        return ("lang", lex, lang.lower(), t[4])
     if dt in _NUMERIC_DT:
         try:
             if dt in _INT_DT:
@@ -178,7 +178,14 @@ def _cmp_values(a: Term, b: Term) -> Optional[int]:
     """SPARQL value comparison (<,>,<=,>=): numbers, strings, booleans,
     dateTimes; incomparable → error."""
     va, vb = value_of(a), value_of(b)
-    if va is None or vb is None or va[0] != vb[0]:
+    if va is None or vb is None:
+        return None
+    if va[0] == "other" or vb[0] == "other":
+        # unrecognized datatypes form a partial order: reflexively
+        # comparable with an equal term, incomparable otherwise
+        # (test.rs:2057-2067 controls on "a"^^<x:dt1>)
+        return 0 if a == b else None
+    if va[0] != vb[0]:
         return None
     if va[0] == "num":
         x, y = _promote_cmp(va[1], vb[1])
@@ -187,9 +194,19 @@ def _cmp_values(a: Term, b: Term) -> Optional[int]:
         return (x > y) - (x < y)
     if va[0] == "str":
         return (va[1] > vb[1]) - (va[1] < vb[1])
+    if va[0] == "lang":
+        # comparable only within the same language tag AND base
+        # direction (test.rs test_expr_lt @en/@en--ltr rows)
+        if va[2:] != vb[2:]:
+            return None
+        return (va[1] > vb[1]) - (va[1] < vb[1])
     if va[0] == "bool":
         return (va[1] > vb[1]) - (va[1] < vb[1])
     if va[0] == "dt":
+        # zoned vs zoneless dateTimes are incomparable (an error,
+        # test.rs test_expr_eq_literal dateTime rows)
+        if bool(va[1][7]) != bool(vb[1][7]):
+            return None
         return (va[1][0] > vb[1][0]) - (va[1][0] < vb[1][0])
     return None
 
@@ -201,11 +218,32 @@ def _eq_values(a: Term, b: Term) -> Optional[bool]:
     if a[0] != KIND_LITERAL or b[0] != KIND_LITERAL:
         return a == b
     va, vb = value_of(a), value_of(b)
-    if va is not None and vb is not None and va[0] == vb[0]:
+    if va is not None and vb is not None:
+        # strings and (dir-)lang strings share one value family:
+        # (lexical, tag, dir) — "xyz" vs "xyz"@en is FALSE, not error
+        # (value.rs:117; test_expr_eq_matrix string/langString rows)
+        def strfam(v):
+            if v[0] == "str":
+                return (v[1], "", 0)
+            if v[0] == "lang":
+                return (v[1], v[2], v[3])
+            return None
+
+        fa, fb = strfam(va), strfam(vb)
+        if fa is not None and fb is not None:
+            return fa == fb
+        if va[0] == "other" or vb[0] == "other":
+            # unrecognized datatypes: equal terms are equal, anything
+            # else is an error (value.rs:117)
+            return True if a == b else None
+        if va[0] != vb[0]:
+            return True if a == b else None
         if va[0] == "num":
             x, y = _promote_cmp(va[1], vb[1])
             return x == y
         if va[0] == "dt":
+            if bool(va[1][7]) != bool(vb[1][7]):
+                return None
             return va[1][0] == vb[1][0]
         return va[1:] == vb[1:]
     return True if a == b else None
