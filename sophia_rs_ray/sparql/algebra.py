@@ -40,7 +40,8 @@ import pyarrow.compute as pc
 
 from ..terms import XSD, XSD_DOUBLE, XSD_INTEGER, Term, format_term
 from ..util import safe_join
-from .expr import (Const, Expr, FnCall, Var, _order_key, _parse, ebv,
+from .expr import (Const, Expr, FnCall, Var, _fmt_decimal, _fmt_double,
+                   _order_key, _parse, ebv,
                    eval_expr_batch, order_key_batch, value_of)
 
 TermOrVar = U[Term, Var]
@@ -239,6 +240,21 @@ def set_service_resolver(fn) -> None:
 
 
 @dataclass
+class TripleTermPattern:
+    """SPARQL 1.2 triple-term pattern with variables inside the term
+    (``<<( ?s ?p ?o )>>`` in a subject/object position): ``var`` is the
+    fresh variable standing for the whole term in the surrounding
+    pattern; once the child binds it, each row's term text is
+    destructured and unified against ``parts`` (3 × Var | constant
+    Term) — binding fresh component variables, checking already-bound
+    ones, dropping rows that are not triple terms (exec.rs triple-term
+    matching; test.rs ppath reified cases)."""
+    child: "Node"
+    var: str
+    parts: Sequence
+
+
+@dataclass
 class GraphPattern:
     """GRAPH ?g { … } / GRAPH <iri> { … } (exec.rs:652-707).
 
@@ -253,7 +269,8 @@ class GraphPattern:
 
 Node = U[BGP, Join, LeftJoin, Union, Minus, Filter, Extend, Project,
          Distinct, OrderBy, Slice, Group, PathPlus, PathStar,
-         PathPattern, Exists, InlineData, GraphPattern, Service]
+         PathPattern, Exists, InlineData, GraphPattern, Service,
+         TripleTermPattern]
 
 
 # ---------------------------------------------------------------------------
@@ -869,23 +886,31 @@ def _compile_fast_filter(e: Expr):
 
 def _agg_new(a: Agg) -> dict:
     fn = a.fn
-    if (a.distinct and a.expr is not None) or fn == "GROUP_CONCAT":
-        return {"vs": []}
+    if a.distinct or fn == "GROUP_CONCAT":
+        return {"vs": [], "e": False}
     if fn == "COUNT":
         return {"n": 0}
     if fn in ("SUM", "AVG"):
-        return {"i": 0, "fr": None, "n": 0, "e": False, "f": False}
+        return {"i": 0, "fr": None, "n": 0, "e": False, "r": 0}
     if fn in ("MIN", "MAX", "SAMPLE"):
-        return {"m": None}
+        return {"m": None, "e": False}
     raise ValueError(f"unknown aggregate {fn}")
 
 
+#: numeric promotion ranks for aggregate results (value/_number.rs:5-10)
+_AGG_RANK = {XSD_INTEGER: 0, XSD + "decimal": 1, XSD + "float": 2,
+             XSD_DOUBLE: 3}
+
+
 def _num_fold(st: dict, val: Optional[str]):
-    """Fold one NT-text value into a SUM/AVG state."""
+    """Fold one NT-text value into a SUM/AVG state: exact Fraction
+    accumulation + the max promotion rank seen (aggregate_iter.rs
+    SUM/AVG promotion over the SparqlNumber tower)."""
     from fractions import Fraction
 
     t = _parse(val)
     if t is None:
+        st["e"] = True
         return
     v = value_of(t)
     if v is None or v[0] != "num":
@@ -893,10 +918,10 @@ def _num_fold(st: dict, val: Optional[str]):
         return
     x = v[1]
     st["n"] += 1
+    st["r"] = max(st["r"], _AGG_RANK.get(t[2], 0) if t[0] == 2 else 0)
     if isinstance(x, int):
         st["i"] += x
     else:
-        st["f"] = True
         fr = Fraction(x) if x == x and abs(x) != math.inf else None
         if fr is None:
             st["e"] = True  # NaN/inf sums are errors downstream anyway
@@ -905,9 +930,16 @@ def _num_fold(st: dict, val: Optional[str]):
 
 
 def _agg_add(a: Agg, st: dict, val: Optional[str]):
+    """One value into a partial state.  ``val is None`` means the
+    aggregated expression ERRORED on that solution: COUNT and SAMPLE
+    skip it, every other aggregate becomes an error
+    (aggregate_iter.rs:80-190 — once an error, always an error)."""
     fn = a.fn
     if "vs" in st:
-        if val is not None:
+        if val is None:
+            if a.expr is not None and fn not in ("COUNT", "SAMPLE"):
+                st["e"] = True
+        else:
             st["vs"].append(val)
         return
     if fn == "COUNT":
@@ -915,6 +947,8 @@ def _agg_add(a: Agg, st: dict, val: Optional[str]):
             st["n"] += 1
         return
     if val is None:
+        if fn != "SAMPLE":
+            st["e"] = True
         return
     if fn in ("SUM", "AVG"):
         _num_fold(st, val)
@@ -924,9 +958,10 @@ def _agg_add(a: Agg, st: dict, val: Optional[str]):
         return
     # MIN/MAX by the SPARQL ORDER BY comparator (value-aware: numbers
     # numerically, dateTimes by instant — the reference folds through
-    # sparql_order_by, aggregate_iter.rs:276-308), parse failures skipped
+    # sparql_order_by, aggregate_iter.rs:276-308)
     t = _parse(val)
     if t is None:
+        st["e"] = True
         return
     if st["m"] is None:
         st["m"] = val
@@ -953,6 +988,7 @@ def _agg_merge(a: Agg, st: dict, other_json: str):
     o = json.loads(other_json)
     if "vs" in st:
         st["vs"].extend(o["vs"])
+        st["e"] = st["e"] or o.get("e", False)
         return
     if a.fn == "COUNT":
         st["n"] += o["n"]
@@ -961,11 +997,12 @@ def _agg_merge(a: Agg, st: dict, other_json: str):
         st["i"] += o["i"]
         st["n"] += o["n"]
         st["e"] = st["e"] or o["e"]
-        st["f"] = st["f"] or o["f"]
+        st["r"] = max(st["r"], o.get("r", 0))
         if o.get("fr") is not None:
             fr = Fraction(o["fr"][0], o["fr"][1])
             st["fr"] = fr if st["fr"] is None else st["fr"] + fr
         return
+    st["e"] = st["e"] or o.get("e", False)
     if o["m"] is None:
         return
     if a.fn == "SAMPLE":
@@ -985,6 +1022,8 @@ def _agg_final(a: Agg, st: dict) -> Optional[str]:
     GROUP_CONCAT→\"\", MIN/MAX/SAMPLE→error)."""
     fn = a.fn
     if "vs" in st:
+        if st.get("e") and fn not in ("COUNT", "SAMPLE"):
+            return None
         vals = sorted(set(st["vs"])) if a.distinct else st["vs"]
         if fn == "COUNT":
             return format_term((2, str(len(vals)), XSD_INTEGER, "", 0))
@@ -1004,6 +1043,8 @@ def _agg_final(a: Agg, st: dict) -> Optional[str]:
             return vals[0] if vals else None
         # MIN/MAX over the distinct set
         terms = [t for t in (_parse(v) for v in vals) if t is not None]
+        if len(terms) < len(vals):
+            return None  # malformed value = error
         if not terms:
             return None
         pick = min(terms, key=_order_key) if fn == "MIN" else \
@@ -1011,8 +1052,10 @@ def _agg_final(a: Agg, st: dict) -> Optional[str]:
         return format_term(pick)
     if fn == "COUNT":
         return format_term((2, str(st["n"]), XSD_INTEGER, "", 0))
-    if fn in ("MIN", "MAX", "SAMPLE"):
+    if fn == "SAMPLE":
         return st["m"]
+    if fn in ("MIN", "MAX"):
+        return None if st.get("e") else st["m"]
     if fn in ("SUM", "AVG"):
         if st["e"]:
             return None
@@ -1023,9 +1066,22 @@ def _agg_final(a: Agg, st: dict) -> Optional[str]:
         total = Fraction(st["i"]) + (st["fr"] or Fraction(0))
         if fn == "AVG":
             total = total / st["n"]
-        if not st["f"] and fn == "SUM":
-            return format_term(_num_term(st["i"]))
-        return format_term(_num_term(float(total)))
+        # result datatype = promotion of the inputs; AVG of exact
+        # integers is a DECIMAL (aggregate_iter.rs:236-270 via
+        # op:numeric-divide)
+        rank = st.get("r", 0)
+        if fn == "AVG" and rank == 0:
+            rank = 1
+        if rank == 0:
+            return format_term((2, str(st["i"]), XSD_INTEGER, "", 0))
+        if rank == 1:
+            from decimal import Decimal
+
+            d = Decimal(total.numerator) / Decimal(total.denominator)
+            return format_term((2, _fmt_decimal(d), XSD + "decimal",
+                                "", 0))
+        dt = XSD + "float" if rank == 2 else XSD_DOUBLE
+        return format_term((2, _fmt_double(float(total)), dt, "", 0))
     raise ValueError(f"unknown aggregate {fn}")
 
 
@@ -1049,8 +1105,15 @@ def _group_by_exchange(child, gv: List[str], aggs: List[Agg],
             return pa.table(out)
         keys = list(zip(*[b[c].to_pylist() for c in gv])) if gv \
             else [()] * n
+        rowkeys = None
+        if any(a.expr is None and a.distinct for a in aggs):
+            # COUNT(DISTINCT *): the dedup key is the whole solution row
+            cs = sorted(c for c in b.column_names)
+            rowkeys = ["\x1f".join("" if row[c] is None else str(row[c])
+                                   for c in cs)
+                       for row in b.to_pylist()]
         vals = [(_expr_batch_eval(a.expr, b) if a.expr is not None
-                 else None) for a in aggs]
+                 else rowkeys if a.distinct else None) for a in aggs]
         groups: Dict[tuple, list] = {}
         order: List[tuple] = []
         for i, k in enumerate(keys):
@@ -1111,6 +1174,34 @@ def evaluate(node: Node, triples_ds, *, num_partitions: int = 8,
                             graph_var=graph_var)
 
     if isinstance(node, GraphPattern):
+        if isinstance(node.child, BGP) and not node.child.patterns:
+            # GRAPH g {} = graph existence (exec.rs graph_iter over an
+            # empty group): a constant name yields one empty solution
+            # iff that named graph exists in the (FROM-NAMED-scoped)
+            # dataset; a variable binds each named-graph name once
+            import ray.data as rd
+
+            def names(b: pa.Table) -> pa.Table:
+                if "g" not in b.column_names:
+                    return pa.table({"g": pa.array([], pa.large_string())})
+                col = b["g"].combine_chunks()
+                mask = pc.and_(pc.is_valid(col),
+                               pc.not_equal(col, pa.scalar("")))
+                return pa.table({"g": pc.unique(col.filter(mask))})
+
+            graphs = triples_ds.map_batches(names, batch_format="pyarrow")
+            if isinstance(node.name, Var):
+                out = _distinct(graphs, num_partitions)
+                return out.map_batches(
+                    lambda b: pa.table({node.name.name: b["g"]}),
+                    batch_format="pyarrow")
+            name_txt = format_term(node.name)
+            exists = graphs.map_batches(
+                lambda b: b.filter(pc.equal(b["g"], pa.scalar(name_txt))),
+                batch_format="pyarrow").limit(1).count() > 0
+            return rd.from_arrow(pa.table(
+                {"_unit": pa.array([""] if exists else [],
+                                   pa.large_string())}))
         if isinstance(node.name, Var):
             return evaluate(node.child, triples_ds,
                             num_partitions=num_partitions,
@@ -1179,6 +1270,51 @@ def evaluate(node: Node, triples_ds, *, num_partitions: int = 8,
             out = _cross_or_join(out, nxt, num_partitions=num_partitions)
         return out
 
+    if isinstance(node, TripleTermPattern):
+        child = ev(node.child)
+        var, parts = node.var, list(node.parts)
+        part_vars = [p.name for p in parts if isinstance(p, Var)]
+        part_consts = [None if isinstance(p, Var) else format_term(p)
+                       for p in parts]
+
+        def destruct(b: pa.Table) -> pa.Table:
+            from ..terms import KIND_TRIPLE
+            from .expr import _triple_parts
+
+            names = list(b.column_names)
+            all_names = names + [v_ for v_ in part_vars
+                                 if v_ not in names]
+            out: Dict[str, list] = {c: [] for c in all_names}
+            for row in b.to_pylist():
+                t = _parse(row.get(var)) if row.get(var) else None
+                if t is None or t[0] != KIND_TRIPLE:
+                    continue
+                comps = _triple_parts(t)
+                if comps is None:
+                    continue
+                new = dict(row)
+                ok = True
+                for item, const, comp in zip(parts, part_consts, comps):
+                    comp_txt = format_term(comp)
+                    if const is not None:
+                        if const != comp_txt:
+                            ok = False
+                            break
+                    else:
+                        prev = new.get(item.name)
+                        if prev is not None and prev != comp_txt:
+                            ok = False
+                            break
+                        new[item.name] = comp_txt
+                if not ok:
+                    continue
+                for c in all_names:
+                    out[c].append(new.get(c))
+            return pa.table({c: pa.array(v, pa.string())
+                             for c, v in out.items()})
+
+        return child.map_batches(destruct, batch_format="pyarrow")
+
     if isinstance(node, Join):
         return _cross_or_join(ev(node.left), ev(node.right),
                               num_partitions=num_partitions)
@@ -1243,9 +1379,16 @@ def evaluate(node: Node, triples_ds, *, num_partitions: int = 8,
     if isinstance(node, Project):
         child = ev(node.child)
         keep = list(node.vars)
-        return child.map_batches(
-            lambda b: pa.table({c: b[c] for c in keep}),
-            batch_format="pyarrow")
+
+        def project(b: pa.Table) -> pa.Table:
+            # a projected variable the pattern never binds is simply
+            # unbound (all-null column), not an error
+            return pa.table({
+                c: b[c] if c in b.column_names
+                else pa.nulls(b.num_rows, pa.string())
+                for c in keep})
+
+        return child.map_batches(project, batch_format="pyarrow")
 
     if isinstance(node, Distinct):
         return _distinct(ev(node.child), num_partitions)
@@ -1353,14 +1496,6 @@ def _semi_anti(left, right, shared, *, anti: bool, require_overlap: bool,
     if out.schema() is None:
         return _empty_bindings(_cols_of(left))
     return out
-
-
-def _num_term(x) -> Term:
-    if isinstance(x, int):
-        return (2, str(x), XSD_INTEGER, "", 0)
-    if float(x).is_integer():
-        return (2, str(int(x)), XSD_INTEGER, "", 0)
-    return (2, repr(float(x)), XSD_DOUBLE, "", 0)
 
 
 def _path_plus(node: PathPlus, triples_ds, num_partitions: int):

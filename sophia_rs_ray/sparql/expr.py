@@ -360,13 +360,24 @@ def _arith_operands(a, b):
 
 
 def _fmt_double(x: float) -> str:
+    """Reference-canonical double form: shortest mantissa ``e`` exponent
+    ("5e0", "4.2e1", "1.6e0") — matches the reference's Display for
+    computed doubles (test.rs expectations like "4.2e1"^^xsd:double)."""
     if x != x:
         return "NaN"
     if x == math.inf:
         return "INF"
     if x == -math.inf:
         return "-INF"
-    return repr(x)
+    if x == 0.0:
+        return "-0e0" if math.copysign(1.0, x) < 0 else "0e0"
+    sign, digits, exp = Decimal(repr(x)).as_tuple()
+    exponent = exp + len(digits) - 1
+    mant = str(digits[0])
+    rest = "".join(map(str, digits[1:])).rstrip("0")
+    if rest:
+        mant += "." + rest
+    return f"{'-' if sign else ''}{mant}e{exponent}"
 
 
 _TRUE = (KIND_LITERAL, "true", XSD_BOOLEAN, "", 0)

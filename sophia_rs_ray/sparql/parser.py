@@ -72,7 +72,7 @@ _TOKEN_RE = re.compile(r"""
   | (?P<NUMBER>[+-]?(?:\d+\.\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?
                     |\d+(?:[eE][+-]?\d+)?))
   | (?P<VAR>[?$][A-Za-z_][A-Za-z0-9_]*)
-  | (?P<BNODE>_:[A-Za-z0-9_][A-Za-z0-9_.-]*)
+  | (?P<BNODE>_:[A-Za-z0-9_](?:[A-Za-z0-9_.-]*[A-Za-z0-9_-])?)
   | (?P<PNAME>(?:[A-Za-z_][A-Za-z0-9_.-]*?)?:[A-Za-z0-9_][A-Za-z0-9_.%-]*
              |(?:[A-Za-z_][A-Za-z0-9_.-]*?)?:)
   | (?P<KEYWORD>[A-Za-z_][A-Za-z0-9_]*)
@@ -681,9 +681,14 @@ class _Parser:
         if kind == "opt" and isinstance(s, Var) != isinstance(o, Var) \
                 and not _path_has_var(path[1]):
             # p? with exactly one constant endpoint: cheap rewrite as
-            # one-hop UNION the zero-length endpoint copy
+            # one-hop UNION the zero-length endpoint copy.
+            # ZeroOrOnePath has SET semantics (§18.4 — distinct
+            # endpoint pairs), so the one-hop side projects to the
+            # endpoints and dedups (drops any seq chain vars too)
             from .algebra import InlineData
             one = self._compile_path(s, path[1], o)
+            end_vars = [t.name for t in (s, o) if isinstance(t, Var)]
+            one = Distinct(Project(end_vars, one))
             if isinstance(o, Var):
                 zero = InlineData(o.name, [s])
             else:
@@ -707,7 +712,11 @@ class _Parser:
         collection ``( t… )`` — lists/collections introduce fresh
         non-distinguished variables (join like any var, dropped from
         SELECT * like path chain vars); a collection expands to its
-        rdf:first/rdf:rest chain, ``()`` is rdf:nil."""
+        rdf:first/rdf:rest chain, ``()`` is rdf:nil.  An explicit
+        ``_:label`` in a pattern is likewise a non-distinguished
+        variable scoped to the query (SPARQL §4.1.4 — it can NEVER
+        match a bnode constant by label; test.rs
+        test_select_1_multiple_occurrences)."""
         if self.at_op("["):
             self.next()
             v = self._fresh_var()
@@ -734,6 +743,30 @@ class _Parser:
                 patterns.append((cur, rest, nxt))
                 cur = nxt
             return head
+        if self.at_op("<<("):
+            # RDF 1.2 triple-term pattern: all-constant terms stay
+            # constants; variables / bnodes / [] inside destructure via
+            # a TripleTermPattern wrapper once the term var is bound
+            self.next()
+            items = []
+            for _ in range(3):
+                if self.at_op("["):
+                    self.next()
+                    self.eat_op("]")
+                    items.append(self._fresh_var())
+                elif self.peek()[0] == "VAR":
+                    items.append(Var(self.next()[1][1:]))
+                elif self.peek()[0] == "BNODE":
+                    items.append(Var(f"_path_bn_{self.next()[1][2:]}"))
+                else:
+                    items.append(self.parse_term())
+            self.eat_op(")>>")
+            if not any(isinstance(t, Var) for t in items):
+                from ..terms import triple_term
+                return triple_term(*items)
+            v = self._fresh_var()
+            nodes.append(("destructure", v, items))
+            return v
         if self.at_op("<<"):
             # RDF 1.2 reified triple pattern << s p o (~ r)? >> —
             # expands to the pattern (r, rdf:reifies, <<( s p o )>>)
@@ -760,7 +793,12 @@ class _Parser:
             patterns.append((r, iri(RDF_NS + "reifies"),
                              triple_term(*parts)))
             return r
-        return self.parse_term()
+        t = self.parse_term()
+        if isinstance(t, tuple) and t[0] == KIND_BNODE:
+            # same label → same non-distinguished variable; the _path_
+            # prefix keeps it joinable but dropped from SELECT *
+            return Var(f"_path_bn_{t[1]}")
+        return t
 
     def _parse_po_list(self, s, patterns, nodes):
         """predicate-object list with `;`/`,` sugar and property paths
@@ -798,9 +836,18 @@ class _Parser:
         else:
             self._parse_po_list(s, patterns, nodes)
         node: Optional[Node] = BGP(patterns) if patterns else None
+        wraps = []
         for pnode in nodes:
+            if isinstance(pnode, tuple) and pnode[0] == "destructure":
+                wraps.append(pnode)
+                continue
             node = pnode if node is None else Join(node, pnode)
-        return node if node is not None else BGP([])
+        if node is None:
+            node = BGP([])
+        for _tag, v, items in wraps:
+            from .algebra import TripleTermPattern
+            node = TripleTermPattern(node, v.name, items)
+        return node
 
     # --- SELECT clause ------------------------------------------------------
     def _parse_select_items(self):

@@ -69,9 +69,13 @@ def select(text: str, triples_ds, *, num_partitions: int = 8):
 
     def drop_internal(b: pa.Table) -> pa.Table:
         # SELECT * must not expose path chain vars (_path_N) or the
-        # empty-group unit column (_unit)
+        # empty-group unit column (_unit) — but a zero-column Arrow
+        # table cannot carry rows, so when _unit is the ONLY column the
+        # solution rows keep it (empty solutions still count)
         drop = [c for c in b.column_names
                 if c.startswith("_path_") or c == "_unit"]
+        if len(drop) == len(b.column_names):
+            drop = [c for c in drop if c != "_unit"]
         return b.drop_columns(drop) if drop else b
 
     return out.map_batches(drop_internal, batch_format="pyarrow")
@@ -83,7 +87,14 @@ def ask(text: str, triples_ds, *, num_partitions: int = 8) -> bool:
         raise SparqlParseError("not an ASK query")
     triples_ds = _apply_dataset_clause(triples_ds, q.dataset)
     out = evaluate(q.node, triples_ds, num_partitions=num_partitions)
-    return len(out.take(1)) > 0
+    # stream + early-exit rather than take(1): Ray 2.49's limit
+    # push-down over a Union logical op trips a planner assertion
+    # (plan_union_op children<2), and iter_batches stops execution as
+    # soon as the first non-empty batch arrives anyway
+    for b in out.iter_batches(batch_size=64, batch_format="pyarrow"):
+        if b.num_rows:
+            return True
+    return False
 
 
 def construct(text: str, triples_ds, *, num_partitions: int = 8):

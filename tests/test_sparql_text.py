@@ -712,9 +712,19 @@ def test_reified_triple_pattern_anonymous(reified_graph):
     assert sorted(r["since"] for r in out.take_all()) == ['"2021"']
 
 
-def test_triple_term_vars_rejected():
-    with pytest.raises(SparqlParseError):
-        parse_query("SELECT ?a WHERE { ?r ?p <<( ?a <x:b> <x:c> )>> }")
+def test_triple_term_vars(ray_session):
+    # variables INSIDE a triple-term pattern destructure the matched
+    # term (SPARQL 1.2; algebra.TripleTermPattern)
+    import ray.data as rd
+
+    tt = '<<( <x:a> <x:b> <x:c> )>>'
+    nt = rd.from_arrow(pa.table({
+        "s": pa.array(["<x:r>"], pa.large_string()),
+        "p": pa.array(["<x:q>"], pa.large_string()),
+        "o": pa.array([tt], pa.large_string())}))
+    out = select("SELECT ?a WHERE { ?r ?p <<( ?a <x:b> <x:c> )>> }", nt)
+    assert out.take_all() == [{"a": "<x:a>"}]
+    # …but the reified shorthand << … >> still requires constants
     with pytest.raises(SparqlParseError):
         parse_query("SELECT ?r WHERE { << ?a <x:b> <x:c> >> ?p ?r }")
 
