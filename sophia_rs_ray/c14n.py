@@ -337,13 +337,60 @@ class C14nState:
         return dict(self.canonical.issued)
 
 
+def _encode_triple_terms(quads: Sequence[Quad]) -> List[Quad]:
+    """Sophia-C14N triple-term encoding (``c14n/src/sophia.rs:1-42``):
+    each distinct RDF 1.2 triple term becomes a fresh blank node whose
+    SINGLETON NAMED GRAPH holds the (recursively encoded) inner triple;
+    occurrences of the term are replaced by that bnode.  Canonicalizing
+    the encoded dataset then labels bnodes inside triple terms
+    correctly — including isomorphism over them."""
+    labels = {t[1] for q in quads for t in q[:3] if t is not None
+              and t[0] == KIND_BNODE}
+    labels |= {q[3][1] for q in quads
+               if q[3] is not None and q[3][0] == KIND_BNODE}
+    prefix = "tt"
+    while any(lb.startswith(prefix) for lb in labels):
+        prefix += "x"
+
+    extra: List[Quad] = []
+    mapping: Dict[str, Term] = {}
+
+    def enc(t: Term) -> Term:
+        if t[0] != KIND_TRIPLE:
+            return t
+        hit = mapping.get(t[1])
+        if hit is not None:
+            return hit
+        b: Term = (KIND_BNODE, f"{prefix}{len(mapping)}", "", "", 0)
+        mapping[t[1]] = b
+        # inner triple from the canonical-NT lex "<<( s p o )>>"
+        from .ntriples import _LineParser
+        lp = _LineParser(t[1])
+        lp.pos = 3
+        parts = []
+        for _ in range(3):
+            lp.skip_ws()
+            parts.append(enc(lp.parse_term()))
+        extra.append((parts[0], parts[1], parts[2], b))
+        return b
+
+    out = [(enc(s), enc(p), enc(o), g) for (s, p, o, g) in quads]
+    return out + extra
+
+
 def relabel_quads(quads: Sequence[Quad], *, strict: bool = True,
                   depth_factor: float = DEFAULT_DEPTH_FACTOR,
                   permutation_limit: int = DEFAULT_PERMUTATION_LIMIT,
                   hash_name: str = "sha256",
                   ) -> Tuple[List[Quad], Dict[str, str]]:
     """RDFC-1.0 relabel (``rdfc10.rs:164-274``): returns (quads with
-    canonical bnode labels, original-label → canonical-label map)."""
+    canonical bnode labels, original-label → canonical-label map).
+    Generalized mode first encodes RDF 1.2 triple terms as singleton
+    named graphs (``c14n/src/sophia.rs``)."""
+    if not strict and any(
+            t is not None and t[0] == KIND_TRIPLE
+            for q in quads for t in q):
+        quads = _encode_triple_terms(quads)
     state = C14nState(quads, strict=strict, depth_factor=depth_factor,
                       permutation_limit=permutation_limit, hash_name=hash_name)
     issued = state.run()

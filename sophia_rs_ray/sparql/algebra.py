@@ -1168,10 +1168,42 @@ def _group_by_exchange(child, gv: List[str], aggs: List[Agg],
 # ---------------------------------------------------------------------------
 
 def evaluate(node: Node, triples_ds, *, num_partitions: int = 8,
-             graph_var: Optional[str] = None):
-    """Compile-and-run: algebra node → Dataset of bindings."""
+             graph_var: Optional[str] = None,
+             named_graphs: Optional[Tuple[str, ...]] = None):
+    """Compile-and-run: algebra node → Dataset of bindings.
+    ``named_graphs``: the FROM NAMED declaration, when present —
+    GRAPH ?g then iterates the DECLARED graphs (even empty ones,
+    exec.rs graph_iter over the dataset description)."""
     ev = lambda n: evaluate(n, triples_ds, num_partitions=num_partitions,  # noqa: E731
-                            graph_var=graph_var)
+                            graph_var=graph_var,
+                            named_graphs=named_graphs)
+
+    if isinstance(node, GraphPattern) and isinstance(node.name, Var) \
+            and named_graphs is not None \
+            and not (isinstance(node.child, BGP)
+                     and not node.child.patterns):
+        # FROM NAMED declares the graph list: evaluate the child once
+        # per declared graph (a declared-but-empty graph still yields
+        # its subquery result, e.g. COUNT(*) = 0)
+        var = node.name.name
+        outs = []
+        for name_txt in named_graphs:
+            scoped = triples_ds.map_batches(
+                lambda b, nt=name_txt: b.filter(
+                    pc.equal(b["g"], pa.scalar(nt)))
+                .drop_columns(["g"]),
+                batch_format="pyarrow")
+            part = evaluate(node.child, scoped,
+                            num_partitions=num_partitions)
+            part = part.map_batches(
+                lambda b, nt=name_txt: b.append_column(
+                    var, pa.array([nt] * b.num_rows, pa.string())),
+                batch_format="pyarrow")
+            outs.append(part)
+        out = outs[0]
+        for p_ in outs[1:]:
+            out = out.union(p_)
+        return out
 
     if isinstance(node, GraphPattern):
         if isinstance(node.child, BGP) and not node.child.patterns:
@@ -1379,6 +1411,11 @@ def evaluate(node: Node, triples_ds, *, num_partitions: int = 8,
     if isinstance(node, Project):
         child = ev(node.child)
         keep = list(node.vars)
+        if graph_var is not None and graph_var not in keep \
+                and graph_var in _vars_of(child):
+            # the graph binding survives subquery projection while
+            # inside GRAPH ?g (it is bound outside the subquery)
+            keep.append(graph_var)
 
         def project(b: pa.Table) -> pa.Table:
             # a projected variable the pattern never binds is simply
@@ -1436,8 +1473,16 @@ def evaluate(node: Node, triples_ds, *, num_partitions: int = 8,
         return tail
 
     if isinstance(node, Group):
-        return _group_by_exchange(ev(node.child), list(node.group_vars),
-                                  list(node.aggs), num_partitions)
+        gv = list(node.group_vars)
+        child = ev(node.child)
+        if graph_var is not None and graph_var not in gv \
+                and graph_var in _vars_of(child):
+            # inside GRAPH ?g the subquery evaluates once per named
+            # graph (exec.rs:652-707 graph_iter): the graph binding is
+            # an implicit grouping key
+            gv.append(graph_var)
+        return _group_by_exchange(child, gv, list(node.aggs),
+                                  num_partitions)
 
     if isinstance(node, PathPlus):
         return _path_plus(node, triples_ds, num_partitions)

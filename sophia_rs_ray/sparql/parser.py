@@ -122,10 +122,12 @@ class ConstructQuery:
 
 
 class DescribeQuery:
-    def __init__(self, node: Optional[Node], terms: List, vars_: List[str]):
+    def __init__(self, node: Optional[Node], terms: List, vars_: List[str],
+                 dataset=((), ())):
         self.node = node      # None when only constant IRIs are described
         self.terms = terms    # constant Terms to describe
         self.vars = vars_     # variables bound by node to describe
+        self.dataset = dataset
 
 
 _AGG_FNS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT"}
@@ -707,6 +709,67 @@ class _Parser:
             return PathPattern(s, path, o)
         raise SparqlParseError(f"unsupported path {path!r}")
 
+    def _parse_template_vt(self, triples):
+        """CONSTRUCT-template item (TriplesTemplate grammar): Term |
+        Var | ``[]``/``[ po ]`` fresh-per-solution bnode | collection
+        ``( … )`` (rdf:first/rest chain over fresh bnodes) | triple
+        term ``<<( … )>>`` possibly holding variables (resolved per
+        solution, marker ``("tt", parts)``)."""
+        if self.at_op("["):
+            self.next()
+            b = self._fresh_template_bnode()
+            if not self.at_op("]"):
+                self._parse_template_po(b, triples)
+            self.eat_op("]")
+            return b
+        if self.at_op("("):
+            self.next()
+            items = []
+            while not self.at_op(")"):
+                items.append(self._parse_template_vt(triples))
+            self.eat_op(")")
+            if not items:
+                return iri(RDF_NS + "nil")
+            heads = [self._fresh_template_bnode() for _ in items]
+            for i, it in enumerate(items):
+                triples.append((heads[i], iri(RDF_NS + "first"), it))
+                nxt = iri(RDF_NS + "nil") if i == len(items) - 1 \
+                    else heads[i + 1]
+                triples.append((heads[i], iri(RDF_NS + "rest"), nxt))
+            return heads[0]
+        if self.at_op("<<("):
+            self.next()
+            parts = [self._parse_template_vt(triples) for _ in range(3)]
+            self.eat_op(")>>")
+            if not any(isinstance(t, Var) for t in parts):
+                from ..terms import triple_term
+                return triple_term(*parts)
+            return ("tt", parts)
+        return self.parse_term()
+
+    def _fresh_template_bnode(self):
+        self._bind_ctr += 1
+        return (KIND_BNODE, f"t{self._bind_ctr}", "", "", 0)
+
+    def _parse_template_po(self, s, triples):
+        while True:
+            p = self.parse_term()
+            while True:
+                o = self._parse_template_vt(triples)
+                triples.append((s, p, o))
+                if self.at_op(","):
+                    self.next()
+                    continue
+                break
+            if self.at_op(";"):
+                self.next()
+                while self.at_op(";"):
+                    self.next()
+                if self.at_op(".") or self.at_op("}"):
+                    break
+                continue
+            break
+
     def _parse_vt(self, patterns, nodes):
         """Term | Var | bnode property list ``[ p o ; … ]`` | RDF
         collection ``( t… )`` — lists/collections introduce fresh
@@ -1077,10 +1140,9 @@ class _Parser:
             self.eat_op("{")
             template: List[Tuple] = []
             while not self.at_op("}"):
-                s = self.parse_term()
-                p = self.parse_term()
-                o = self.parse_term()
-                template.append((s, p, o))
+                s = self._parse_template_vt(template)
+                if not (self.at_op(".") or self.at_op("}")):
+                    self._parse_template_po(s, template)
                 if self.at_op("."):
                     self.next()
             self.eat_op("}")
@@ -1107,6 +1169,7 @@ class _Parser:
                     break
             if not terms and not vars_:
                 raise SparqlParseError("empty DESCRIBE")
+            dataset = self._parse_dataset_clause()
             node = None
             if self.at_kw("WHERE") or self.at_op("{"):
                 if self.at_kw("WHERE"):
@@ -1115,7 +1178,7 @@ class _Parser:
             if vars_ and node is None:
                 raise SparqlParseError("DESCRIBE ?v needs a WHERE clause")
             self._expect_eof()
-            return DescribeQuery(node, terms, vars_)
+            return DescribeQuery(node, terms, vars_, dataset)
         raise SparqlParseError(
             f"expected SELECT/ASK/CONSTRUCT/DESCRIBE, got {self.peek()[1]!r}")
 

@@ -65,7 +65,8 @@ def select(text: str, triples_ds, *, num_partitions: int = 8):
     if not isinstance(q, SelectQuery):
         raise SparqlParseError("not a SELECT query")
     triples_ds = _apply_dataset_clause(triples_ds, q.dataset)
-    out = evaluate(q.node, triples_ds, num_partitions=num_partitions)
+    out = evaluate(q.node, triples_ds, num_partitions=num_partitions,
+                   named_graphs=tuple(q.dataset[1]) or None)
 
     def drop_internal(b: pa.Table) -> pa.Table:
         # SELECT * must not expose path chain vars (_path_N) or the
@@ -86,7 +87,8 @@ def ask(text: str, triples_ds, *, num_partitions: int = 8) -> bool:
     if not isinstance(q, AskQuery):
         raise SparqlParseError("not an ASK query")
     triples_ds = _apply_dataset_clause(triples_ds, q.dataset)
-    out = evaluate(q.node, triples_ds, num_partitions=num_partitions)
+    out = evaluate(q.node, triples_ds, num_partitions=num_partitions,
+                   named_graphs=tuple(q.dataset[1]) or None)
     # stream + early-exit rather than take(1): Ray 2.49's limit
     # push-down over a Union logical op trips a planner assertion
     # (plan_union_op children<2), and iter_batches stops execution as
@@ -102,21 +104,33 @@ def construct(text: str, triples_ds, *, num_partitions: int = 8):
     if not isinstance(q, ConstructQuery):
         raise SparqlParseError("not a CONSTRUCT query")
     triples_ds = _apply_dataset_clause(triples_ds, q.dataset)
-    bindings = evaluate(q.node, triples_ds, num_partitions=num_partitions)
+    bindings = evaluate(q.node, triples_ds,
+                        num_partitions=num_partitions,
+                        named_graphs=tuple(q.dataset[1]) or None)
 
-    # pre-format the template: each position is either a fixed NT string,
-    # a variable name, or a bnode label to freshen per solution
-    tmpl: List[Tuple[Tuple[str, str], ...]] = []
-    for (s, p, o) in q.template:
-        row = []
-        for t in (s, p, o):
-            if isinstance(t, Var):
-                row.append(("var", t.name))
-            elif t[0] == KIND_BNODE:
-                row.append(("bnode", t[1]))
-            else:
-                row.append(("const", format_term(t)))
-        tmpl.append(tuple(row))
+    # pre-compile the template: each position is a fixed NT string, a
+    # variable name, a bnode label to freshen per solution, or a
+    # triple-term with variable parts
+    def compile_item(t):
+        if isinstance(t, Var):
+            return ("var", t.name)
+        if isinstance(t, tuple) and t and t[0] == "tt":
+            return ("tt", [compile_item(x) for x in t[1]])
+        if t[0] == KIND_BNODE:
+            return ("bnode", t[1])
+        return ("const", format_term(t))
+
+    tmpl = [tuple(compile_item(t) for t in triple)
+            for triple in q.template]
+
+    def nt_kind(txt: str) -> str:
+        if txt.startswith("<<("):
+            return "triple"
+        if txt.startswith("<"):
+            return "iri"
+        if txt.startswith("_:"):
+            return "bnode"
+        return "literal"
 
     def instantiate(b: pa.Table) -> pa.Table:
         cols = {c: b[c].to_pylist() for c in b.column_names}
@@ -127,29 +141,44 @@ def construct(text: str, triples_ds, *, num_partitions: int = 8):
         for i in range(n):
             # deterministic per-solution bnode scope: hash the binding row
             key = None
-            for (kind_s, val_s), (kind_p, val_p), (kind_o, val_o) in tmpl:
-                vals = []
-                ok = True
-                for kind, val in ((kind_s, val_s), (kind_p, val_p),
-                                  (kind_o, val_o)):
-                    if kind == "const":
-                        vals.append(val)
-                    elif kind == "var":
-                        x = cols.get(val, [None] * n)[i]
-                        if x is None:
-                            ok = False
-                            break
-                        vals.append(x)
-                    else:  # bnode — freshen per solution
-                        if key is None:
-                            key = zlib.crc32("\x1f".join(
-                                str(cols[c][i]) for c in sorted(cols)
-                            ).encode())
-                        vals.append(f"_:{val}_{key:08x}")
-                if ok:
-                    s_out.append(vals[0])
-                    p_out.append(vals[1])
-                    o_out.append(vals[2])
+
+            def resolve(item):
+                nonlocal key
+                kind, val = item
+                if kind == "const":
+                    return val
+                if kind == "var":
+                    return cols.get(val, [None] * n)[i]
+                if kind == "tt":
+                    parts = [resolve(x) for x in val]
+                    if any(p_ is None for p_ in parts):
+                        return None
+                    # generalized triple terms are dropped: inner
+                    # subject must be IRI/bnode, inner predicate an IRI
+                    # (test.rs test_construct "filter generalized")
+                    if nt_kind(parts[0]) not in ("iri", "bnode") \
+                            or nt_kind(parts[1]) != "iri":
+                        return None
+                    return f"<<( {parts[0]} {parts[1]} {parts[2]} )>>"
+                # bnode — freshen per solution
+                if key is None:
+                    key = zlib.crc32("\x1f".join(
+                        str(cols[c][i]) for c in sorted(cols)
+                    ).encode())
+                return f"_:{val}_{key:08x}"
+
+            for row in tmpl:
+                vals = [resolve(item) for item in row]
+                if any(v is None for v in vals):
+                    continue
+                # only valid RDF triples are emitted: IRI/bnode
+                # subject, IRI predicate (generalized ones dropped)
+                if nt_kind(vals[0]) not in ("iri", "bnode") \
+                        or nt_kind(vals[1]) != "iri":
+                    continue
+                s_out.append(vals[0])
+                p_out.append(vals[1])
+                o_out.append(vals[2])
         return pa.table({"s": pa.array(s_out, pa.large_string()),
                          "p": pa.array(p_out, pa.large_string()),
                          "o": pa.array(o_out, pa.large_string())})
@@ -160,13 +189,25 @@ def construct(text: str, triples_ds, *, num_partitions: int = 8):
 
 
 def describe(text: str, triples_ds, *, num_partitions: int = 8):
-    """DESCRIBE: all triples whose subject is a described resource
-    (simple subject-scan form of the spec's implementation-defined
-    description; no bnode closure).  Resources = the constant IRIs
-    plus bindings of the DESCRIBE variables from the WHERE clause."""
+    """DESCRIBE as the reference computes it: a SYMMETRIC bounded
+    description (resource/src/resource/_struct.rs:232-383 semantics;
+    test.rs test_describe) — all triples where a described resource is
+    subject OR object, closed over (a) blank nodes reached in either
+    position, (b) blank nodes inside included triple TERMS, and (c)
+    reifications: once a triple is included, triples about its triple
+    term (e.g. ``?r rdf:reifies <<(t)>>``) join too; bnode reifiers
+    keep the closure going, named ones stop it.
+
+    Each round is one distributed scan with the (small) frontier and
+    included-term sets broadcast; the matched triples — the description
+    itself, bounded by construction — come back to the driver, which
+    seeds the next round (same driver-fixpoint shape as the reasoner)."""
+    import ray.data as rd
+
     q = parse_query(text)
     if not isinstance(q, DescribeQuery):
         raise SparqlParseError("not a DESCRIBE query")
+    triples_ds = _apply_dataset_clause(triples_ds, q.dataset)
     resources = {format_term(t) for t in q.terms}
     if q.node is not None and q.vars:
         bindings = evaluate(q.node, triples_ds,
@@ -176,8 +217,67 @@ def describe(text: str, triples_ds, *, num_partitions: int = 8):
             for v in cols:
                 if r[v] is not None:
                     resources.add(r[v])
-    from ..graph import triples_matching
-    return triples_matching(triples_ds, s=sorted(resources))
+
+    from ..ntriples import parse_term_text
+    from .expr import _triple_parts
+
+    def tt_bnodes(txt: str):
+        try:
+            t = parse_term_text(txt)
+        except ValueError:
+            return []
+        parts = _triple_parts(t)
+        return [format_term(p) for p in (parts or [])
+                if p[0] == 0]  # KIND_BNODE
+
+    included: dict = {}     # (s, p, o) -> True, insertion-ordered
+    to_scan = set(resources)
+    scanned: set = set()
+
+    while to_scan:
+        fr = frozenset(to_scan)
+        scanned |= to_scan
+        to_scan = set()
+
+        def match(b):
+            import pyarrow as _pa
+            import pyarrow.compute as _pc
+
+            vs = _pa.array(sorted(fr), b["s"].type)
+            m = _pc.or_(_pc.is_in(b["s"], value_set=vs),
+                        _pc.is_in(b["o"], value_set=vs))
+            if "g" in b.column_names:
+                m = _pc.and_(m, _pc.equal(b["g"], _pa.scalar("")))
+            return b.filter(m).select(["s", "p", "o"])
+
+        got = triples_ds.map_batches(match,
+                                     batch_format="pyarrow").take_all()
+        for r in got:
+            key = (r["s"], r["p"], r["o"])
+            if key in included:
+                continue
+            included[key] = True
+            # the included triple's term joins the scan set (reified
+            # statements about it belong to the description)
+            cands = [f"<<( {r['s']} {r['p']} {r['o']} )>>"]
+            for txt in (r["s"], r["o"]):
+                if txt.startswith("_:"):
+                    cands.append(txt)
+                elif txt.startswith("<<("):
+                    cands.extend(tt_bnodes(txt))
+            for c in cands:
+                if c not in scanned:
+                    to_scan.add(c)
+
+    cols = {"s": [], "p": [], "o": []}
+    for (s, p, o) in included:
+        cols["s"].append(s)
+        cols["p"].append(p)
+        cols["o"].append(o)
+    import pyarrow as pa_
+
+    return rd.from_arrow(pa_.table(
+        {k: pa_.array(v, pa_.large_string()) for k, v in cols.items()}))
 
 
 def sparql(text: str, triples_ds, *, num_partitions: int = 8):

@@ -296,9 +296,12 @@ def test_path_seq_of_alt(graph):
 def test_describe_const_and_var(graph):
     from sophia_rs_ray.sparql import describe
 
+    # symmetric bounded description (test.rs test_describe semantics):
+    # triples where the resource is subject OR object
     out = describe(f"DESCRIBE <{EX}carol>", graph)
     got = {(r["s"], r["p"], r["o"]) for r in out.take_all()}
-    assert got == {(f"<{EX}carol>", f"<{FOAF}name>", '"Carol"')}
+    assert got == {(f"<{EX}carol>", f"<{FOAF}name>", '"Carol"'),
+                   (f"<{EX}bob>", f"<{FOAF}knows>", f"<{EX}carol>")}
 
     out2 = describe(f"""
         PREFIX foaf: <{FOAF}>
@@ -310,6 +313,7 @@ def test_describe_const_and_var(graph):
         (f"<{EX}bob>", f"<{FOAF}age>",
          '"25"^^<http://www.w3.org/2001/XMLSchema#integer>'),
         (f"<{EX}bob>", f"<{FOAF}knows>", f"<{EX}carol>"),
+        (f"<{EX}alice>", f"<{FOAF}knows>", f"<{EX}bob>"),
     }
 
 
