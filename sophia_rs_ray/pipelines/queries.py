@@ -37,6 +37,26 @@ def _triples_dedup(sf_dir: str):
     return dedup_triples(ds.union(doc_triples(sf_dir)), carry_min=())
 
 
+def _sparql_describe(sf_dir: str):
+    """DESCRIBE <doc/7> <doc/11> over the doc-triples graph — the
+    symmetric bounded description (run.describe; reference
+    resource/_struct.rs semantics).  Doc subjects have no blank nodes,
+    so the closure is exactly the subject-or-object scan the oracle
+    reproduces."""
+    from ..sparql.run import describe
+
+    return describe(
+        "DESCRIBE <http://kg.example/doc/7> <http://kg.example/doc/11>",
+        doc_triples(sf_dir))
+
+
+SPARQL_DESCRIBE_SQL = f"""
+SELECT s, p, o FROM ({{DT}})
+WHERE s IN ('<http://kg.example/doc/7>', '<http://kg.example/doc/11>')
+   OR o IN ('<http://kg.example/doc/7>', '<http://kg.example/doc/11>')
+""".replace("{DT}", DOC_TRIPLES_SQL)
+
+
 TRIPLES_DEDUP_SQL = f"""
 SELECT DISTINCT s, p, o FROM (
   {DOC_TRIPLES_SQL} UNION ALL {DOC_TRIPLES_SQL}
@@ -1130,6 +1150,7 @@ def registry() -> Registry:
         # KG / RDF operators
         "doc_triples": (doc_triples, DOC_TRIPLES_SQL),
         "triples_dedup": (_triples_dedup, TRIPLES_DEDUP_SQL),
+        "sparql_describe": (_sparql_describe, SPARQL_DESCRIBE_SQL),
         "predicate_count": (_predicate_count, PREDICATE_COUNT_SQL),
         "subjects_distinct": (_subjects_distinct, SUBJECTS_DISTINCT_SQL),
         "triples_matching": (_triples_matching, TRIPLES_MATCHING_SQL),
