@@ -611,7 +611,7 @@ WITH o AS (
   SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
                              ROWS UNBOUNDED PRECEDING) - 1 AS session
   FROM o)
-SELECT user_id, session, count(*) AS n_events,
+SELECT user_id, CAST(session AS BIGINT) AS session, count(*) AS n_events,
        min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us,
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM s GROUP BY 1, 2
