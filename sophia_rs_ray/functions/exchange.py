@@ -98,11 +98,19 @@ def _map_side(block, key_cols, num_partitions, combine):
     return _split_by_key(t, key_cols, num_partitions)
 
 
-def _reduce_side(finalize, *parts):
+def _reduce_side(finalize, fallback, *parts):
     parts = [p for p in parts if p is not None]
     if not parts:
-        raise ValueError(
-            "hash_aggregate: every input block was a schema-less empty")
+        # every block was a schema-less empty (Ray passes 0-row blocks
+        # through map_batches without calling the fn, so upstream
+        # Extend-style stages never added their columns).  A combined
+        # empty built driver-side from the input schema keeps the
+        # output well-formed instead of failing the partition.
+        if fallback is None:
+            raise ValueError(
+                "hash_aggregate: every input block was a schema-less "
+                "empty and no fallback schema was derivable")
+        return finalize(fallback) if finalize is not None else fallback
     # Ray can skip projections (select_columns) on zero-row blocks, so
     # empty parts may carry a stale wider schema; concat-promoting them
     # would resurrect phantom columns.  Rows define the schema: drop
@@ -160,7 +168,26 @@ def hash_aggregate(ds, key_cols: Sequence[str],
         cols = [tuple(unwrap.remote(r) for r in part_refs)]
     else:
         cols = list(zip(*part_refs))
-    out_refs = [reduce.remote(finalize, *cols[j])
+    # all-empty-partition fallback: a driver-side combined empty (most
+    # combine fns synthesize their output columns on a 0-row input)
+    fallback = None
+    try:
+        fallback = combine(pa.table({})) if combine is not None else None
+    except Exception:
+        fallback = None
+    if fallback is None:
+        try:
+            sch = ds.schema(fetch_if_missing=False)
+        except Exception:
+            sch = None
+        if sch is not None:
+            try:
+                empty = pa.table({n: pa.array([], t)
+                                  for n, t in zip(sch.names, sch.types)})
+                fallback = combine(empty) if combine is not None else empty
+            except Exception:
+                fallback = None
+    out_refs = [reduce.remote(finalize, fallback, *cols[j])
                 for j in range(num_partitions)]
     return rd.from_arrow_refs(out_refs)
 

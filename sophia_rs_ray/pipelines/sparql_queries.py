@@ -372,6 +372,73 @@ JOIN (SELECT source, max(cast(n_chars AS BIGINT)) AS maxn
 """
 
 
+def sparql_having(sf_dir: str):
+    """HAVING with an in-condition aggregate, from query text: the
+    aggregate is hoisted into the Group under a synthetic alias and the
+    filter runs post-grouping (exec.rs group→having pipeline)."""
+    from ..sparql.run import select
+
+    q = """
+      PREFIX dc: <http://purl.org/dc/terms/>
+      PREFIX ex: <http://kg.example/>
+      SELECT ?src (COUNT(*) AS ?cnt) (SUM(?n) AS ?sum_n)
+      WHERE { ?d dc:source ?src ; ex:nchars ?n }
+      GROUP BY ?src
+      HAVING (SUM(?n) > 8000) (COUNT(*) > 1)
+    """
+    return select(q, doc_triples(sf_dir))
+
+
+SPARQL_HAVING_SQL = f"""
+SELECT '"' || source || '"' AS src,
+       '"' || count(*) || '"{INT_DT}' AS cnt,
+       '"' || sum(cast(n_chars AS BIGINT)) || '"{INT_DT}' AS sum_n
+FROM documents GROUP BY source
+HAVING sum(cast(n_chars AS BIGINT)) > 8000 AND count(*) > 1
+"""
+
+
+def sparql_group_expr(sf_dir: str):
+    """GROUP BY on a computed key ``(FLOOR(?n/100) AS ?bucket)`` —
+    GroupCondition expression grammar (§11.1), bound via Extend before
+    the grouping exchange."""
+    from ..sparql.run import select
+
+    q = """
+      PREFIX ex: <http://kg.example/>
+      SELECT ?bucket (COUNT(*) AS ?cnt)
+      WHERE { ?d ex:nchars ?n }
+      GROUP BY (FLOOR(?n / 100) AS ?bucket)
+    """
+    return select(q, doc_triples(sf_dir))
+
+
+SPARQL_GROUP_EXPR_SQL = f"""
+SELECT '"' || CAST(floor(cast(n_chars AS BIGINT) / 100.0) AS BIGINT)
+           || '.0"^^<http://www.w3.org/2001/XMLSchema#decimal>' AS bucket,
+       '"' || count(*) || '"{INT_DT}' AS cnt
+FROM documents GROUP BY 1
+"""
+
+
+def sparql_construct_where(sf_dir: str):
+    """``CONSTRUCT WHERE`` shorthand (§10.2.3): template = pattern."""
+    from ..sparql.run import construct
+
+    q = """
+      PREFIX dc: <http://purl.org/dc/terms/>
+      CONSTRUCT WHERE { ?d dc:language ?lang }
+    """
+    return construct(q, doc_triples(sf_dir))
+
+
+SPARQL_CONSTRUCT_WHERE_SQL = f"""
+SELECT {_D} AS s, '<http://purl.org/dc/terms/language>' AS p,
+       '"' || lang || '"' AS o
+FROM documents
+"""
+
+
 REGISTRY = {
     "sparql_bgp_filter": (sparql_bgp_filter, SPARQL_BGP_FILTER_SQL),
     "sparql_subquery": (sparql_subquery, SPARQL_SUBQUERY_SQL),
@@ -392,4 +459,8 @@ REGISTRY = {
                              SPARQL_PATH_PLUS_VAR_SQL),
     "sparql_path_star_var": (sparql_path_star_var,
                              SPARQL_PATH_STAR_VAR_SQL),
+    "sparql_having": (sparql_having, SPARQL_HAVING_SQL),
+    "sparql_group_expr": (sparql_group_expr, SPARQL_GROUP_EXPR_SQL),
+    "sparql_construct_where": (sparql_construct_where,
+                               SPARQL_CONSTRUCT_WHERE_SQL),
 }

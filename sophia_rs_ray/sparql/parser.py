@@ -158,6 +158,9 @@ class _Parser:
         self.prefixes: Dict[str, str] = {}
         self.base = ""
         self._bind_ctr = 0
+        # when parsing a HAVING condition, aggregates are legal and are
+        # appended here (hoisted into the Group node) instead of erroring
+        self._having_sink: Optional[List[Agg]] = None
 
     # --- token helpers -----------------------------------------------------
     def peek(self, k: int = 0) -> Tuple[str, str]:
@@ -401,6 +404,17 @@ class _Parser:
                 args = self._expr_list() if self.at_op("(") else []
                 return FnCall(up, *args)
             if up in _AGG_FNS:
+                if self._having_sink is not None:
+                    # HAVING condition: hoist the aggregate into the
+                    # Group node under a synthetic alias and reference
+                    # it as a variable (SPARQL 1.1 §11.1; the alias
+                    # column is pruned by the final Project)
+                    # single-underscore prefix: ``__``-prefixed columns
+                    # are internal and hidden from expression eval
+                    agg = self._try_parse_agg()
+                    agg.alias = f"_hv{len(self._having_sink)}"
+                    self._having_sink.append(agg)
+                    return Var(agg.alias)
                 raise SparqlParseError(
                     f"aggregate {up} only allowed in SELECT/HAVING")
         if k in ("PNAME", "IRIREF") and self.peek(1) == ("OP", "("):
@@ -973,7 +987,15 @@ class _Parser:
         having: List[Expr] = []
         if self.at_kw("HAVING"):
             self.next()
+            self._having_sink = aggs
             having.append(self.parse_expr())
+            # HavingCondition+ : further bracketted constraints chain
+            while self.at_op("("):
+                having.append(self.parse_expr())
+            self._having_sink = None
+            if star and any(a.alias.startswith("_hv") for a in aggs):
+                raise SparqlParseError(
+                    "SELECT * with aggregates in HAVING")
         order: List[Tuple[Expr, bool]] = []
         if self.at_kw("ORDER"):
             self.next()
@@ -1106,14 +1128,39 @@ class _Parser:
         if self.at_kw("GROUP"):
             self.next()
             self.eat_kw("BY")
-            while self.peek()[0] == "VAR":
-                group_vars.append(self.next()[1][1:])
+            while True:
+                if self.peek()[0] == "VAR":
+                    group_vars.append(self.next()[1][1:])
+                elif self.at_op("("):
+                    # GroupCondition '(' Expression ('AS' Var)? ')'
+                    # (§11.1): bind the expression before grouping; an
+                    # AS-less condition groups on a synthetic column
+                    # that the final Project prunes
+                    self.next()
+                    e = self.parse_expr()
+                    if self.at_kw("AS"):
+                        self.next()
+                        k2, v2 = self.next()
+                        if k2 != "VAR":
+                            raise SparqlParseError(
+                                "GROUP BY (expr AS ?var) needs ?var")
+                        name = v2[1:]
+                    else:
+                        self._bind_ctr += 1
+                        name = f"__g{self._bind_ctr}"
+                    self.eat_op(")")
+                    node = Extend(name, e, node)
+                    group_vars.append(name)
+                else:
+                    break
         for alias, e, agg in items:
             if agg is not None:
                 agg.alias = alias
                 aggs.append(agg)
         if aggs and star:
             raise SparqlParseError("SELECT * with aggregates")
+        if group_vars and star:
+            raise SparqlParseError("SELECT * with GROUP BY")
         node, proj = self._parse_modifiers(
             node, group_vars, aggs, items, star, distinct,
             reduced=reduced)
@@ -1137,6 +1184,8 @@ class _Parser:
             return AskQuery(Slice(node, limit=1), dataset)
         if self.at_kw("CONSTRUCT"):
             self.next()
+            if not self.at_op("{"):
+                return self._parse_construct_where()
             self.eat_op("{")
             template: List[Tuple] = []
             while not self.at_op("}"):
@@ -1181,6 +1230,37 @@ class _Parser:
             return DescribeQuery(node, terms, vars_, dataset)
         raise SparqlParseError(
             f"expected SELECT/ASK/CONSTRUCT/DESCRIBE, got {self.peek()[1]!r}")
+
+    def _parse_construct_where(self):
+        """``CONSTRUCT [FROM …] WHERE { TriplesTemplate }`` shorthand
+        (SPARQL 1.1 §10.2.3): the template doubles as the pattern.
+        Blank nodes act as non-projected variables in the pattern and
+        their bindings feed the template (the standard reading)."""
+        dataset = self._parse_dataset_clause()
+        self.eat_kw("WHERE")
+        self.eat_op("{")
+        template: List[Tuple] = []
+        while not self.at_op("}"):
+            s = self._parse_template_vt(template)
+            if not (self.at_op(".") or self.at_op("}")):
+                self._parse_template_po(s, template)
+            if self.at_op("."):
+                self.next()
+        self.eat_op("}")
+
+        def bv(t):
+            if isinstance(t, tuple) and t and t[0] == "tt":
+                raise SparqlParseError(
+                    "triple terms need the full CONSTRUCT {…} WHERE form")
+            if isinstance(t, tuple) and t and t[0] == KIND_BNODE:
+                return Var(f"_cb_{t[1]}")
+            return t
+
+        template = [(bv(s), bv(p), bv(o)) for (s, p, o) in template]
+        node = BGP(list(template))
+        node, _ = self._parse_modifiers(node, [], [], [], True, False)
+        self._expect_eof()
+        return ConstructQuery(node, template, dataset)
 
     def _expect_eof(self):
         if self.peek()[0] != "EOF":

@@ -868,3 +868,129 @@ def test_order_by_distinct_unprojected_rejected():
     with pytest.raises(SparqlParseError):
         parse_query("SELECT DISTINCT ?x WHERE { ?x <p:a> ?a } "
                     "ORDER BY ?a")
+
+
+# --- HAVING / GROUP BY expressions / CONSTRUCT WHERE (round-2 additions) ---
+
+XSD_INT = "<http://www.w3.org/2001/XMLSchema#integer>"
+
+
+def test_having_with_aggregate(graph):
+    """Aggregates inside HAVING are hoisted into the Group under a
+    synthetic alias (SPARQL 1.1 §11.1); only groups passing the
+    post-group filter survive."""
+    out = select(f"""
+        PREFIX foaf: <{FOAF}>
+        SELECT ?x (COUNT(*) AS ?n)
+        WHERE {{ ?x ?p ?o }}
+        GROUP BY ?x
+        HAVING (COUNT(*) > 3)
+    """, graph)
+    rows = out.take_all()
+    assert [r["x"] for r in rows] == [f"<{EX}alice>"]
+    assert rows[0]["n"] == f'"4"^^{XSD_INT}'
+
+
+def test_having_references_select_alias(graph):
+    out = select(f"""
+        PREFIX foaf: <{FOAF}>
+        SELECT ?x (COUNT(*) AS ?n)
+        WHERE {{ ?x ?p ?o }}
+        GROUP BY ?x
+        HAVING (?n = 3)
+    """, graph)
+    assert sorted(r["x"] for r in out.take_all()) == [f"<{EX}bob>"]
+
+
+def test_having_multiple_conditions(graph):
+    """HavingCondition+ chains as a conjunction."""
+    out = select(f"""
+        PREFIX foaf: <{FOAF}>
+        SELECT ?x (MIN(?o) AS ?mn)
+        WHERE {{ ?x foaf:name ?o }}
+        GROUP BY ?x
+        HAVING (COUNT(*) > 0) (MIN(?o) != "Alice")
+    """, graph)
+    assert sorted(r["x"] for r in out.take_all()) == [
+        f"<{EX}bob>", f"<{EX}carol>"]
+
+
+def test_having_empty_result_groups(graph):
+    out = select(f"""
+        SELECT ?x (COUNT(*) AS ?n) WHERE {{ ?x ?p ?o }}
+        GROUP BY ?x HAVING (COUNT(*) > 100)
+    """, graph)
+    assert out.take_all() == []
+
+
+def test_group_by_expression_with_alias(graph):
+    """GROUP BY (expr AS ?var) binds the key before grouping and the
+    alias is selectable."""
+    out = select(f"""
+        PREFIX foaf: <{FOAF}>
+        SELECT ?decade (COUNT(*) AS ?n)
+        WHERE {{ ?x foaf:age ?a }}
+        GROUP BY (FLOOR(?a / 10) AS ?decade)
+    """, graph)
+    got = {r["decade"]: r["n"] for r in out.take_all()}
+    xsd_dec = "<http://www.w3.org/2001/XMLSchema#decimal>"
+    assert got == {f'"2.0"^^{xsd_dec}': f'"1"^^{XSD_INT}',
+                   f'"3.0"^^{xsd_dec}': f'"1"^^{XSD_INT}'}
+
+
+def test_group_by_expression_anonymous(graph):
+    """An AS-less GroupCondition groups on a synthetic pruned column."""
+    out = select(f"""
+        PREFIX foaf: <{FOAF}>
+        SELECT (COUNT(*) AS ?n)
+        WHERE {{ ?x foaf:age ?a }}
+        GROUP BY (FLOOR(?a / 10))
+    """, graph)
+    rows = out.take_all()
+    assert sorted(r["n"] for r in rows) == [f'"1"^^{XSD_INT}'] * 2
+    assert set(rows[0].keys()) == {"n"}
+
+
+def test_construct_where_shorthand(graph):
+    """CONSTRUCT WHERE { tmpl } (§10.2.3): pattern doubles as template."""
+    out = construct(f"""
+        PREFIX foaf: <{FOAF}>
+        CONSTRUCT WHERE {{ ?x foaf:knows ?y }}
+    """, graph)
+    rows = {(r["s"], r["p"], r["o"]) for r in out.take_all()}
+    assert rows == {
+        (f"<{EX}alice>", f"<{FOAF}knows>", f"<{EX}bob>"),
+        (f"<{EX}bob>", f"<{FOAF}knows>", f"<{EX}carol>"),
+    }
+
+
+def test_construct_where_bnode_as_variable(graph):
+    """A blank node in the shorthand acts as a variable in the pattern
+    and its binding feeds the template."""
+    out = construct(f"""
+        PREFIX foaf: <{FOAF}>
+        CONSTRUCT WHERE {{ ?x foaf:knows [ foaf:name ?n ] }}
+    """, graph)
+    rows = {(r["s"], r["p"], r["o"]) for r in out.take_all()}
+    assert (f"<{EX}alice>", f"<{FOAF}knows>", f"<{EX}bob>") in rows
+    assert (f"<{EX}bob>", f"<{FOAF}name>", '"Bob"') in rows
+
+
+def test_aggregate_outside_select_having_still_rejected():
+    with pytest.raises(SparqlParseError):
+        parse_query("SELECT ?x WHERE { ?x <p:a> ?o "
+                    "FILTER(SUM(?o) > 2) }")
+
+
+def test_group_by_expression_empty_input(graph):
+    """Grouping on an extended key over an empty pattern: Ray passes
+    0-row blocks through map_batches without adding the Extend column,
+    so the exchange must fall back to a driver-built combined empty
+    instead of failing the partition."""
+    out = select(f"""
+        PREFIX foaf: <{FOAF}>
+        SELECT ?b (COUNT(*) AS ?n)
+        WHERE {{ ?x <u:nonexistent> ?a }}
+        GROUP BY (FLOOR(?a / 10) AS ?b)
+    """, graph)
+    assert out.take_all() == []
