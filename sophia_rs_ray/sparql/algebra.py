@@ -618,7 +618,9 @@ def _scan(triples_ds, pattern, graph_var: Optional[str] = None
                 mask = m if mask is None else pc.and_(mask, m)
         if "g" in b.column_names:
             if graph_var is None:
-                m = pc.equal(b["g"], pa.scalar(""))
+                # null g ≡ '' ≡ default graph (tolerate either encoding)
+                m = pc.or_kleene(pc.equal(b["g"], pa.scalar("")),
+                                 pc.is_null(b["g"]))
             else:
                 m = pc.not_equal(b["g"], pa.scalar(""))
                 if graph_var in var_pos:  # GRAPH ?g { ?g … }
@@ -1653,7 +1655,8 @@ def _scan_neg(triples_ds, fwd, inv):
 
     def body(b: pa.Table) -> pa.Table:
         if "g" in b.column_names:
-            b = b.filter(pc.equal(b["g"], pa.scalar("")))
+            b = b.filter(pc.or_kleene(pc.equal(b["g"], pa.scalar("")),
+                                      pc.is_null(b["g"])))
         p = _pcast(b["p"])
         outs = []
         if fwd_active:
@@ -1840,7 +1843,8 @@ def _graph_terms(triples_ds, num_partitions: int):
     zero-length-path universe (SPARQL 1.1 §9.3 ZeroLengthPath)."""
     def both(b: pa.Table) -> pa.Table:
         if "g" in b.column_names:
-            b = b.filter(pc.equal(b["g"], pa.scalar("")))
+            b = b.filter(pc.or_kleene(pc.equal(b["g"], pa.scalar("")),
+                                      pc.is_null(b["g"])))
         arr = pa.chunked_array([_pcast(b["s"]), _pcast(b["o"])])
         return pa.table({"t": arr})
 

@@ -158,9 +158,15 @@ class _Parser:
         self.prefixes: Dict[str, str] = {}
         self.base = ""
         self._bind_ctr = 0
-        # when parsing a HAVING condition, aggregates are legal and are
-        # appended here (hoisted into the Group node) instead of erroring
+        # when parsing a HAVING condition or a SELECT expression,
+        # aggregates are legal and are appended here (hoisted into the
+        # Group node under a synthetic alias) instead of erroring
         self._having_sink: Optional[List[Agg]] = None
+        # aggregates hoisted out of SELECT expressions, drained into the
+        # Group's agg list by _parse_select_body (per nesting level)
+        self._pre_aggs: List[Agg] = []
+        # one-shot pre-consumed primary for parse_expr(seed=…)
+        self._seed_expr: Optional[Expr] = None
 
     # --- token helpers -----------------------------------------------------
     def peek(self, k: int = 0) -> Tuple[str, str]:
@@ -290,7 +296,11 @@ class _Parser:
         raise SparqlParseError(f"expected term, got {v!r}")
 
     # --- expressions (precedence climbing) ---------------------------------
-    def parse_expr(self) -> Expr:
+    def parse_expr(self, seed: Optional[Expr] = None) -> Expr:
+        """``seed`` substitutes an already-consumed primary (a hoisted
+        aggregate's alias variable) as the FIRST primary of the
+        expression — the rest of the precedence chain parses normally."""
+        self._seed_expr = seed
         return self._or_expr()
 
     def _or_expr(self) -> Expr:
@@ -371,6 +381,11 @@ class _Parser:
         return e
 
     def _unary_expr(self) -> Expr:
+        if self._seed_expr is not None:
+            # consumed before the prefix checks: the token after a
+            # seeded primary is a BINARY operator, not a unary prefix
+            e, self._seed_expr = self._seed_expr, None
+            return e
         if self.at_op("!"):
             self.next()
             return FnCall("!", self._unary_expr())
@@ -412,7 +427,8 @@ class _Parser:
                     # single-underscore prefix: ``__``-prefixed columns
                     # are internal and hidden from expression eval
                     agg = self._try_parse_agg()
-                    agg.alias = f"_hv{len(self._having_sink)}"
+                    agg.alias = f"_hv{self._bind_ctr}"
+                    self._bind_ctr += 1
                     self._having_sink.append(agg)
                     return Var(agg.alias)
                 raise SparqlParseError(
@@ -941,7 +957,30 @@ class _Parser:
             elif self.at_op("("):
                 self.next()
                 agg = self._try_parse_agg()
-                e = None if agg else self.parse_expr()
+                if agg is not None and not self.at_kw("AS"):
+                    # the aggregate is a sub-expression, e.g.
+                    # ((COUNT(*) + 1) AS ?n): hoist it like a HAVING
+                    # aggregate and keep parsing the enclosing
+                    # expression with Var(alias) already consumed —
+                    # re-enter via the sink so any further aggregates
+                    # hoist too
+                    agg.alias = f"_hv{self._bind_ctr}"
+                    self._bind_ctr += 1
+                    self._pre_aggs.append(agg)
+                    self._having_sink = self._pre_aggs
+                    try:
+                        e = self.parse_expr(seed=Var(agg.alias))
+                    finally:
+                        self._having_sink = None
+                    agg = None
+                elif agg is None:
+                    self._having_sink = self._pre_aggs
+                    try:
+                        e = self.parse_expr()
+                    finally:
+                        self._having_sink = None
+                else:
+                    e = None
                 self.eat_kw("AS")
                 k2, v2 = self.next()
                 if k2 != "VAR":
@@ -1118,6 +1157,10 @@ class _Parser:
             self.next()  # strict REDUCED: adjacent-dup elimination
             reduced = True
         star, items = self._parse_select_items()
+        # aggregates hoisted out of SELECT expressions belong to THIS
+        # level's Group; drain before parse_group so a SubSelect's own
+        # hoists don't leak into the outer query (and vice versa)
+        hoisted, self._pre_aggs = self._pre_aggs, []
         dataset = self._parse_dataset_clause() if with_dataset \
             else ((), ())
         if self.at_kw("WHERE"):
@@ -1157,6 +1200,7 @@ class _Parser:
             if agg is not None:
                 agg.alias = alias
                 aggs.append(agg)
+        aggs.extend(hoisted)
         if aggs and star:
             raise SparqlParseError("SELECT * with aggregates")
         if group_vars and star:
@@ -1172,6 +1216,15 @@ class _Parser:
         if self.at_kw("SELECT"):
             self.next()
             node, proj, dataset = self._parse_select_body()
+            if self.at_kw("VALUES"):
+                # top-level trailing ValuesClause (§18.2.1: joined to
+                # the complete query result; its variables join the
+                # result columns)
+                vals = self._parse_values()
+                node = Join(node, vals)
+                vn = list(vals.var) if isinstance(vals.var, (list, tuple)) \
+                    else [vals.var]
+                proj = proj + [v for v in vn if v not in proj]
             self._expect_eof()
             return SelectQuery(node, proj, dataset)
         if self.at_kw("ASK"):

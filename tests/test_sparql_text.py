@@ -994,3 +994,50 @@ def test_group_by_expression_empty_input(graph):
         GROUP BY (FLOOR(?a / 10) AS ?b)
     """, graph)
     assert out.take_all() == []
+
+
+def test_aggregate_inside_select_expression(graph):
+    """((COUNT(*) + 1) AS ?n): the aggregate is hoisted into the Group
+    and the arithmetic runs as a post-group Extend."""
+    out = select("SELECT ((COUNT(*) + 1) AS ?n) WHERE { ?s ?p ?o }",
+                 graph)
+    assert out.take_all() == [{"n": f'"9"^^{XSD_INT}'}]
+
+
+def test_aggregate_not_first_operand(graph):
+    out = select(f"""
+        PREFIX foaf: <{FOAF}>
+        SELECT ((1 + SUM(?a)) AS ?t) WHERE {{ ?x foaf:age ?a }}
+    """, graph)
+    assert out.take_all() == [{"t": f'"56"^^{XSD_INT}'}]
+
+
+def test_two_aggregates_one_expression(graph):
+    out = select(f"""
+        PREFIX foaf: <{FOAF}>
+        SELECT ?x ((SUM(?a) + COUNT(*)) AS ?t)
+        WHERE {{ ?x foaf:age ?a }} GROUP BY ?x
+    """, graph)
+    got = {r["x"]: r["t"] for r in out.take_all()}
+    assert got == {f"<{EX}alice>": f'"31"^^{XSD_INT}',
+                   f"<{EX}bob>": f'"26"^^{XSD_INT}'}
+
+
+def test_trailing_values_clause(graph):
+    """Top-level ValuesClause (§18.2.1) joins the complete result and
+    contributes its variables."""
+    out = select(f"""
+        PREFIX foaf: <{FOAF}>
+        SELECT ?x ?n WHERE {{ ?x foaf:name ?n }}
+        VALUES ?x {{ <{EX}bob> }}
+    """, graph)
+    assert out.take_all() == [{"x": f"<{EX}bob>", "n": '"Bob"'}]
+
+
+def test_trailing_values_multi_var_adds_columns(graph):
+    out = select(f"""
+        PREFIX foaf: <{FOAF}>
+        SELECT ?x ?tag WHERE {{ ?x foaf:name ?n }}
+        VALUES (?x ?tag) {{ (<{EX}carol> "c") }}
+    """, graph)
+    assert out.take_all() == [{"x": f"<{EX}carol>", "tag": '"c"'}]
