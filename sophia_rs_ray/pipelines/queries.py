@@ -738,14 +738,12 @@ _LINK_DICT = {
 }
 
 
-def _entity_links_docs(sf_dir: str):
-    """SQL-checkable entity linking over the documents table: the REAL
-    MentionDetector actor pool + score_links context-join argmax, with
-    a constant two-candidate dictionary and a deterministic context
-    (even doc_ids structurally 'contain' the /2 candidates, so context
-    beats prior there — 2·in_ctx + prior semantics).  Output is the
-    per-(doc, surface) linked entity + mention count; the oracle
-    reproduces the argmax as a CASE."""
+def _docs_links(sf_dir: str):
+    """Scored (doc_id, surface, entity) links over the documents table:
+    the REAL MentionDetector actor pool + score_links context-join
+    argmax, with a constant two-candidate dictionary and a deterministic
+    context (even doc_ids structurally 'contain' the /2 candidates, so
+    context beats prior there — 2·in_ctx + prior semantics)."""
     import ray
     import ray.data as rd
 
@@ -772,8 +770,15 @@ def _entity_links_docs(sf_dir: str):
             "in_ctx": pa.array([1] * len(rows_id), pa.int64())})
 
     context = ds.map_batches(ctx, batch_format="pyarrow")
-    links = score_links(mentions, context, key_col="doc_id",
-                        num_partitions=8)
+    return score_links(mentions, context, key_col="doc_id",
+                       num_partitions=8)
+
+
+def _entity_links_docs(sf_dir: str):
+    """Per-(doc, surface) linked entity + mention count over the
+    documents table (see _docs_links); the oracle reproduces the
+    context-vs-prior argmax as a CASE."""
+    links = _docs_links(sf_dir)
 
     def partial(b: pa.Table) -> pa.Table:
         t = pa.table({"doc_id": pc.cast(b["doc_id"], pa.int64()),
@@ -804,6 +809,50 @@ FROM (SELECT doc_id,
                  text, '\b(hash value|customer|query|spark)\b')) AS surface
       FROM documents)
 GROUP BY 1, 2, 3
+"""
+
+
+def _mention_triples_docs(sf_dir: str):
+    """Linked mentions → distinct NT mention triples
+    ``<doc> schema:mentions <entity>`` (links_to_triples over the
+    SQL-checkable docs-link pipeline; reference pattern: emitting
+    model-derived edges as graph triples)."""
+    from ..functions.exchange import hash_aggregate
+    from ..stages.ner import SCHEMA_MENTIONS
+
+    links = _docs_links(sf_dir)
+    pred = f"<{SCHEMA_MENTIONS}>"
+
+    def fmt(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        ents = b["entity"].to_pylist()
+        return pa.table({
+            "s": pa.array([f"<http://kg.example/doc/{i}>" for i in ids],
+                          pa.string()),
+            "p": pa.array([pred] * len(ids), pa.string()),
+            "o": pa.array([f"<{e}>" for e in ents], pa.string()),
+        })
+
+    triples = links.map_batches(fmt, batch_format="pyarrow")
+
+    def first(t: pa.Table) -> pa.Table:
+        return t.group_by(["s", "p", "o"]).aggregate([]) \
+            .select(["s", "p", "o"])
+
+    return hash_aggregate(triples, ["s", "p", "o"], first, first,
+                          num_partitions=8)
+
+
+MENTION_TRIPLES_DOCS_SQL = r"""
+SELECT DISTINCT
+    '<http://kg.example/doc/' || doc_id || '>' AS s,
+    '<http://schema.org/mentions>' AS p,
+    '<http://ent.example/' || replace(surface, ' ', '_')
+        || CASE WHEN doc_id % 2 = 0 THEN '/2' ELSE '/1' END || '>' AS o
+FROM (SELECT doc_id,
+             unnest(regexp_extract_all(
+                 text, '\b(hash value|customer|query|spark)\b')) AS surface
+      FROM documents)
 """
 
 
@@ -1209,5 +1258,7 @@ def registry() -> Registry:
         "entity_links": (_entity_links, None),
         "entity_links_docs": (_entity_links_docs, ENTITY_LINKS_DOCS_SQL),
         "mention_triples": (_mention_triples, None),
+        "mention_triples_docs": (_mention_triples_docs,
+                                 MENTION_TRIPLES_DOCS_SQL),
     })
     return out
