@@ -81,6 +81,33 @@ def lang_id_batch(b: pa.Table) -> pa.Table:
                      "score": pa.array(scores, pa.float64())})
 
 
+def repetition_batch(b: pa.Table) -> pa.Table:
+    """(doc_id, text) → Gopher-style repetition quality signals
+    (Rae et al. 2021 §A1.1: filter docs dominated by repeated lines /
+    n-grams). INTEGER-valued counts on purpose (hash-exact oracle):
+    consumers derive the fractions dup = 1 - n_distinct/n_tokens and
+    top_{1,2}gram_count/n_tokens themselves."""
+    from collections import Counter
+
+    texts = [t or "" for t in b["text"].to_pylist()]
+    n_tok, n_dist, top1, top2 = [], [], [], []
+    for t in texts:
+        ts = tokens_of(t)
+        c1 = Counter(ts)
+        c2 = Counter(f"{a} {bb}" for a, bb in zip(ts, ts[1:]))
+        n_tok.append(len(ts))
+        n_dist.append(len(c1))
+        top1.append(max(c1.values()) if c1 else 0)
+        top2.append(max(c2.values()) if c2 else 0)
+    return pa.table({
+        "doc_id": b["doc_id"],
+        "n_tokens": pa.array(n_tok, pa.int64()),
+        "n_distinct": pa.array(n_dist, pa.int64()),
+        "top_token_count": pa.array(top1, pa.int64()),
+        "top_bigram_count": pa.array(top2, pa.int64()),
+    })
+
+
 _FP_BASE = np.uint64(1099511628211)
 _FP_OFF = np.uint64(14695981039346656037)
 

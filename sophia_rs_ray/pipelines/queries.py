@@ -335,6 +335,50 @@ FROM documents
 """
 
 
+def _repetition(sf_dir: str):
+    import ray.data as rd
+
+    from ..functions.text import repetition_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(repetition_batch, batch_format="pyarrow")
+
+
+REPETITION_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, tok, i FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(coalesce(text, ''), '\s+')) AS tok,
+           generate_subscripts(
+               string_split_regex(coalesce(text, ''), '\s+'), 1) AS i
+    FROM documents)
+  WHERE tok <> ''
+), freq AS (
+  SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2
+), tc AS (
+  SELECT doc_id, cast(sum(c) AS BIGINT) AS n_tokens,
+         cast(count(*) AS BIGINT) AS n_distinct,
+         cast(max(c) AS BIGINT) AS top_token_count
+  FROM freq GROUP BY 1
+), bf AS (
+  SELECT doc_id, cast(max(c) AS BIGINT) AS top_bigram_count FROM (
+    SELECT a.doc_id, a.tok || ' ' || b.tok AS bg, count(*) AS c
+    FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+    GROUP BY 1, 2)
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(tc.n_tokens, 0) AS n_tokens,
+       coalesce(tc.n_distinct, 0) AS n_distinct,
+       coalesce(tc.top_token_count, 0) AS top_token_count,
+       coalesce(bf.top_bigram_count, 0) AS top_bigram_count
+FROM documents d
+LEFT JOIN tc ON d.doc_id = tc.doc_id
+LEFT JOIN bf ON d.doc_id = bf.doc_id
+"""
+
+
 def _knn(sf_dir: str):
     """Brute-force cosine top-10 neighbors of vec_id 0 (SURVEY: similarity
     search baseline; broadcast query vector, per-batch numpy matmul,
@@ -1229,10 +1273,14 @@ def registry() -> Registry:
         "user_sessions": (R.user_sessions, R.USER_SESSIONS_SQL),
         "clicks_asof_view": (R.clicks_asof_view, R.CLICKS_ASOF_VIEW_SQL),
         "events_rolling_1h": (R.events_rolling_1h, R.EVENTS_ROLLING_1H_SQL),
+        "events_props_k": (R.events_props_k, R.EVENTS_PROPS_K_SQL),
+        "price_median_by_flag": (R.price_median_by_flag,
+                                 R.PRICE_MEDIAN_SQL),
         # training-data ops
         "dedup_exact_docs": (_dedup_exact_docs, DEDUP_EXACT_SQL),
         "token_counts": (_token_counts, TOKEN_COUNTS_SQL),
         "quality_features": (_quality, QUALITY_SQL),
+        "repetition_features": (_repetition, REPETITION_SQL),
         "knn_cosine": (_knn, KNN_SQL),
         "gazetteer_mentions": (_gazetteer_mentions, GAZETTEER_SQL),
         "embedding_near_dup": (_embedding_near_dup, EMBEDDING_NEAR_DUP_SQL),

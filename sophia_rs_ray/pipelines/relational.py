@@ -700,3 +700,113 @@ FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts
              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
 """
+
+
+def events_props_k(sf_dir: str):
+    """Semi-structured extraction + grouped aggregate: parse the JSON
+    ``props`` column, pull ``$.k``, and aggregate per event_type.
+    The extraction is a VECTORIZED ``pc.extract_regex`` fast path for
+    flat ``{"k": int}`` objects; rows it misses fall back to
+    ``json.loads`` per row (none in the synthetic data, but the
+    fallback keeps the op honest on arbitrary JSON). Counting and
+    summing pre-combine per batch before one small hash exchange."""
+    import json
+
+    from ..functions.exchange import hash_aggregate
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        props = pc.cast(b["props"], pa.string())
+        m = pc.extract_regex(props, r'"k"\s*:\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        if k.null_count > 0:
+            # fallback: genuine JSON parse for rows the regex missed
+            vals = k.to_pylist()
+            raw = props.to_pylist()
+            for i, (v, r) in enumerate(zip(vals, raw)):
+                if v is None and r is not None:
+                    try:
+                        got = json.loads(r).get("k")
+                        vals[i] = int(got) if got is not None else None
+                    except (ValueError, TypeError):
+                        vals[i] = None
+            k = pa.array(vals, pa.int64())
+        t = pa.table({"event_type": pc.cast(b["event_type"], pa.string()),
+                      "k": k,
+                      "one": pa.array([1] * b.num_rows, pa.int64())})
+        return t.group_by(["event_type"]).aggregate(
+            [("one", "sum"), ("k", "sum")]).rename_columns(
+            ["event_type", "n", "sum_k"])
+
+    def final(t: pa.Table) -> pa.Table:
+        return t.group_by(["event_type"]).aggregate(
+            [("n", "sum"), ("sum_k", "sum")]).rename_columns(
+            ["event_type", "n", "sum_k"])
+
+    return hash_aggregate(ds, ["event_type"], partial, final,
+                          num_partitions=4)
+
+
+EVENTS_PROPS_K_SQL = """
+SELECT event_type, count(*) AS n,
+       cast(sum(cast(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS sum_k
+FROM events GROUP BY event_type
+"""
+
+
+def price_median_by_flag(sf_dir: str):
+    """Distributed EXACT discrete median (quantile_disc 0.5 =
+    sorted[(n-1)//2]) of l_extendedprice per l_returnflag, via
+    value-count aggregation: a per-batch (flag, price)→count combiner
+    collapses the billion-row table to its distinct-value histogram in
+    ONE hash exchange, then the kth element falls out of a cumulative
+    scan over each flag's sorted histogram. Scales while distinct
+    values per group ≪ rows (money columns: bounded domain); no
+    full-column sort, no driver row materialization — only the
+    histogram (|distinct| rows) leaves the exchange."""
+    from ..functions.exchange import hash_aggregate
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "l_returnflag": pc.cast(b["l_returnflag"], pa.string()),
+            "price": pc.cast(b["l_extendedprice"], pa.float64()),
+            "one": pa.array([1] * b.num_rows, pa.int64())})
+        return t.group_by(["l_returnflag", "price"]).aggregate(
+            [("one", "sum")]).rename_columns(
+            ["l_returnflag", "price", "cnt"])
+
+    def final(t: pa.Table) -> pa.Table:
+        t = t.group_by(["l_returnflag", "price"]).aggregate(
+            [("cnt", "sum")]).rename_columns(
+            ["l_returnflag", "price", "cnt"])
+        # per-flag kth selection over the value histogram (the exchange
+        # partitions by flag, so each flag's histogram is complete here)
+        import numpy as np
+
+        flags = t["l_returnflag"].to_numpy(zero_copy_only=False)
+        out_f, out_m = [], []
+        for f in np.unique(flags):
+            sub = t.filter(pc.equal(t["l_returnflag"], pa.scalar(str(f))))
+            order = pc.sort_indices(sub["price"])
+            prices = sub["price"].take(order).to_numpy(zero_copy_only=False)
+            cnts = sub["cnt"].take(order).to_numpy(zero_copy_only=False)
+            cum = np.cumsum(cnts)
+            kth = (int(cum[-1]) - 1) // 2  # quantile_disc 0.5
+            out_f.append(str(f))
+            out_m.append(float(prices[int(np.searchsorted(cum, kth + 1))]))
+        return pa.table({"l_returnflag": pa.array(out_f, pa.string()),
+                         "median_price": pa.array(out_m, pa.float64())})
+
+    return hash_aggregate(ds, ["l_returnflag"], partial, final,
+                          num_partitions=4)
+
+
+PRICE_MEDIAN_SQL = """
+SELECT l_returnflag,
+       cast(quantile_disc(l_extendedprice, 0.5) AS DOUBLE) AS median_price
+FROM lineitem GROUP BY l_returnflag
+"""

@@ -685,6 +685,10 @@ def _cross_or_join(a, b, *, how: str = "inner", num_partitions: int = 8):
     shared = sorted(set(_vars_of(a)) & set(_vars_of(b)))
     if shared:
         return _join_bindings(a, b, how, num_partitions, tuple(shared))
+    if b.count() > _CROSS_SIDE_LIMIT:
+        raise ValueError(
+            "join with no shared variables degenerated to a cross product "
+            f"over >{_CROSS_SIDE_LIMIT} rows — rewrite the query")
     bt = pa.Table.from_pylist(b.take_all())
 
     def cross(batch: pa.Table) -> pa.Table:
