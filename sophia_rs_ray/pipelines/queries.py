@@ -922,6 +922,50 @@ def _mention_triples(sf_dir: str):
     return links_to_triples(links)
 
 
+def _url_dedup(sf_dir: str):
+    """URL-level dedup of a messy crawl frontier: each synthetic page
+    URL appears in three deterministic 'messy' spellings (scheme/host
+    case + default port, dot segments + unsorted query, fragment);
+    RFC-3986 normalization collapses them and an exchange dedup counts
+    variants per canonical URL.  Rows-only (inputs are synthesized
+    in-pipeline); invariants (3 variants each, one row per page)
+    asserted in tests/test_url.py-adjacent pipeline test."""
+    from ..functions.exchange import hash_aggregate
+    from ..functions.url import normalize_url_batch
+    from ..sources.pages import SF_PAGE_COUNTS, pages_dataset
+
+    n = SF_PAGE_COUNTS.get(_sf_of(sf_dir), 5000)
+    pages = pages_dataset(n)
+
+    def messy(b: pa.Table) -> pa.Table:
+        urls = b["url"].to_pylist()
+        out = []
+        for u in urls:
+            host_end = u.index("/", len("https://"))
+            host, path = u[len("https://"):host_end], u[host_end:]
+            out.append(f"HTTPS://{host.upper()}:443{path}?b=2&a=1")
+            out.append(f"https://{host}/x/..{path}?b=2&a=1#frag")
+            out.append(f"https://{host}{path}?a=1&b=2")
+        return pa.table({"url": pa.array(out, pa.string())})
+
+    ds = pages.map_batches(messy, batch_format="pyarrow") \
+        .map_batches(normalize_url_batch, batch_format="pyarrow")
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"url_norm": pc.cast(b["url_norm"], pa.string()),
+                      "one": pa.array([1] * b.num_rows, pa.int64())})
+        return t.group_by(["url_norm"]).aggregate([("one", "sum")]) \
+            .rename_columns(["url_norm", "n_variants"])
+
+    def final(t: pa.Table) -> pa.Table:
+        return t.group_by(["url_norm"]).aggregate(
+            [("n_variants", "sum")]).rename_columns(
+            ["url_norm", "n_variants"])
+
+    return hash_aggregate(ds, ["url_norm"], partial, final,
+                          num_partitions=8)
+
+
 def _media_features(sf_dir: str):
     """Multimodal plumbing: synthetic binary media → actor-pool decode
     (deterministic fake codec) + resize + feature extraction. Rows-only;
@@ -1295,6 +1339,7 @@ def registry() -> Registry:
         "ivf_knn": (_ivf_knn, None),
         "embedding_near_dup_lsh": (_embedding_near_dup_lsh, None),
         "media_features": (_media_features, None),
+        "url_dedup": (_url_dedup, None),
         # rows-only
         "kg_pipeline": (_kg_pipeline, None),
         "extract_text": (_extract_text, None),
