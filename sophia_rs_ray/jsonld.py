@@ -79,6 +79,16 @@ _KEYWORDS = frozenset((
 ))
 
 
+def _canonical_json(v: Any) -> str:
+    """Canonical JSON for rdf:JSON literals (JSON-LD 1.1 §4.2.2 points
+    at RFC 8785 JCS; this covers its common cases: sorted object keys,
+    no insignificant whitespace, UTF-8 kept raw.  Deviation: float
+    serialization uses Python's shortest-repr, which matches JCS for
+    the values that appear in web data)."""
+    return json.dumps(v, sort_keys=True, separators=(",", ":"),
+                      ensure_ascii=False)
+
+
 def canonical_double(v: float) -> str:
     """Canonical xsd:double lexical form (JSON-LD data round-tripping):
     one nonzero digit before the dot, trailing zeros trimmed, exponent
@@ -311,10 +321,24 @@ class JsonLdExpander:
                     if o is not None:
                         self.triples.append((o, pred, subject, graph))
 
+        self._emit_props(subject, obj, ctx, graph)
+        return subject
+
+    def _emit_props(self, subject: Term, obj: dict, ctx: "_Context",
+                    graph: Optional[Term]) -> None:
+        """Emit the non-keyword properties of a node object; recurses
+        through ``@nest`` containers (JSON-LD 1.1 §4.6.6: nested
+        properties are semantically transparent — they belong to the
+        enclosing node)."""
         for key, value in obj.items():
+            pred_iri = ctx.expand_iri(key, vocab=True)
+            if key == "@nest" or pred_iri == "@nest":
+                for nv in value if isinstance(value, list) else [value]:
+                    if isinstance(nv, dict) and "@value" not in nv:
+                        self._emit_props(subject, nv, ctx, graph)
+                continue
             if key.startswith("@"):
                 continue
-            pred_iri = ctx.expand_iri(key, vocab=True)
             if pred_iri is None or not is_absolute_iri(pred_iri):
                 continue
             pred = iri(pred_iri)
@@ -330,7 +354,6 @@ class JsonLdExpander:
                 o = self._value(v, ctx, graph, tdef)
                 if o is not None:
                     self.triples.append((subject, pred, o, graph))
-        return subject
 
     def _reverse_value(self, v: Any, ctx: _Context,
                        graph: Optional[Term]) -> Optional[Term]:
@@ -349,6 +372,10 @@ class JsonLdExpander:
 
     def _value(self, v: Any, ctx: _Context, graph: Optional[Term],
                tdef: dict) -> Optional[Term]:
+        if tdef.get("@type") == "@json":
+            # JSON literal (JSON-LD 1.1 §4.2.2): ANY JSON value, kept
+            # verbatim as canonical JSON with datatype rdf:JSON
+            return literal(_canonical_json(v), RDF + "JSON")
         if isinstance(v, dict):
             if "@list" in v:
                 items = v["@list"]
@@ -382,6 +409,8 @@ class JsonLdExpander:
 
     def _value_object(self, v: dict, ctx: _Context) -> Optional[Term]:
         val = v["@value"]
+        if v.get("@type") == "@json":
+            return literal(_canonical_json(val), RDF + "JSON")
         if "@type" in v and isinstance(v["@type"], str):
             dt = ctx.expand_iri(v["@type"], vocab=True)
             if dt is None:

@@ -174,3 +174,56 @@ def test_jsonld_bad_processing_mode_rejected():
     from sophia_rs_ray.jsonld import JsonLdOptions
     with pytest.raises(ValueError):
         JsonLdOptions(processing_mode="json-ld-2.0")
+
+
+# --- @nest / @json (JSON-LD 1.1 §4.6.6, §4.2.2) -------------------------
+
+def test_jsonld_nest_literal_keyword():
+    got = _trs("""{
+      "@id": "http://ex/a",
+      "@nest": {"http://ex/p": "v"}
+    }""")
+    assert got == {("<http://ex/a>", "<http://ex/p>", '"v"')}
+
+
+def test_jsonld_nest_aliased_term():
+    got = _trs("""{
+      "@context": {"meta": "@nest", "p": "http://ex/p"},
+      "@id": "http://ex/a",
+      "meta": [{"p": 1}, {"p": 2}]
+    }""")
+    assert got == {
+        ("<http://ex/a>", "<http://ex/p>",
+         '"1"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+        ("<http://ex/a>", "<http://ex/p>",
+         '"2"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+    }
+
+
+def test_jsonld_nest_recursive():
+    got = _trs("""{
+      "@id": "http://ex/a",
+      "@nest": {"@nest": {"http://ex/p": {"@id": "http://ex/b"}}}
+    }""")
+    assert got == {("<http://ex/a>", "<http://ex/p>", "<http://ex/b>")}
+
+
+def test_jsonld_json_literal_term_type():
+    got = _trs("""{
+      "@context": {"blob": {"@id": "http://ex/blob", "@type": "@json"}},
+      "@id": "http://ex/a",
+      "blob": {"z": 1, "a": [true, null]}
+    }""")
+    rdf_json = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#JSON>"
+    assert got == {("<http://ex/a>", "<http://ex/blob>",
+                    '"{\\"a\\":[true,null],\\"z\\":1}"^^' + rdf_json)}
+
+
+def test_jsonld_json_literal_value_object():
+    got = _trs("""{
+      "@id": "http://ex/a",
+      "http://ex/blob": {"@value": [1, 2], "@type": "@json"}
+    }""")
+    rdf_json = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#JSON>"
+    assert got == {("<http://ex/a>", "<http://ex/blob>",
+                    '"[1,2]"^^' + rdf_json)}
