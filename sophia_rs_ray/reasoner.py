@@ -651,3 +651,99 @@ def normalize_literals(nt_ds, *, with_errors: bool = False):
         lambda t: t.filter(pc.not_equal(t["__err"], pa.scalar(""))),
         batch_format="pyarrow")
     return ok, errors
+
+
+def rdf_saturate(nt_ds, *, d_entailment: bool = True, dedup: bool = True):
+    """RDF-entailment-only saturation (reference parity: the ``Rdf``
+    ruleset struct, ``reasoner/src/ruleset/_rdf.rs:37``): rule rdf1
+    (every used predicate is an rdf:Property), membership-property
+    typing for used ``rdf:_N``, the finite RDF axiomatic triples, and
+    (with ``d_entailment``) recognized-datatype literal typing
+    ``"lex"^^dt rdf:type dt`` — WITHOUT any RDFS class/property
+    hierarchy rules.  Same distributed shape as the full ruleset: one
+    inventory exchange, one broadcast expansion pass."""
+    import ray.data as rd
+
+    from .dtypes import IllTypedLiteral, datatypes_for, is_recognized, normalize
+    from .ntriples import parse_term_text
+
+    nt_ds = nt_ds.materialize()
+    used_preds, members = _used_inventory(nt_ds)
+
+    extra: Set[Tuple[str, str, str]] = set()
+    for p in used_preds:
+        extra.add((p, TYPE, PROPERTY))                    # rdf1
+    for m in members:
+        extra.add((m, TYPE, CMP))
+    # RDF-namespace axioms only (the rdfs dom/range/subclass axioms
+    # belong to the Rdfs ruleset)
+    for s, p, o in _AXIOMS:
+        if p == TYPE and s.startswith(f"<{RDF_NS}"):
+            extra.add((s, p, o))
+
+    def expand(b: pa.Table) -> pa.Table:
+        o_l = b["o"].to_pylist()
+        add_s, add_o = [], []
+        for o in o_l:
+            if not (d_entailment and o.startswith('"') and "^^" in o):
+                continue
+            try:
+                t = parse_term_text(o)
+            except Exception:
+                continue
+            if t[0] == 2 and not t[3] and is_recognized(t[2]):
+                try:
+                    lex, dt = normalize(t[1], t[2])
+                except IllTypedLiteral:
+                    continue
+                add_s.append(o)
+                add_o.append(f"<{dt}>")
+                for d2 in (datatypes_for(lex, dt) or []):
+                    add_s.append(o)
+                    add_o.append(f"<{d2}>")
+        derived = pa.table({
+            "s": pa.array(add_s, pa.large_string()),
+            "p": pa.array([TYPE] * len(add_s), pa.large_string()),
+            "o": pa.array(add_o, pa.large_string())})
+        base = pa.table({"s": pc.cast(b["s"], pa.large_string()),
+                         "p": pc.cast(b["p"], pa.large_string()),
+                         "o": pc.cast(b["o"], pa.large_string())})
+        return pa.concat_tables([base, derived])
+
+    out = nt_ds.map_batches(expand, batch_format="pyarrow")
+    if extra:
+        closure = sorted(extra)
+        et = pa.table({
+            "s": pa.array([t[0] for t in closure], pa.large_string()),
+            "p": pa.array([t[1] for t in closure], pa.large_string()),
+            "o": pa.array([t[2] for t in closure], pa.large_string())})
+        out = out.union(rd.from_arrow(et))
+    if dedup:
+        from .stages.dedup import dedup_triples
+
+        out = dedup_triples(out, carry_min=())
+    return out
+
+
+def simple_saturate(nt_ds, *, dedup: bool = True):
+    """Simple-entailment ruleset (reference ``Simple`` struct,
+    ``_simple.rs:4``): no inference rules at all — the saturation is
+    the (optionally deduplicated) input graph itself."""
+    if dedup:
+        from .stages.dedup import dedup_triples
+
+        return dedup_triples(nt_ds, carry_min=())
+    return nt_ds
+
+
+def saturate(nt_ds, ruleset: str = "rdfs", **kw):
+    """Ruleset selector mirroring the reference's three RuleSet structs
+    (Simple / Rdf / Rdfs, ``reasoner/src/ruleset/``)."""
+    if ruleset == "simple":
+        return simple_saturate(nt_ds, **kw)
+    if ruleset == "rdf":
+        return rdf_saturate(nt_ds, **kw)
+    if ruleset == "rdfs":
+        return rdfs_saturate_full(nt_ds, **kw)
+    raise ValueError(f"unknown ruleset {ruleset!r} "
+                     "(expected simple | rdf | rdfs)")

@@ -205,3 +205,65 @@ def test_rho_df_subset_still_green(ray_session):
     full = _saturate(triples)
     assert rho <= full
     assert (_i(EX, "s"), T, _i(EX, "d")) in full
+
+
+# --- ruleset selector (Simple / Rdf / Rdfs parity) -----------------------
+
+def _nt_ds(triples):
+    import pyarrow as pa
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "s": pa.array([t[0] for t in triples], pa.large_string()),
+        "p": pa.array([t[1] for t in triples], pa.large_string()),
+        "o": pa.array([t[2] for t in triples], pa.large_string()),
+    }))
+
+
+def test_rdf_ruleset_rdf1_and_datatype(ray_session):
+    from sophia_rs_ray.reasoner import rdf_saturate
+
+    ds = _nt_ds([
+        ("<x:a>", "<x:p>", '"1"^^<http://www.w3.org/2001/XMLSchema#int>'),
+    ])
+    got = {(r["s"], r["p"], r["o"]) for r in rdf_saturate(ds).take_all()}
+    t = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+    prop = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#Property>"
+    # rdf1
+    assert ("<x:p>", t, prop) in got
+    # recognized-datatype typing (normalized dt, plus wider int types)
+    assert ('"1"^^<http://www.w3.org/2001/XMLSchema#int>', t,
+            "<http://www.w3.org/2001/XMLSchema#int>") in got
+    # no RDFS rules: nothing typed rdfs:Resource
+    res = "<http://www.w3.org/2000/01/rdf-schema#Resource>"
+    assert not any(o == res for (_s, _p, o) in got)
+
+
+def test_rdf_ruleset_no_rdfs_hierarchy(ray_session):
+    from sophia_rs_ray.reasoner import rdf_saturate
+
+    sc = "<http://www.w3.org/2000/01/rdf-schema#subClassOf>"
+    t = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+    ds = _nt_ds([("<x:A>", sc, "<x:B>"), ("<x:i>", t, "<x:A>")])
+    got = {(r["s"], r["p"], r["o"]) for r in rdf_saturate(ds).take_all()}
+    assert ("<x:i>", t, "<x:B>") not in got  # rdfs9 must NOT fire
+
+
+def test_simple_ruleset_identity(ray_session):
+    from sophia_rs_ray.reasoner import simple_saturate
+
+    ds = _nt_ds([("<x:a>", "<x:p>", "<x:b>"),
+                 ("<x:a>", "<x:p>", "<x:b>")])
+    got = [(r["s"], r["p"], r["o"]) for r in simple_saturate(ds).take_all()]
+    assert sorted(got) == [("<x:a>", "<x:p>", "<x:b>")]
+
+
+def test_saturate_selector(ray_session):
+    import pytest as _pytest
+
+    from sophia_rs_ray.reasoner import saturate
+
+    ds = _nt_ds([("<x:a>", "<x:p>", "<x:b>")])
+    assert saturate(ds, "simple").count() == 1
+    with _pytest.raises(ValueError):
+        saturate(ds, "owl")
