@@ -424,7 +424,12 @@ def c14n_digest(quads: Sequence[Quad], **kw) -> str:
 
 def isomorphic(quads_a: Iterable[Quad], quads_b: Iterable[Quad], **kw) -> bool:
     """Dataset isomorphism (``isomorphism/src/dataset.rs:24-63``): dedup
-    to sets, size compare, then compare canonical digests."""
+    to sets, size compare, then compare canonical digests.  Like the
+    reference (which canonicalizes with the GENERALIZED Sophia-C14N,
+    ``c14n/src/sophia.rs``), defaults to strict=False so triple terms,
+    bnode predicates and bnode graph names are supported; pass
+    ``strict=True`` for RDFC-1.0-only semantics."""
+    kw.setdefault("strict", False)
     def key(q: Quad):
         return (nq_term(q[0]), nq_term(q[1]), nq_term(q[2]),
                 None if q[3] is None else nq_term(q[3]))
