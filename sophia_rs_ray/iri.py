@@ -46,6 +46,56 @@ def is_valid_iri_ref(text: str) -> bool:
     return not _FORBIDDEN.search(text)
 
 
+#: RFC 3987 iprivate ranges (allowed ONLY in the query component)
+_PRIVATE = ((0xE000, 0xF8FF), (0xF0000, 0xFFFFD), (0x100000, 0x10FFFD))
+
+
+def _component_ok(s: str, *, allow_private: bool) -> bool:
+    for ch in s:
+        o = ord(ch)
+        if o <= 0x20 or ch in '<>"{}|^`\\[]':
+            return False
+        if not allow_private and any(lo <= o <= hi for lo, hi in _PRIVATE):
+            return False
+    return True
+
+
+def is_strict_iri_ref(text: str) -> bool:
+    """Strict RFC 3987 IRI-reference validation (component-level char
+    classes), matching the reference's regex validator
+    (``iri/src/_regex.rs``; corpus ``iri/src/test.rs`` POSITIVE_IRIS /
+    NEGATIVE_IRIS): brackets only as an authority IP-literal, iprivate
+    characters only in the query component."""
+    scheme, auth, path, query, frag = split_iri(text)
+    if scheme is not None and not _SCHEME.match(scheme):
+        return False
+    if auth is not None:
+        host = auth
+        if "@" in host:
+            userinfo, host = host.rsplit("@", 1)
+            if not _component_ok(userinfo, allow_private=False):
+                return False
+        if host.startswith("["):
+            end = host.find("]")
+            if end < 0:
+                return False
+            inner, rest = host[1:end], host[end + 1:]
+            if not all(c in "0123456789abcdefABCDEF:.vV" for c in inner):
+                return False
+            if rest and not (rest.startswith(":")
+                             and rest[1:].isdigit() or rest == ":"):
+                return False
+        elif not _component_ok(host, allow_private=False):
+            return False
+    if not _component_ok(path, allow_private=False):
+        return False
+    if query is not None and not _component_ok(query, allow_private=True):
+        return False
+    if frag is not None and not _component_ok(frag, allow_private=False):
+        return False
+    return True
+
+
 def remove_dot_segments(path: str) -> str:
     """RFC 3986 §5.2.4."""
     out = []
