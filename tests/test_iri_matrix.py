@@ -125,3 +125,57 @@ def test_negative_rejected(text):
 @pytest.mark.parametrize("ref,want", RELATIVE_IRIS)
 def test_resolution(ref, want):
     assert resolve("http://a/b/c/d;p?q", ref) == want
+
+
+# --- relativization (iri/src/relativize.rs relativize2 matrix) ----------
+
+RELATIVIZE2 = [
+    ("x://a/b/c?d=e#f", "x://a/b/c?d=e#f", "#f"),
+    ("x://a/b/c?d=e#f", "x://a/b/c?d=e#ff", "#ff"),
+    ("x://a/b/c?d=e#f", "x://a/b/c?d=e", ""),
+    ("x://a/b/c?d=e#f", "x://a/b/c?d=ee", "?d=ee"),
+    ("x://a/b/c?d=e#f", "x://a/b/c", "c"),
+    ("x://a/b/c?d=e#f", "x://a/b/cc", "cc"),
+    ("x://a/b/c?d=e#f", "x://a/b/", "./"),
+    ("x://a/b/c?d=e#f", "x://a/bb", "../bb"),
+    ("x://a/b/c?d=e#f", "x:o", None),
+    ("x://a/b/c?d=e", "x://a/b/c?d=e#f", "#f"),
+    ("x://a/b/c?d=e", "x://a/b/c?d=e#ff", "#ff"),
+    ("x://a/b/c?d=e", "x://a/b/c?d=e", ""),
+    ("x://a/b/c?d=e", "x://a/b/c?d=ee", "?d=ee"),
+    ("x://a/b/c?d=e", "x://a/b/c", "c"),
+    ("x://a/b/c?d=e", "x://a/b/cc", "cc"),
+    ("x://a/b/c?d=e", "x://a/b/", "./"),
+    ("x://a/b/c?d=e", "x://a/bb", "../bb"),
+    ("x://a/b/c?d=e", "x:o", None),
+    ("x://a/b/c", "x://a/b/c?d=e#f", "?d=e#f"),
+    ("x://a/b/c", "x://a/b/c?d=e#ff", "?d=e#ff"),
+    ("x://a/b/c", "x://a/b/c?d=e", "?d=e"),
+    ("x://a/b/c", "x://a/b/c?d=ee", "?d=ee"),
+    ("x://a/b/c", "x://a/b/c", ""),
+    ("x://a/b/c", "x://a/b/cc", "cc"),
+    ("x://a/b/c", "x://a/b/", "./"),
+    ("x://a/b/c", "x://a/bb", "../bb"),
+    ("x://a/b/c", "x:o", None),
+    ("x://a/b/", "x://a/b/c?d=e#f", "c?d=e#f"),
+    ("x://a/b/", "x://a/b/c?d=e#ff", "c?d=e#ff"),
+    ("x://a/b/", "x://a/b/c?d=e", "c?d=e"),
+    ("x://a/b/", "x://a/b/c?d=ee", "c?d=ee"),
+    ("x://a/b/", "x://a/b/c", "c"),
+    ("x://a/b/", "x://a/b/cc", "cc"),
+    ("x://a/b/", "x://a/b/", ""),
+    ("x://a/b/", "x://a/bb", "../bb"),
+    ("x://a/b/", "x:o", None),
+]
+
+
+@pytest.mark.parametrize("base,iri,exp", RELATIVIZE2)
+def test_relativize2(base, iri, exp):
+    from sophia_rs_ray.iri import Relativizer
+
+    rel = Relativizer(base, parents=1)
+    got = rel.relativize(iri)
+    assert got == exp
+    if got is not None:
+        # round-trip invariant from the reference test
+        assert resolve(base, got) == iri
