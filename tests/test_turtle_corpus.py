@@ -103,3 +103,51 @@ def test_annotation_reifier_receives_annotations():
     by_pred = {t[1][1].rsplit("/", 1)[-1]: t for t in trs}
     r = by_pred["a"][0]
     assert r[1].endswith("/r")  # the named reifier carries the block
+
+
+# --- serializer roundtrips over the same corpus -------------------------
+# (reference: turtle/src/serializer/turtle/test.rs roundtrip /
+#  roundtrip_pretty — serialize, reparse, isomorphism check)
+
+def _iso_triples(t1, t2):
+    from sophia_rs_ray.c14n import isomorphic
+
+    return isomorphic([(s, p, o, None) for (s, p, o) in t1],
+                      [(s, p, o, None) for (s, p, o) in t2])
+
+
+@pytest.mark.parametrize("name,src,want",
+                         TURTLE_SAMPLES, ids=[s[0] for s in TURTLE_SAMPLES])
+def test_turtle_roundtrip_corpus(name, src, want):
+    from sophia_rs_ray.turtle import serialize_turtle
+
+    g1 = parse_turtle(PREFIXES + src)
+    out = serialize_turtle(g1)
+    g2 = parse_turtle(out)
+    assert len(g2) == want
+    assert _iso_triples(g1, g2), f"{name}:\n{out}"
+
+
+@pytest.mark.parametrize("name,src,want",
+                         TURTLE_SAMPLES, ids=[s[0] for s in TURTLE_SAMPLES])
+def test_turtle_roundtrip_plain(name, src, want):
+    """Non-pretty path: no prefix emission, no sugar dependence."""
+    from sophia_rs_ray.turtle import serialize_turtle
+
+    g1 = parse_turtle(PREFIXES + src)
+    out = serialize_turtle(g1, prefixes={}, emit_prefixes=False)
+    g2 = parse_turtle(out)
+    assert _iso_triples(g1, g2), f"{name}:\n{out}"
+
+
+@pytest.mark.parametrize("name,src,want",
+                         TRIG_SAMPLES, ids=[s[0] for s in TRIG_SAMPLES])
+def test_trig_roundtrip_corpus(name, src, want):
+    from sophia_rs_ray.c14n import isomorphic
+    from sophia_rs_ray.turtle import serialize_trig
+
+    q1 = parse_trig(PREFIXES + src)
+    out = serialize_trig(q1)
+    q2 = parse_trig(out)
+    assert len(q2) == want
+    assert isomorphic(q1, q2), f"{name}:\n{out}"
