@@ -100,7 +100,9 @@ def run_bench() -> dict:
                  "doc_triples", "triples_dedup", "dedup_exact_docs",
                  "token_counts", "knn_cosine", "minhash_bands",
                  "customers_per_region", "orders_per_segment",
-                 "gazetteer_mentions", "indexed_pattern_scan"):
+                 "gazetteer_mentions", "indexed_pattern_scan",
+                 "vocab_top_terms", "price_median_by_flag",
+                 "events_props_k", "repetition_features"):
         fn, _sql = reg[name]
         t0 = time.perf_counter()
         res = fn(SF_DIR)

@@ -379,6 +379,62 @@ LEFT JOIN bf ON d.doc_id = bf.doc_id
 """
 
 
+def _vocab_top_terms(sf_dir: str, k: int = 100):
+    """Corpus vocabulary build: global token frequencies via per-batch
+    Counter partials → ONE hash exchange on the token → exact top-k by
+    (count desc, token asc).  The classic first step of tokenizer /
+    TF-IDF training at corpus scale; only |vocab| rows ever shuffle."""
+    import ray.data as rd
+
+    from ..functions.exchange import hash_aggregate
+    from ..functions.text import tokens_of
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: "Counter[str]" = Counter()
+        for t in b["text"].to_pylist():
+            c.update(tokens_of(t or ""))
+        return pa.table({"token": pa.array(list(c.keys()), pa.string()),
+                         "n": pa.array(list(c.values()), pa.int64())})
+
+    def final(t: pa.Table) -> pa.Table:
+        return t.group_by(["token"]).aggregate([("n", "sum")]) \
+            .rename_columns(["token", "n"])
+
+    counts = hash_aggregate(ds, ["token"], partial, final,
+                            num_partitions=8)
+
+    # exact top-k: per-partition truncation is safe because k is global
+    # over the FULL aggregated counts — take per-block top-k then merge
+    def topk_block(b: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(b, sort_keys=[("n", "descending"),
+                                            ("token", "ascending")])
+        return b.take(idx[:k])
+
+    local = counts.map_batches(topk_block, batch_format="pyarrow")
+    merged = pa.Table.from_pylist(local.take_all())
+    if merged.num_rows == 0:
+        return pa.table({"token": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    idx = pc.sort_indices(merged, sort_keys=[("n", "descending"),
+                                             ("token", "ascending")])
+    return merged.select(["token", "n"]).take(idx[:k])
+
+
+VOCAB_TOP_TERMS_SQL = r"""
+SELECT tok AS token, cast(count(*) AS BIGINT) AS n
+FROM (SELECT unnest(string_split_regex(coalesce(text, ''), '\s+')) AS tok
+      FROM documents)
+WHERE tok <> ''
+GROUP BY tok
+ORDER BY n DESC, token ASC
+LIMIT 100
+"""
+
+
 def _knn(sf_dir: str):
     """Brute-force cosine top-10 neighbors of vec_id 0 (SURVEY: similarity
     search baseline; broadcast query vector, per-batch numpy matmul,
@@ -1325,6 +1381,7 @@ def registry() -> Registry:
         "token_counts": (_token_counts, TOKEN_COUNTS_SQL),
         "quality_features": (_quality, QUALITY_SQL),
         "repetition_features": (_repetition, REPETITION_SQL),
+        "vocab_top_terms": (_vocab_top_terms, VOCAB_TOP_TERMS_SQL),
         "knn_cosine": (_knn, KNN_SQL),
         "gazetteer_mentions": (_gazetteer_mentions, GAZETTEER_SQL),
         "embedding_near_dup": (_embedding_near_dup, EMBEDDING_NEAR_DUP_SQL),
