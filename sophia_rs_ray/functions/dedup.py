@@ -118,12 +118,15 @@ def jaccard(a: Set[int], b: Set[int]) -> float:
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over word features."""
+    """64-bit SimHash over word features.  Token hash = top 8 bytes of
+    md5 (NOT a speed-critical choice: md5 is reproducible in DuckDB as
+    ``CAST('0x' || substr(md5(tok), 1, 16) AS UBIGINT)``, which lets
+    the driver oracle recompute the whole SimHash in SQL)."""
     import hashlib
 
     v = np.zeros(64, np.int64)
     for tok in set(t for t in _TOKEN.split(text.lower()) if t):
-        h = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+        h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
         bits = np.array([(h >> i) & 1 for i in range(64)], np.int64)
         v += bits * 2 - 1
     out = 0

@@ -639,6 +639,45 @@ def _simhash(sf_dir: str):
     return safe_join(sh, fp, "inner", 4, on=("doc_id",))
 
 
+def _simhash_docs(sf_dir: str):
+    """SimHash fingerprints alone (doc_id, simhash), DuckDB-oracled:
+    the oracle recomputes the full SimHash in SQL (md5 token hash →
+    per-bit votes → majority reconstruction)."""
+    import ray.data as rd
+
+    from ..functions.dedup import simhash_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(simhash_batch, batch_format="pyarrow")
+
+
+SIMHASH_DOCS_SQL = r"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(coalesce(text, '')), '\W+'))
+               AS tok
+    FROM documents) WHERE tok <> ''
+), votes AS (
+  SELECT doc_id, i,
+         sum(CASE WHEN (cast(concat('0x', substr(md5(tok), 1, 16))
+                             AS UBIGINT) >> i) & 1 = 1
+             THEN 1 ELSE -1 END) AS v
+  FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) g
+  GROUP BY doc_id, i
+), hashes AS (
+  SELECT doc_id,
+         sum(CASE WHEN v > 0 THEN cast(cast(1 AS UBIGINT) << i AS HUGEINT)
+             ELSE cast(0 AS HUGEINT) END) AS h
+  FROM votes GROUP BY doc_id
+)
+SELECT d.doc_id AS doc_id,
+       cast(coalesce(h, 0) - 9223372036854775808 AS BIGINT) AS simhash
+FROM documents d LEFT JOIN hashes ON d.doc_id = hashes.doc_id
+"""
+
+
 def _near_dup_clusters(sf_dir: str):
     """Full near-dup dedup: MinHash sigs (actor pool) → LSH bands →
     capped bucket pairs → signature-verified edges → connected-components
@@ -1402,6 +1441,7 @@ def registry() -> Registry:
         "extract_text": (_extract_text, None),
         "lang_id": (_lang_id, LANG_ID_SQL),
         "simhash_fingerprint": (_simhash, None),
+        "simhash_docs": (_simhash_docs, SIMHASH_DOCS_SQL),
         "c14n_digests": (_c14n_digests, None),
         "near_dup_clusters": (_near_dup_clusters, NEAR_DUP_CLUSTERS_SQL),
         "minhash_bands": (_minhash_bands, MINHASH_BANDS_SQL),
