@@ -379,6 +379,40 @@ LEFT JOIN bf ON d.doc_id = bf.doc_id
 """
 
 
+def _rdf_entailment(sf_dir: str):
+    """RDF-only ruleset saturation (reference ``Rdf`` struct) over the
+    doc triples: input + rdf1 (used predicates typed rdf:Property) +
+    the finite RDF axiomatic triples; D-entailment off so the oracle
+    is a pure SQL union."""
+    from ..reasoner import rdf_saturate
+    from .doc_triples import doc_triples
+
+    return rdf_saturate(doc_triples(sf_dir), d_entailment=False)
+
+
+def _rdf_entailment_sql() -> str:
+    """Generated from the SAME axiom list the reasoner broadcasts, so
+    the oracle can never drift from the implementation."""
+    from .doc_triples import DOC_TRIPLES_SQL
+    from ..reasoner import _AXIOMS, PROPERTY, RDF_NS, TYPE
+
+    ax = [(s, p, o) for (s, p, o) in _AXIOMS
+          if p == TYPE and s.startswith(f"<{RDF_NS}")]
+    values = ",\n    ".join(f"('{s}', '{p}', '{o}')" for s, p, o in ax)
+    return f"""
+WITH base AS ({DOC_TRIPLES_SQL}),
+u AS (
+  SELECT s, p, o FROM base
+  UNION ALL
+  SELECT DISTINCT p AS s, '{TYPE}' AS p, '{PROPERTY}' AS o FROM base
+  UNION ALL
+  SELECT * FROM (VALUES
+    {values}) t(s, p, o)
+)
+SELECT DISTINCT s, p, o FROM u
+"""
+
+
 def _vocab_top_terms(sf_dir: str, k: int = 100):
     """Corpus vocabulary build: global token frequencies via per-batch
     Counter partials → ONE hash exchange on the token → exact top-k by
@@ -1442,6 +1476,7 @@ def registry() -> Registry:
         "lang_id": (_lang_id, LANG_ID_SQL),
         "simhash_fingerprint": (_simhash, None),
         "simhash_docs": (_simhash_docs, SIMHASH_DOCS_SQL),
+        "rdf_entailment": (_rdf_entailment, _rdf_entailment_sql()),
         "c14n_digests": (_c14n_digests, None),
         "near_dup_clusters": (_near_dup_clusters, NEAR_DUP_CLUSTERS_SQL),
         "minhash_bands": (_minhash_bands, MINHASH_BANDS_SQL),
