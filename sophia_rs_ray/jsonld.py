@@ -207,7 +207,9 @@ class _Context:
                     continue
                 if isinstance(defn, str):
                     out.terms[term] = {"@id": defn}
-                elif isinstance(defn, dict) and "@id" in defn:
+                elif isinstance(defn, dict) and "@reverse" not in defn:
+                    # term defs without @id expand via @vocab + term;
+                    # @type/@container/@language still apply
                     out.terms[term] = defn
                 elif isinstance(defn, dict) and "@reverse" in defn:
                     # reversed term definition (JSON-LD 1.1 §4.8;
@@ -225,7 +227,9 @@ class _Context:
         if not isinstance(value, str) or value.startswith("@"):
             return None
         if vocab and value in self.terms:
-            mapped = self.terms[value]["@id"]
+            mapped = self.terms[value].get("@id")
+            if mapped is None:  # def without @id: expand via @vocab
+                return self.vocab + value if self.vocab else None
             if mapped == value:  # guard degenerate self-mapping
                 return mapped
             return self.expand_iri(mapped, vocab=True) or mapped
@@ -349,6 +353,13 @@ class JsonLdExpander:
                     o = self._reverse_value(v, ctx, graph)
                     if o is not None:
                         self.triples.append((o, pred, subject, graph))
+                continue
+            if tdef.get("@container") == "@list" and not (
+                    isinstance(value, dict) and "@list" in value):
+                # list container: the (array) value IS one rdf list
+                items = value if isinstance(value, list) else [value]
+                o = self._make_list(items, ctx, graph, tdef)
+                self.triples.append((subject, pred, o, graph))
                 continue
             for v in value if isinstance(value, list) else [value]:
                 o = self._value(v, ctx, graph, tdef)
