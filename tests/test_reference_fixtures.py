@@ -84,3 +84,54 @@ def test_reference_quad_fixtures_isomorphic():
     trig = parse_trig(_read("file7.trig"))
     assert len(nq) == len(trig) == 2
     assert _iso(nq, trig)
+
+
+# --- DirLoader over the reference's own fixture DIRECTORY ----------------
+# (the reference's make_loader: LocalLoader mapping http://example.org/
+#  to resource/test; loader tests in resource/src/resource/test.rs)
+
+NS = "http://example.org/"
+EX = f"{NS}ns#"
+
+
+@pytest.fixture(scope="module")
+def ref_loader():
+    from sophia_rs_ray.resource import DirLoader
+
+    return DirLoader([(NS, FIX)])
+
+
+def test_dirloader_get_resource(ref_loader):
+    from sophia_rs_ray.terms import iri, literal
+
+    r1 = ref_loader.get_resource(f"{NS}file1.ttl#res1")
+    assert r1.get_term(f"{EX}id") == literal("res1")
+    # cross-file foreign resource: loads file2.ttl on demand
+    f2r1 = r1.get_resource(f"{EX}foreign1")
+    assert f2r1.get_term(f"{EX}id") == literal("res1")
+    assert f2r1.id == iri(f"{NS}file2.ttl#res1")
+
+
+def test_dirloader_conneg_no_extension(ref_loader):
+    from sophia_rs_ray.terms import literal
+
+    # get_resource_no_ext: file1 resolves to file1.ttl via conneg probe
+    r1 = ref_loader.get_resource(f"{NS}file1#res1")
+    assert r1.get_term(f"{EX}id") == literal("res1")
+
+
+def test_dirloader_list_ladder(ref_loader):
+    from sophia_rs_ray.terms import iri
+
+    r1 = ref_loader.get_resource(f"{NS}file1.ttl#res1")
+    items = r1.get_term_items(f"{EX}list")
+    assert items == [iri(f"{NS}file1.ttl#res3"),
+                     iri(f"{NS}file1.ttl#res2"),
+                     iri(f"{NS}file2.ttl#res1")]
+
+
+def test_dirloader_missing_doc(ref_loader):
+    from sophia_rs_ray.resource import LoaderError
+
+    with pytest.raises(LoaderError):
+        ref_loader.get_resource(f"{NS}not_there#x")
