@@ -379,6 +379,88 @@ LEFT JOIN bf ON d.doc_id = bf.doc_id
 """
 
 
+def _quality_filter(sf_dir: str):
+    """Composed Gopher-style quality FILTER (Rae et al. 2021 §A1.1):
+    join the vectorized quality + repetition feature stages on doc_id
+    (exchange hash join) and keep documents passing all thresholds —
+    token count in [40, 100k], mean token length in (2, 12), alpha
+    ratio > 0.6, duplicate-token fraction < 0.9, top-bigram fraction
+    < 0.18.  All ratio comparisons are integer cross-multiplications,
+    so the oracle is hash-exact (no float rounding)."""
+    import ray.data as rd
+
+    from ..functions.text import quality_batch, repetition_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    q = ds.map_batches(quality_batch, batch_format="pyarrow")
+    r = ds.map_batches(repetition_batch, batch_format="pyarrow") \
+        .map_batches(lambda b: b.drop_columns(["n_tokens"]),
+                     batch_format="pyarrow")
+    j = safe_join(q, r, "inner", 4, on=("doc_id",))
+
+    def keep(b: pa.Table) -> pa.Table:
+        nt = b["n_tokens"]
+        tc = b["token_chars"]
+        al = b["alpha_chars"]
+        nc = b["n_chars"]
+        nd = b["n_distinct"]
+        bg = b["top_bigram_count"]
+        m = pc.and_(pc.greater_equal(nt, pa.scalar(40)),
+                    pc.less_equal(nt, pa.scalar(100_000)))
+        # 2 < mean token len < 12  ⇔  2·n_tokens < token_chars < 12·n_tokens
+        m = pc.and_(m, pc.greater(tc, pc.multiply(nt, pa.scalar(2))))
+        m = pc.and_(m, pc.less(tc, pc.multiply(nt, pa.scalar(12))))
+        # alpha ratio > 0.6  ⇔  5·alpha > 3·n_chars
+        m = pc.and_(m, pc.greater(pc.multiply(al, pa.scalar(5)),
+                                  pc.multiply(nc, pa.scalar(3))))
+        # dup fraction < 0.9  ⇔  n_tokens - n_distinct < 0.9·n_tokens
+        #                     ⇔  10·n_distinct > n_tokens
+        m = pc.and_(m, pc.greater(pc.multiply(nd, pa.scalar(10)), nt))
+        # top-bigram fraction < 0.18  ⇔  50·top_bigram < 9·n_tokens
+        m = pc.and_(m, pc.less(pc.multiply(bg, pa.scalar(50)),
+                               pc.multiply(nt, pa.scalar(9))))
+        f = b.filter(m)
+        return pa.table({"doc_id": f["doc_id"], "n_tokens": f["n_tokens"]})
+
+    return j.map_batches(keep, batch_format="pyarrow")
+
+
+QUALITY_FILTER_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, tok, i FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(coalesce(text, ''), '\s+')) AS tok,
+           generate_subscripts(
+               string_split_regex(coalesce(text, ''), '\s+'), 1) AS i
+    FROM documents)
+  WHERE tok <> ''
+), tc AS (
+  SELECT doc_id, cast(count(*) AS BIGINT) AS n_tokens,
+         cast(count(DISTINCT tok) AS BIGINT) AS n_distinct,
+         cast(sum(length(tok)) AS BIGINT) AS token_chars
+  FROM toks GROUP BY 1
+), bf AS (
+  SELECT doc_id, cast(max(c) AS BIGINT) AS top_bigram FROM (
+    SELECT a.doc_id, a.tok || ' ' || b.tok AS bg, count(*) AS c
+    FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+    GROUP BY 1, 2)
+  GROUP BY 1
+)
+SELECT d.doc_id, tc.n_tokens
+FROM documents d
+JOIN tc ON d.doc_id = tc.doc_id
+LEFT JOIN bf ON d.doc_id = bf.doc_id
+WHERE tc.n_tokens BETWEEN 40 AND 100000
+  AND tc.token_chars > 2 * tc.n_tokens
+  AND tc.token_chars < 12 * tc.n_tokens
+  AND 5 * length(regexp_replace(d.text, '[^a-zA-Z]', '', 'g'))
+      > 3 * length(d.text)
+  AND 10 * tc.n_distinct > tc.n_tokens
+  AND 50 * coalesce(bf.top_bigram, 0) < 9 * tc.n_tokens
+"""
+
+
 def _rdf_entailment(sf_dir: str):
     """RDF-only ruleset saturation (reference ``Rdf`` struct) over the
     doc triples: input + rdf1 (used predicates typed rdf:Property) +
@@ -1455,6 +1537,7 @@ def registry() -> Registry:
         "quality_features": (_quality, QUALITY_SQL),
         "repetition_features": (_repetition, REPETITION_SQL),
         "vocab_top_terms": (_vocab_top_terms, VOCAB_TOP_TERMS_SQL),
+        "quality_filter": (_quality_filter, QUALITY_FILTER_SQL),
         "knn_cosine": (_knn, KNN_SQL),
         "gazetteer_mentions": (_gazetteer_mentions, GAZETTEER_SQL),
         "embedding_near_dup": (_embedding_near_dup, EMBEDDING_NEAR_DUP_SQL),
