@@ -399,3 +399,92 @@ def ivf_topk(emb_ds, query: List[float], *, k: int = 10,
 
     return (emb_ds.map_batches(score, batch_format="pyarrow")
             .sort(["sim", "vec_id"], descending=[True, False]).limit(k))
+
+
+# ---------------------------------------------------------------------------
+# exact KNN self-join (distributed tiles → per-id top-k merge)
+# ---------------------------------------------------------------------------
+
+def _topk_per_id(t: pa.Table, k: int) -> pa.Table:
+    """Per-id top-k of (id, neighbor_id, sim) rows by the total order
+    (sim desc, neighbor_id asc) — vectorized run-length selection."""
+    if t.num_rows == 0:
+        return t
+    ids = np.asarray(t["id"].to_pylist(), dtype=np.int64)
+    nid = np.asarray(t["neighbor_id"].to_pylist(), dtype=np.int64)
+    sim = np.asarray(t["sim"].to_pylist(), dtype=np.float64)
+    order = np.lexsort((nid, -sim, ids))  # id asc, sim desc, nid asc
+    ids, nid, sim = ids[order], nid[order], sim[order]
+    starts = np.r_[0, np.nonzero(np.diff(ids))[0] + 1]
+    rank = np.arange(len(ids)) - np.repeat(starts, np.diff(np.r_[starts, len(ids)]))
+    keep = rank < k
+    return pa.table({"id": pa.array(ids[keep], pa.int64()),
+                     "neighbor_id": pa.array(nid[keep], pa.int64()),
+                     "sim": pa.array(sim[keep], pa.float64())})
+
+
+def _tile_topk_impl(a, b, same: bool, k: int) -> pa.Table:
+    """Row-side local top-k of one (rows=a, cols=b) tile.  Sims are
+    ROUNDED to 4 decimals BEFORE ranking so every tile (and the DuckDB
+    oracle) ranks by the identical total order (rounded sim desc,
+    neighbor_id asc) — per-tile top-k then merges to the exact global
+    top-k."""
+    ids_a, mat_a = a
+    ids_b, mat_b = b
+    empty = pa.table({"id": pa.array([], pa.int64()),
+                      "neighbor_id": pa.array([], pa.int64()),
+                      "sim": pa.array([], pa.float64())})
+    if len(ids_a) == 0 or len(ids_b) == 0:
+        return empty
+    sims = np.round(mat_a @ mat_b.T, 4)
+    out_i, out_n, out_s = [], [], []
+    for r in range(len(ids_a)):
+        row = sims[r]
+        mask = ids_b != ids_a[r]  # exclude self (ids unique per chunk)
+        cand_n, cand_s = ids_b[mask], row[mask]
+        sel = np.lexsort((cand_n, -cand_s))[:k]
+        out_i.extend([ids_a[r]] * len(sel))
+        out_n.extend(cand_n[sel])
+        out_s.extend(cand_s[sel])
+    return pa.table({"id": pa.array(out_i, pa.int64()),
+                     "neighbor_id": pa.array(out_n, pa.int64()),
+                     "sim": pa.array(out_s, pa.float64())})
+
+
+_tile_topk = _ray.remote(_tile_topk_impl)
+
+
+def knn_self_join(emb_ds, *, k: int = 3, batch_size: int = 4096,
+                  num_partitions: int = 8):
+    """Exact cosine KNN self-join: every vector's top-k neighbors.
+
+    Distributed shape: chunk the table, one tile task per ORDERED chunk
+    pair (row chunk × col chunk) emitting the row side's local top-k,
+    then ONE hash exchange on the row id merges local top-ks into the
+    global top-k (the local/global ranking orders coincide, see
+    _tile_topk_impl).  O(N²/chunks) flops spread over the cluster with
+    bounded per-task memory; only N·k·tiles candidate rows shuffle.
+    This is the exact baseline — the IVF/LSH paths are the 10^12-scale
+    approximations."""
+    import ray.data as rd
+
+    from .exchange import hash_aggregate
+
+    emb_ds = emb_ds.map_batches(lambda t: t, batch_format="pyarrow",
+                                batch_size=batch_size)
+    refs = emb_ds.to_arrow_refs()
+    if not refs:
+        return rd.from_arrow(pa.table({
+            "id": pa.array([], pa.int64()),
+            "neighbor_id": pa.array([], pa.int64()),
+            "sim": pa.array([], pa.float64())}))
+    preps = [_prep_chunk.remote(r) for r in refs]
+    tiles = []
+    for i in range(len(preps)):
+        for j in range(len(preps)):
+            tiles.append(_tile_topk.remote(preps[i], preps[j], i == j, k))
+    cand = rd.from_arrow_refs(tiles)
+    return hash_aggregate(cand, ["id"],
+                          lambda t: _topk_per_id(t, k),
+                          lambda t: _topk_per_id(t, k),
+                          num_partitions=num_partitions)

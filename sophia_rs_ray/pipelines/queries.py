@@ -574,6 +574,34 @@ def _knn(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _knn_self_join(sf_dir: str):
+    """Exact KNN self-join: top-3 cosine neighbors of EVERY vector via
+    distributed ordered-chunk tiles + one per-id top-k merge exchange
+    (functions/ann.knn_self_join)."""
+    import ray.data as rd
+
+    from ..functions.ann import knn_self_join
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return knn_self_join(ds, k=3, batch_size=512)
+
+
+KNN_SELF_JOIN_SQL = """
+WITH sims AS (
+  SELECT a.vec_id AS id, b.vec_id AS neighbor_id,
+         round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[]), 4) AS sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+)
+SELECT id, neighbor_id, sim FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY id ORDER BY sim DESC, neighbor_id) AS rk
+  FROM sims)
+WHERE rk <= 3
+"""
+
+
 KNN_SQL = """
 WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
 SELECT vec_id AS neighbor_id,
@@ -1539,6 +1567,7 @@ def registry() -> Registry:
         "vocab_top_terms": (_vocab_top_terms, VOCAB_TOP_TERMS_SQL),
         "quality_filter": (_quality_filter, QUALITY_FILTER_SQL),
         "knn_cosine": (_knn, KNN_SQL),
+        "knn_self_join": (_knn_self_join, KNN_SELF_JOIN_SQL),
         "gazetteer_mentions": (_gazetteer_mentions, GAZETTEER_SQL),
         "embedding_near_dup": (_embedding_near_dup, EMBEDDING_NEAR_DUP_SQL),
         "entity_dedup": (_entity_dedup_exact, ENTITY_DEDUP_EXACT_SQL),
