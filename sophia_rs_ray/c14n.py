@@ -344,10 +344,27 @@ def _encode_triple_terms(quads: Sequence[Quad]) -> List[Quad]:
     occurrences of the term are replaced by that bnode.  Canonicalizing
     the encoded dataset then labels bnodes inside triple terms
     correctly — including isomorphism over them."""
-    labels = {t[1] for q in quads for t in q[:3] if t is not None
-              and t[0] == KIND_BNODE}
-    labels |= {q[3][1] for q in quads
-               if q[3] is not None and q[3][0] == KIND_BNODE}
+    labels: set = set()
+
+    def collect(t: Term) -> None:
+        if t is None:
+            return
+        if t[0] == KIND_BNODE:
+            labels.add(t[1])
+        elif t[0] == KIND_TRIPLE:
+            # bnodes nested inside the triple-term lexical form must
+            # also guard the fresh prefix, or a user bnode like _:tt0
+            # collides with the generated encoding bnodes
+            from .ntriples import _LineParser
+            lp = _LineParser(t[1])
+            lp.pos = 3
+            for _ in range(3):
+                lp.skip_ws()
+                collect(lp.parse_term())
+
+    for q in quads:
+        for t in q:
+            collect(t)
     prefix = "tt"
     while any(lb.startswith(prefix) for lb in labels):
         prefix += "x"

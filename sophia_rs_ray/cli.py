@@ -262,14 +262,19 @@ def cmd_sparql(argv: List[str]) -> int:
     with _RaySession():
         import ray.data as rd
 
+        from .sparql.parser import ConstructQuery, DescribeQuery, parse_query
         from .sparql.results import serialize_results
         from .sparql.run import sparql as run_sparql
+
+        # Dispatch on the parsed query FORM, not the result schema: a
+        # SELECT ?s ?p ?o projection must still print TSV bindings.
+        form = parse_query(query)
+        graph_result = isinstance(form, (ConstructQuery, DescribeQuery))
 
         res = run_sparql(query, rd.from_arrow(tbl))
         if isinstance(res, bool):
             sys.stdout.write("true\n" if res else "false\n")
-        elif hasattr(res, "schema") and \
-                set(res.schema().names) >= {"s", "p", "o"}:
+        elif graph_result:
             # CONSTRUCT / DESCRIBE → Turtle (sparql.rs serializes the
             # graph result with the Turtle pretty serializer)
             from .ntriples import parse_term_text

@@ -69,10 +69,14 @@ def normalize_url(url: str) -> Optional[str]:
             port = str(int(port)) if port else ""
             if _DEFAULT_PORTS.get(scheme) == port:
                 port = ""
-        host_port = host + (":" + port if port else "")
     else:
-        host_port = auth
-    host_port = host_port.lower().rstrip(".") if host_port else host_port
+        host, port = auth, ""
+    # a single trailing dot on the HOST is a root-label artifact; strip
+    # it before the port is re-attached (RFC 3986 §3.2.2 equivalence)
+    host = host.lower()
+    if host.endswith("."):
+        host = host[:-1]
+    host_port = host + (":" + port if port else "")
     from ..iri import remove_dot_segments
 
     path = remove_dot_segments(_fix_pct(m.group("path") or ""))

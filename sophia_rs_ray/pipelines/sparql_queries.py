@@ -149,24 +149,58 @@ FROM documents WHERE source LIKE '%src%'
 """
 
 
+_KNOWS = "http://schema.org/knows"
+_CUST = "http://kg.example/cust/"
+_PARENT = "http://kg.example/parent"
+
+
+def _knows_triples(sf_dir: str):
+    """Fan-out ``schema:knows`` edges — each hierarchy parent "knows"
+    its children (child(k) has parent k // 10) — derived from the
+    customer parquet table so DuckDB can reconstruct the exact graph."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey"])
+
+    def body(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater_equal(b["c_custkey"], pa.scalar(10)))
+        k = b["c_custkey"].to_pylist()
+        return pa.table({
+            "s": pa.array([f"<{_CUST}{x // 10}>" for x in k],
+                          pa.large_string()),
+            "p": pa.array([f"<{_KNOWS}>"] * len(k), pa.large_string()),
+            "o": pa.array([f"<{_CUST}{x}>" for x in k], pa.large_string()),
+        })
+
+    return cust.map_batches(body, batch_format="pyarrow")
+
+
 def sparql_path_knows(sf_dir: str):
-    """schema:knows+ transitive closure from the hub ("celebrity")
-    entity over the page-extracted KG — driver fixpoint of join+dedup
-    rounds (exec.rs:274-482). Rows-only; brute-force BFS oracle in
-    tests/test_sparql.py::test_path_plus and the pages variant in
-    tests/test_sparql_queries.py."""
-    import re
+    """``schema:knows+`` transitive closure from a FIXED hub subject —
+    driver fixpoint of join+dedup rounds with a constant start frontier
+    (exec.rs:274-482 path_or_more, bound subject). The page-KG variant
+    of this closure is exercised by tests/test_sparql_queries.py; this
+    registry entry runs over parquet-derivable edges so the recursive
+    CTE oracle below checks it exactly."""
+    from ..sparql.run import select
 
-    from ..pipelines.kg import kg_pipeline
-    from ..sources.pages import SF_PAGE_COUNTS, entity_iri, pages_dataset
+    q = f"SELECT ?reached WHERE {{ <{_CUST}1> <{_KNOWS}>+ ?reached }}"
+    return select(q, _knows_triples(sf_dir))
 
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    n = SF_PAGE_COUNTS.get(m.group(1) if m else "0.01", 5000)
-    nt = kg_pipeline(pages_dataset(n), dedup=True, sort=False,
-                     keep_url=False)
-    q = PathPlus(iri("http://schema.org/knows"), [iri(entity_iri(0))],
-                 o_var="reached")
-    return evaluate(q, nt)
+
+SPARQL_PATH_KNOWS_SQL = f"""
+WITH RECURSIVE des(node) AS (
+  SELECT c_custkey FROM customer
+  WHERE c_custkey >= 10 AND c_custkey // 10 = 1
+  UNION
+  SELECT c.c_custkey FROM customer c, des d
+  WHERE c.c_custkey >= 10 AND c.c_custkey // 10 = d.node
+)
+SELECT '<{_CUST}' || node || '>' AS reached FROM des
+"""
 
 
 def sparql_text_select(sf_dir: str):
@@ -260,10 +294,6 @@ SELECT {_D} AS d, '"' || lang || '"' AS o FROM documents
 UNION ALL
 SELECT {_D} AS d, '"' || source || '"' AS o FROM documents
 """
-
-
-_CUST = "http://kg.example/cust/"
-_PARENT = "http://kg.example/parent"
 
 
 def _parent_triples(sf_dir: str):
@@ -448,7 +478,7 @@ REGISTRY = {
     "sparql_minus": (sparql_minus, SPARQL_MINUS_SQL),
     "sparql_order_slice": (sparql_order_slice, SPARQL_ORDER_SLICE_SQL),
     "sparql_extend_fns": (sparql_extend_fns, SPARQL_EXTEND_SQL),
-    "sparql_path_knows": (sparql_path_knows, None),
+    "sparql_path_knows": (sparql_path_knows, SPARQL_PATH_KNOWS_SQL),
     "sparql_text_select": (sparql_text_select, SPARQL_TEXT_SELECT_SQL),
     "sparql_text_construct": (sparql_text_construct,
                               SPARQL_TEXT_CONSTRUCT_SQL),

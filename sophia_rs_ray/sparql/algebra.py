@@ -1185,12 +1185,11 @@ def evaluate(node: Node, triples_ds, *, num_partitions: int = 8,
                             named_graphs=named_graphs)
 
     if isinstance(node, GraphPattern) and isinstance(node.name, Var) \
-            and named_graphs is not None \
-            and not (isinstance(node.child, BGP)
-                     and not node.child.patterns):
+            and named_graphs is not None:
         # FROM NAMED declares the graph list: evaluate the child once
         # per declared graph (a declared-but-empty graph still yields
-        # its subquery result, e.g. COUNT(*) = 0)
+        # its subquery result, e.g. COUNT(*) = 0; an empty-BGP child is
+        # the unit solution, so GRAPH ?g {} binds ?g per declared graph)
         var = node.name.name
         outs = []
         for name_txt in named_graphs:

@@ -247,7 +247,11 @@ def describe(text: str, triples_ds, *, num_partitions: int = 8):
             m = _pc.or_(_pc.is_in(b["s"], value_set=vs),
                         _pc.is_in(b["o"], value_set=vs))
             if "g" in b.column_names:
-                m = _pc.and_(m, _pc.equal(b["g"], _pa.scalar("")))
+                # null g is tolerated as the default graph, same as
+                # _scan/_scan_neg/_graph_terms
+                g = b["g"]
+                m = _pc.and_(m, _pc.or_kleene(
+                    _pc.equal(g, _pa.scalar("")), _pc.is_null(g)))
             return b.filter(m).select(["s", "p", "o"])
 
         got = triples_ds.map_batches(match,
