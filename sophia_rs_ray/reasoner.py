@@ -138,20 +138,41 @@ def rdfs_saturate(nt_ds, *, dedup: bool = True):
     import ray.data as rd
 
     schema = collect_schema(nt_ds)
+    # vectorized prefilter: a row can fire a rule only when its
+    # predicate carries schema (subPropertyOf/domain/range) or it is an
+    # rdf:type row whose class has superclasses — every other row is
+    # pure pass-through and never enters Python
+    p_fire = pa.array(sorted(set(schema.sup_prop) | set(schema.domain)
+                             | set(schema.range)), pa.string())
+    cls_keys = pa.array(sorted(schema.sup_class), pa.string())
 
     def expand(b: pa.Table) -> pa.Table:
-        s_l = b["s"].to_pylist()
-        p_l = b["p"].to_pylist()
-        o_l = b["o"].to_pylist()
-        out_s, out_p, out_o = list(s_l), list(p_l), list(o_l)
-        for s, p, o in zip(s_l, p_l, o_l):
+        base = pa.table({"s": pc.cast(b["s"], pa.large_string()),
+                         "p": pc.cast(b["p"], pa.large_string()),
+                         "o": pc.cast(b["o"], pa.large_string())})
+        p_str = pc.cast(base["p"], pa.string())
+        mask = pc.is_in(p_str, value_set=p_fire)
+        if len(cls_keys):
+            mask = pc.or_(mask, pc.and_(
+                pc.equal(p_str, pa.scalar(RDF_TYPE_NT)),
+                pc.is_in(pc.cast(base["o"], pa.string()),
+                         value_set=cls_keys)))
+        cand = base.filter(mask)
+        if cand.num_rows == 0:
+            return base
+        out_s: List[str] = []
+        out_p: List[str] = []
+        out_o: List[str] = []
+        for s, p, o in zip(cand["s"].to_pylist(), cand["p"].to_pylist(),
+                           cand["o"].to_pylist()):
             for ns, np_, no in schema.expand_row(s, p, o):
                 out_s.append(ns)
                 out_p.append(np_)
                 out_o.append(no)
-        return pa.table({"s": pa.array(out_s, pa.large_string()),
-                         "p": pa.array(out_p, pa.large_string()),
-                         "o": pa.array(out_o, pa.large_string())})
+        derived = pa.table({"s": pa.array(out_s, pa.large_string()),
+                            "p": pa.array(out_p, pa.large_string()),
+                            "o": pa.array(out_o, pa.large_string())})
+        return pa.concat_tables([base, derived])
 
     expanded = nt_ds.map_batches(expand, batch_format="pyarrow")
     closure = schema.closure_triples()
@@ -468,11 +489,100 @@ def rdfs_saturate_full(nt_ds, *, axiomatic: bool = True,
     dom_map = {k: sorted(v) for k, v in schema.domain.items()}
     rng_map = {k: sorted(v) for k, v in schema.range.items()}
 
+    # vectorized prefilter: only rows whose predicate carries schema
+    # (rdfs2/3/7) or rdf:type rows with a super-classed class (rdfs9)
+    # ever enter Python; rdfs4/rdfs14/D-literal-typing run as Arrow
+    # kernels (rdfs4 fires on EVERY row, so it must not be a row loop)
+    p_fire = pa.array(sorted(set(sup_prop) | set(dom_map) | set(rng_map)),
+                      pa.string())
+    cls_keys = pa.array(sorted(sup_class), pa.string())
+    # rdfs4 emits rdfs:Resource class-closed over any declared supers
+    res_closure = [RESOURCE] + sup_class.get(RESOURCE, [])
+
+    def _literal_types(o: str) -> Tuple[List[str], bool]:
+        """(entailed datatype IRIs, ill-typed?) for ONE distinct
+        literal — memoized per batch so Python cost scales with
+        |distinct literals|, not rows."""
+        t = parse_term_text(o)
+        if t[0] != 2 or t[3] or not is_recognized(t[2]):
+            return [], False
+        try:
+            lex, dt = normalize(t[1], t[2])
+        except IllTypedLiteral:
+            return [], True
+        return ([f"<{dt}>"]
+                + [f"<{d2}>" for d2 in (datatypes_for(lex, dt) or [])],
+                False)
+
     def expand(b: pa.Table) -> pa.Table:
-        s_l = b["s"].to_pylist()
-        p_l = b["p"].to_pylist()
-        o_l = b["o"].to_pylist()
-        out_s, out_p, out_o = list(s_l), list(p_l), list(o_l)
+        base = pa.table({"s": pc.cast(b["s"], pa.large_string()),
+                         "p": pc.cast(b["p"], pa.large_string()),
+                         "o": pc.cast(b["o"], pa.large_string())})
+        n = base.num_rows
+        s_c, p_c, o_c = base["s"], base["p"], base["o"]
+        p_str = pc.cast(p_c, pa.string())
+        o_str = pc.cast(o_c, pa.string())
+        is_lit = pc.starts_with(o_str, '"')
+        LS = pa.large_string()
+
+        def rep(txt: str, k: int):
+            return pa.repeat(pa.scalar(txt, LS), k)
+
+        pieces = [base]
+        err_pieces = []
+
+        if resource_types:                              # rdfs4
+            o_nl = o_c.filter(pc.invert(is_lit))
+            for c in res_closure:
+                pieces.append(pa.table(
+                    {"s": s_c, "p": rep(TYPE, n), "o": rep(c, n)}))
+                pieces.append(pa.table(
+                    {"s": o_nl, "p": rep(TYPE, len(o_nl)),
+                     "o": rep(c, len(o_nl))}))
+
+        if proposition_types:                           # rdfs14
+            for col, col_str in ((s_c, pc.cast(s_c, pa.string())),
+                                 (o_c, o_str)):
+                tt = col.filter(pc.starts_with(col_str, "<<("))
+                pieces.append(pa.table(
+                    {"s": tt, "p": rep(TYPE, len(tt)),
+                     "o": rep(PROPOSITION, len(tt))}))
+
+        if d_entailment and literal_types:              # D-typing
+            em_s: List[str] = []
+            em_o: List[str] = []
+            bad: List[str] = []
+            for o in pc.unique(o_str.filter(is_lit)).to_pylist():
+                dts, is_bad = _literal_types(o)
+                if is_bad:
+                    bad.append(o)
+                for d in dts:
+                    em_s.append(o)
+                    em_o.append(d)
+            pieces.append(pa.table(
+                {"s": pa.array(em_s, LS), "p": rep(TYPE, len(em_s)),
+                 "o": pa.array(em_o, LS)}))
+            if bad:
+                bmask = pc.is_in(o_str, value_set=pa.array(bad, pa.string()))
+                brows = base.filter(bmask)
+                msg = pc.binary_join_element_wise(
+                    pa.scalar("ill-typed literal ", LS),
+                    pc.cast(brows["o"], LS), pa.scalar("", LS))
+                err_pieces.append(pa.table(
+                    {"s": brows["s"], "p": brows["p"], "o": brows["o"],
+                     "error": msg}))
+
+        # hierarchy rules (rdfs2/3/7/9 + range clashes): Python loop
+        # over FIRING rows only
+        fire = pc.is_in(p_str, value_set=p_fire)
+        if len(cls_keys):
+            fire = pc.or_(fire, pc.and_(
+                pc.equal(p_str, pa.scalar(TYPE)),
+                pc.is_in(o_str, value_set=cls_keys)))
+        cand = base.filter(fire)
+        out_s: List[str] = []
+        out_p: List[str] = []
+        out_o: List[str] = []
         err_s, err_p, err_o, err_msg = [], [], [], []
 
         def emit(s, p, o):
@@ -480,7 +590,8 @@ def rdfs_saturate_full(nt_ds, *, axiomatic: bool = True,
             out_p.append(p)
             out_o.append(o)
 
-        for s, p, o in zip(s_l, p_l, o_l):
+        for s, p, o in zip(cand["s"].to_pylist(), cand["p"].to_pylist(),
+                           cand["o"].to_pylist()):
             types_s: Set[str] = set()
             types_o: Set[str] = set()
             is_lit_o = o.startswith('"')
@@ -519,28 +630,8 @@ def rdfs_saturate_full(nt_ds, *, axiomatic: bool = True,
                         types_o.add(c)
             if p == TYPE:
                 types_s.update(sup_class.get(o, ()))    # rdfs9
-            if resource_types:
-                types_s.add(RESOURCE)
-                if not is_lit_o:
-                    types_o.add(RESOURCE)
-            if proposition_types:
-                for t in (s, o):
-                    if t.startswith("<<("):
-                        emit(t, TYPE, PROPOSITION)      # rdfs14
-            if d_entailment and is_lit_o and literal_types:
-                t = parse_term_text(o)
-                if t[0] == 2 and not t[3] and is_recognized(t[2]):
-                    try:
-                        lex, dt = normalize(t[1], t[2])
-                        emit(o, TYPE, f"<{dt}>")
-                        for d2 in (datatypes_for(lex, dt) or []):
-                            emit(o, TYPE, f"<{d2}>")
-                    except IllTypedLiteral:
-                        err_s.append(s)
-                        err_p.append(p)
-                        err_o.append(o)
-                        err_msg.append(f"ill-typed literal {o}")
-            # class-close and emit the collected types
+            # class-close and emit the collected types (rdfs4 resource
+            # rows were already emitted vectorized above)
             for base_types, subj in ((types_s, s), (types_o, o)):
                 full: Set[str] = set()
                 for t in base_types:
@@ -548,14 +639,15 @@ def rdfs_saturate_full(nt_ds, *, axiomatic: bool = True,
                     full.update(sup_class.get(t, ()))
                 for t in sorted(full):
                     emit(subj, TYPE, t)
-        main = pa.table({"s": pa.array(out_s, pa.large_string()),
-                         "p": pa.array(out_p, pa.large_string()),
-                         "o": pa.array(out_o, pa.large_string())})
-        err = pa.table({"s": pa.array(err_s, pa.large_string()),
-                        "p": pa.array(err_p, pa.large_string()),
-                        "o": pa.array(err_o, pa.large_string()),
-                        "error": pa.array(err_msg, pa.large_string())})
-        return {"main": main, "err": err}
+        pieces.append(pa.table({"s": pa.array(out_s, LS),
+                                "p": pa.array(out_p, LS),
+                                "o": pa.array(out_o, LS)}))
+        err_pieces.append(pa.table(
+            {"s": pa.array(err_s, LS), "p": pa.array(err_p, LS),
+             "o": pa.array(err_o, LS),
+             "error": pa.array(err_msg, LS)}))
+        return {"main": pa.concat_tables(pieces),
+                "err": pa.concat_tables(err_pieces)}
 
     # run expansion once, splitting normal rows from error rows
     both = nt_ds.map_batches(
@@ -607,33 +699,46 @@ def normalize_literals(nt_ds, *, with_errors: bool = False):
     from .terms import format_term
 
     def body(b: pa.Table) -> pa.Table:
-        o_l = b["o"].to_pylist()
-        out, errs = [], []
-        for o in o_l:
-            if not o.startswith('"') or "^^" not in o:
-                out.append(o)
-                errs.append("")
-                continue
+        LS = pa.large_string()
+        o_c = pc.cast(b["o"], LS)
+        o_str = pc.cast(o_c, pa.string())
+        cand = pc.and_(pc.starts_with(o_str, '"'),
+                       pc.match_substring(o_str, "^^"))
+        # per-distinct-literal memo; the corpus columns are rebuilt
+        # with vectorized index_in/take/coalesce
+        repl_k, repl_v, bad = [], [], []
+        for o in pc.unique(o_str.filter(cand)).to_pylist():
             try:
                 t = parse_term_text(o)
             except Exception:
-                out.append(o)
-                errs.append("")
                 continue
             if t[0] != 2 or t[3] or not is_recognized(t[2]):
-                out.append(o)
-                errs.append("")
                 continue
             try:
                 lex, dt = normalize(t[1], t[2])
-                out.append(format_term((2, lex, dt, "", 0)))
-                errs.append("")
+                canon = format_term((2, lex, dt, "", 0))
+                if canon != o:
+                    repl_k.append(o)
+                    repl_v.append(canon)
             except IllTypedLiteral:
-                out.append(o)
-                errs.append(f"ill-typed literal {o}")
+                bad.append(o)
+        new_o = o_c
+        if repl_k:
+            idx = pc.index_in(o_c, value_set=pa.array(repl_k, LS))
+            new_o = pc.coalesce(pc.take(pa.array(repl_v, LS), idx), o_c)
+        if bad:
+            bmask = pc.is_in(o_c, value_set=pa.array(bad, LS))
+            errs = pc.if_else(
+                bmask,
+                pc.binary_join_element_wise(
+                    pa.scalar("ill-typed literal ", LS), o_c,
+                    pa.scalar("", LS)),
+                pa.scalar("", LS))
+        else:
+            errs = pa.repeat(pa.scalar("", LS), b.num_rows)
         cols = {c: b[c] for c in b.column_names if c != "o"}
-        cols["o"] = pa.array(out, pa.large_string())
-        cols["__err"] = pa.array(errs, pa.large_string())
+        cols["o"] = new_o
+        cols["__err"] = errs
         return pa.table(cols)
 
     both = nt_ds.map_batches(body, batch_format="pyarrow")
@@ -682,11 +787,18 @@ def rdf_saturate(nt_ds, *, d_entailment: bool = True, dedup: bool = True):
             extra.add((s, p, o))
 
     def expand(b: pa.Table) -> pa.Table:
-        o_l = b["o"].to_pylist()
+        base = pa.table({"s": pc.cast(b["s"], pa.large_string()),
+                         "p": pc.cast(b["p"], pa.large_string()),
+                         "o": pc.cast(b["o"], pa.large_string())})
+        if not d_entailment:
+            return base
+        # Python cost scales with |distinct ^^-typed literals|, not
+        # rows: vectorized candidate filter + per-batch unique
+        o_str = pc.cast(base["o"], pa.string())
+        cand = pc.and_(pc.starts_with(o_str, '"'),
+                       pc.match_substring(o_str, "^^"))
         add_s, add_o = [], []
-        for o in o_l:
-            if not (d_entailment and o.startswith('"') and "^^" in o):
-                continue
+        for o in pc.unique(o_str.filter(cand)).to_pylist():
             try:
                 t = parse_term_text(o)
             except Exception:
@@ -705,9 +817,6 @@ def rdf_saturate(nt_ds, *, d_entailment: bool = True, dedup: bool = True):
             "s": pa.array(add_s, pa.large_string()),
             "p": pa.array([TYPE] * len(add_s), pa.large_string()),
             "o": pa.array(add_o, pa.large_string())})
-        base = pa.table({"s": pc.cast(b["s"], pa.large_string()),
-                         "p": pc.cast(b["p"], pa.large_string()),
-                         "o": pc.cast(b["o"], pa.large_string())})
         return pa.concat_tables([base, derived])
 
     out = nt_ds.map_batches(expand, batch_format="pyarrow")

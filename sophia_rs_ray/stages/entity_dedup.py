@@ -137,22 +137,28 @@ def rewrite_via_join(nt_ds, mapping_ds, *, num_partitions: int = 16):
 
 
 class RewriteTerms:
-    """Actor-pool stage: rewrite s/o through the broadcast mapping."""
+    """Actor-pool stage: rewrite s/o through the broadcast mapping.
+    The dict is converted ONCE per actor to parallel Arrow key/value
+    arrays; each batch is then a vectorized index_in/take/coalesce —
+    no Python loop touches the corpus."""
 
     def __init__(self, mapping_ref):
         import ray
 
-        self.map = ray.get(mapping_ref) \
+        m = ray.get(mapping_ref) \
             if not isinstance(mapping_ref, dict) else mapping_ref
+        self.keys = pa.array(list(m.keys()), pa.large_string())
+        self.vals = pa.array(list(m.values()), pa.large_string())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        m = self.map
+        if len(self.keys) == 0:
+            return batch
         cols = dict.fromkeys(batch.column_names)
         for c in batch.column_names:
-            if c in ("s", "o") and m:
-                vals = batch[c].to_pylist()
-                cols[c] = pa.array([m.get(v, v) for v in vals],
-                                   pa.large_string())
+            if c in ("s", "o"):
+                col = pc.cast(batch[c], pa.large_string())
+                idx = pc.index_in(col, value_set=self.keys)
+                cols[c] = pc.coalesce(pc.take(self.vals, idx), col)
             else:
                 cols[c] = batch[c]
         return pa.table(cols)
