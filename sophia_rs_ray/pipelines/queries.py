@@ -1489,11 +1489,15 @@ band_hashes AS (
          CAST(('0x' || substr(md5(txt), 1, 15)) AS BIGINT) AS band_hash
   FROM bands),
 bucket_members AS (
+  -- hub guard mirrors lsh_candidate_pairs: buckets over the cap keep
+  -- an md5-hash-ordered (unbiased) sample, not the smallest doc_ids
   SELECT band_id, band_hash, doc_id,
+         count(*) OVER (PARTITION BY band_id, band_hash) AS sz,
          row_number() OVER (PARTITION BY band_id, band_hash
-                            ORDER BY doc_id) AS rn
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                     doc_id) AS rn
   FROM (SELECT DISTINCT band_id, band_hash, doc_id FROM band_hashes)),
-capped AS (SELECT * FROM bucket_members WHERE rn <= 50),
+capped AS (SELECT * FROM bucket_members WHERE sz <= 50 OR rn <= 50),
 cand AS (
   SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
   FROM capped x JOIN capped y

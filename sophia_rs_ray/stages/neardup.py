@@ -42,31 +42,65 @@ def minhash_signatures(docs_ds, *, n_perm: int = 64, k: int = 3,
 
 
 def lsh_candidate_pairs(sigs_ds, *, n_bands: int = 16, rows_per_band: int = 4,
-                        pair_cap: int = 50):
-    """signatures → deduplicated candidate pairs (a < b)."""
-    from ray.data.aggregate import Count
+                        pair_cap: int = 50, num_partitions: int = 8):
+    """signatures → deduplicated candidate pairs (a < b).
+
+    Both wide steps ride the raw-task hash exchange
+    (``functions/exchange.hash_aggregate``) instead of Ray's sort-based
+    groupby — the exchange BASELINE.md measured as the bottleneck and
+    every other wide op already avoids.  Hub buckets keep at most
+    ``pair_cap`` members chosen by md5-hash order: a deterministic,
+    UNBIASED pseudo-random sample (first-k sorted doc_ids would bias
+    candidate recall toward small ids), and SQL-expressible so the
+    DuckDB oracle reproduces the cap exactly."""
+    import hashlib
+
+    from ..functions.exchange import hash_aggregate
 
     bands = sigs_ds.map_batches(
         lambda b: band_rows(b, n_bands, rows_per_band),
         batch_format="pyarrow")
 
-    def bucket_pairs(b: pa.Table) -> pa.Table:
-        ids = sorted(set(b["doc_id"].to_pylist()))[:pair_cap]
+    def combine(t: pa.Table) -> pa.Table:
+        # per-block dedup of (bucket, doc) rows before the exchange
+        return t.group_by(["band_id", "band_hash", "doc_id"]).aggregate([])
+
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        import collections
+
+        typ = t["doc_id"].type
+        bykey = collections.defaultdict(set)
+        for bi, bh, d in zip(t["band_id"].to_pylist(),
+                             t["band_hash"].to_pylist(),
+                             t["doc_id"].to_pylist()):
+            bykey[(bi, bh)].add(d)
         a_out, b_out = [], []
-        for i, x in enumerate(ids):
-            for y in ids[i + 1:]:
-                a_out.append(x)
-                b_out.append(y)
-        typ = b["doc_id"].type
+        for members in bykey.values():
+            if len(members) > pair_cap:    # hub guard: unbiased sample
+                ms = sorted(
+                    members,
+                    key=lambda d: (hashlib.md5(str(d).encode())
+                                   .hexdigest(), d))[:pair_cap]
+                ms.sort()
+            else:
+                ms = sorted(members)
+            for i, x in enumerate(ms):
+                for y in ms[i + 1:]:
+                    a_out.append(x)
+                    b_out.append(y)
         return pa.table({"a": pa.array(a_out, typ),
                          "b": pa.array(b_out, typ)})
 
-    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pyarrow")
+    pairs = hash_aggregate(bands, ["band_id", "band_hash"],
+                           combine, bucket_pairs,
+                           num_partitions=num_partitions)
+
     # a pair found in several bands must be verified once
-    return (pairs.groupby(["a", "b"]).aggregate(Count(alias_name="_nb"))
-            .map_batches(lambda t: t.select(["a", "b"]),
-                         batch_format="pyarrow"))
+    def dedup(t: pa.Table) -> pa.Table:
+        return t.group_by(["a", "b"]).aggregate([])
+
+    return hash_aggregate(pairs, ["a", "b"], dedup, dedup,
+                          num_partitions=num_partitions)
 
 
 def verify_pairs(pairs_ds, sigs_ds, *, threshold: float = 0.5,
@@ -123,7 +157,8 @@ def near_dup_clusters(docs_ds, *, n_perm: int = 64, k: int = 3,
     # (an empty lazy dataset drops its schema, breaking downstream joins)
     pairs = lsh_candidate_pairs(sigs, n_bands=n_bands,
                                 rows_per_band=rows_per_band,
-                                pair_cap=pair_cap).materialize()
+                                pair_cap=pair_cap,
+                                num_partitions=num_partitions).materialize()
     if pairs.count() == 0:
         return ids.map_batches(
             lambda b: pa.table({"doc_id": b["doc_id"],
