@@ -410,9 +410,12 @@ def _topk_per_id(t: pa.Table, k: int) -> pa.Table:
     (sim desc, neighbor_id asc) — vectorized run-length selection."""
     if t.num_rows == 0:
         return t
-    ids = np.asarray(t["id"].to_pylist(), dtype=np.int64)
-    nid = np.asarray(t["neighbor_id"].to_pylist(), dtype=np.int64)
-    sim = np.asarray(t["sim"].to_pylist(), dtype=np.float64)
+    ids = t["id"].combine_chunks().to_numpy(zero_copy_only=False) \
+        .astype(np.int64, copy=False)
+    nid = t["neighbor_id"].combine_chunks().to_numpy(zero_copy_only=False) \
+        .astype(np.int64, copy=False)
+    sim = t["sim"].combine_chunks().to_numpy(zero_copy_only=False) \
+        .astype(np.float64, copy=False)
     order = np.lexsort((nid, -sim, ids))  # id asc, sim desc, nid asc
     ids, nid, sim = ids[order], nid[order], sim[order]
     starts = np.r_[0, np.nonzero(np.diff(ids))[0] + 1]
@@ -436,16 +439,30 @@ def _tile_topk_impl(a, b, same: bool, k: int) -> pa.Table:
                       "sim": pa.array([], pa.float64())})
     if len(ids_a) == 0 or len(ids_b) == 0:
         return empty
+    # fully vectorized tile top-k: because sims are rounded to 4
+    # decimals, (sim desc, neighbor_id asc) collapses into ONE exact
+    # int64 composite key (sim×10⁴ scaled by |cols|, minus the
+    # column's neighbor-id RANK), so argpartition + a k-wide argsort
+    # replace the per-row Python lexsort loop
+    ob = np.argsort(ids_b, kind="stable")     # cols in nid-asc order
+    ids_b, mat_b = ids_b[ob], mat_b[ob]
     sims = np.round(mat_a @ mat_b.T, 4)
-    out_i, out_n, out_s = [], [], []
-    for r in range(len(ids_a)):
-        row = sims[r]
-        mask = ids_b != ids_a[r]  # exclude self (ids unique per chunk)
-        cand_n, cand_s = ids_b[mask], row[mask]
-        sel = np.lexsort((cand_n, -cand_s))[:k]
-        out_i.extend([ids_a[r]] * len(sel))
-        out_n.extend(cand_n[sel])
-        out_s.extend(cand_s[sel])
+    n_cols = sims.shape[1]
+    comp = (np.rint(sims * 10000).astype(np.int64) * n_cols
+            - np.arange(n_cols, dtype=np.int64)[None, :])
+    sentinel = np.iinfo(np.int64).min // 2
+    eq = ids_a[:, None] == ids_b[None, :]     # exclude self matches
+    comp = np.where(eq, sentinel, comp)
+    kk = min(k, n_cols)
+    sel = np.argpartition(-comp, kk - 1, axis=1)[:, :kk]
+    selcomp = np.take_along_axis(comp, sel, axis=1)
+    order = np.argsort(-selcomp, axis=1, kind="stable")
+    sel = np.take_along_axis(sel, order, axis=1)
+    selcomp = np.take_along_axis(selcomp, order, axis=1)
+    valid = (selcomp > sentinel).ravel()
+    out_i = np.repeat(ids_a, kk)[valid]
+    out_n = ids_b[sel.ravel()][valid]
+    out_s = np.take_along_axis(sims, sel, axis=1).ravel()[valid]
     return pa.table({"id": pa.array(out_i, pa.int64()),
                      "neighbor_id": pa.array(out_n, pa.int64()),
                      "sim": pa.array(out_s, pa.float64())})

@@ -27,6 +27,7 @@ import zlib
 from typing import Callable, List, Optional, Sequence
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _MASK64 = (1 << 64) - 1
 _FIB = 0x9E3779B97F4A7C15
@@ -42,10 +43,18 @@ def _key_hash(tbl: pa.Table, key_cols: Sequence[str]):
     per-row crc32 loop."""
     import numpy as np
 
+    sel = tbl.select(list(key_cols))
+    if any(pa.types.is_dictionary(sel[c].type) for c in sel.column_names):
+        # dictionary-encoded (interned) key columns: hash the VALUES,
+        # not the block-local indices (polars would hash the categorical
+        # physical codes, which differ per block)
+        sel = pa.table({c: pc.cast(sel[c], pa.large_string())
+                        if pa.types.is_dictionary(sel[c].type) else sel[c]
+                        for c in sel.column_names})
     try:
         import polars as pl
 
-        df = pl.from_arrow(tbl.select(list(key_cols)))
+        df = pl.from_arrow(sel)
         return df.hash_rows(seed=0).to_numpy().astype(np.uint64)
     except Exception:
         crc = zlib.crc32

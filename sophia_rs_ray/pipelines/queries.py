@@ -978,15 +978,12 @@ def _gazetteer_mentions(sf_dir: str):
     the DuckDB oracle (longest-first alternation ⇒ same matches)."""
     import ray.data as rd
 
-    from ..stages.ner import MentionDetector
+    from ..stages.ner import detect_mentions
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     gaz = {s: [(f"gaz:{s}", 0.0)] for s in GAZETTEER}
-    mentions = ds.map_batches(
-        MentionDetector,
-        fn_constructor_kwargs={"dictionary": gaz, "key_col": "doc_id"},
-        batch_format="pyarrow", concurrency=2, batch_size=256)
+    mentions = detect_mentions(ds, gaz, key_col="doc_id", batch_size=256)
 
     def partial(b: pa.Table) -> pa.Table:
         t = pa.table({"doc_id": b["doc_id"], "surface": b["surface"],
@@ -1030,15 +1027,13 @@ def _docs_links(sf_dir: str):
     import ray
     import ray.data as rd
 
-    from ..stages.ner import MentionDetector, score_links
+    from ..stages.ner import detect_mentions, score_links
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     d_ref = ray.put(_LINK_DICT)
-    mentions = ds.map_batches(
-        MentionDetector,
-        fn_constructor_kwargs={"dictionary": d_ref, "key_col": "doc_id"},
-        batch_format="pyarrow", concurrency=2, batch_size=256)
+    mentions = detect_mentions(ds, d_ref, key_col="doc_id",
+                               batch_size=256)
 
     def ctx(b: pa.Table) -> pa.Table:
         ids = [i for i in b["doc_id"].to_pylist() if i % 2 == 0]
@@ -1366,15 +1361,14 @@ def _minhash_bands(sf_dir: str):
     (the permutation constants are embedded in the query)."""
     import ray.data as rd
 
-    from ..functions.dedup import MinHasher, band_rows
+    from ..functions.dedup import band_rows
+    from ..stages.neardup import minhash_signatures
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
-    # concurrency must stay below the session CPU count: an actor pool
-    # equal to it reserves every slot and starves the read tasks
-    # (observed hang at num_cpus=4 with concurrency=4)
-    sigs = ds.map_batches(MinHasher, batch_format="pyarrow",
-                          concurrency=2, batch_size=256)
+    # task pool with per-worker cached params (functions/dedup.py):
+    # actor-pool spin-up dominated this cheap-setup stage's wall time
+    sigs = minhash_signatures(ds, batch_size=256)
     return sigs.map_batches(lambda b: band_rows(b, 16, 4),
                             batch_format="pyarrow")
 

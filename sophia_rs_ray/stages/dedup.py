@@ -50,47 +50,58 @@ def dedup_triples(ds, carry_min: tuple = ("url",), with_count: bool = False,
     hash-exchange (functions/exchange.py — measured ~5× cheaper than the
     sort-based groupby at bench scale): per-block combiner dedup, then
     one exact per-partition dedup.  The combiner means a hub triple is
-    shipped once per *block*, not once per page.
+    shipped once per *block*, not once per page — and the s/p/o payload
+    columns are dictionary-encoded (SURVEY §1.5 interned terms), so a
+    shared TERM's string also crosses the exchange once per block
+    rather than once per distinct triple containing it.
     """
     from ..functions.exchange import hash_aggregate
 
     keep_extra = list(carry_min) + (["n_dups"] if with_count else [])
     carry = list(carry_min)
+    term_cols = ["s", "p", "o"]
+
+    def _aggs():
+        aggs = [(c, "min") for c in carry]
+        if with_count:
+            aggs.append(("n_dups", "sum"))
+        return aggs
+
+    def _names():
+        return term_cols + carry + (["n_dups"] if with_count else [])
 
     def combine(b: pa.Table) -> pa.Table:
         b = add_spo_key(b)
         cols = {"spo_key": b["spo_key"]}
+        for c in term_cols:
+            cols[c] = pc.cast(b[c], pa.large_string())
         for c in carry:
             cols[c] = b[c]
         if with_count:
             cols["n_dups"] = pa.array([1] * b.num_rows, pa.int64())
         t = pa.table(cols)
-        aggs = [(c, "min") for c in carry]
-        if with_count:
-            aggs.append(("n_dups", "sum"))
-        if not aggs:
-            aggs = [([], "count_all")]
-        g = t.group_by("spo_key").aggregate(aggs)
-        names = ["spo_key"] + carry + (["n_dups"] if with_count else [])
-        return g.rename_columns(names[:g.num_columns]) \
-            if g.num_columns == len(names) else g.select(["spo_key"])
+        # s/p/o are functionally determined by the key; "min" carries
+        # them through the per-key aggregate
+        g = t.group_by("spo_key").aggregate(
+            [(c, "min") for c in term_cols] + _aggs())
+        g = g.rename_columns(["spo_key"] + _names())
+        return pa.table({
+            c: (pc.dictionary_encode(g[c].combine_chunks())
+                if c in term_cols else g[c])
+            for c in _names()})
 
     def finalize(t: pa.Table) -> pa.Table:
-        aggs = [(c, "min") for c in carry]
-        if with_count:
-            aggs.append(("n_dups", "sum"))
-        if not aggs:
-            aggs = [([], "count_all")]
-        g = t.group_by("spo_key").aggregate(aggs)
-        names = ["spo_key"] + carry + (["n_dups"] if with_count else [])
-        if g.num_columns == len(names):
-            g = g.rename_columns(names)
-        else:
-            g = g.select(["spo_key"])
-        out = split_spo_key(g)
-        keep = ["s", "p", "o"] + [c for c in keep_extra
-                                  if c in out.column_names]
-        return out.select(keep)
+        # decode the interned terms ONCE per partition, then the exact
+        # per-key aggregate
+        t = pa.table({c: pc.cast(t[c], pa.large_string())
+                      if pa.types.is_dictionary(t[c].type) else t[c]
+                      for c in t.column_names})
+        aggs = _aggs() or [([], "count_all")]
+        g = t.group_by(term_cols).aggregate(aggs)
+        g = g.select(g.column_names[:len(_names())])
+        g = g.rename_columns(_names()[:g.num_columns])
+        keep = term_cols + [c for c in keep_extra if c in g.column_names]
+        return g.select(keep)
 
-    return hash_aggregate(ds, ["spo_key"], combine, finalize,
+    return hash_aggregate(ds, term_cols, combine, finalize,
                           num_partitions=num_partitions)

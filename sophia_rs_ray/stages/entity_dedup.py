@@ -164,10 +164,27 @@ class RewriteTerms:
         return pa.table(cols)
 
 
+#: per-worker-process RewriteTerms cache (task-pool analogue of the
+#: actor __init__ — see stages/ner._DETECTOR_CACHE)
+_REWRITER_CACHE: dict = {}
+
+
+def _cached_rewriter(mapping_ref) -> RewriteTerms:
+    key = mapping_ref.binary() if hasattr(mapping_ref, "binary") \
+        else id(mapping_ref)
+    rw = _REWRITER_CACHE.get(key)
+    if rw is None:
+        if len(_REWRITER_CACHE) > 4:
+            _REWRITER_CACHE.clear()
+        rw = RewriteTerms(mapping_ref)
+        _REWRITER_CACHE[key] = rw
+    return rw
+
+
 def canonicalize_entities(nt_ds, *, subject_prefix: str = "",
                           name_predicate: str = SCHEMA_NAME,
                           threshold: float = 0.9,
-                          concurrency=2,
+                          concurrency=None,
                           dedup: bool = True,
                           method: str = "lsh",
                           **neardup_kwargs):
@@ -199,10 +216,16 @@ def canonicalize_entities(nt_ds, *, subject_prefix: str = "",
         return out, map_ds
     mapping = {r["old"]: r["canon"] for r in map_ds.take_all()}
     ref = ray.put(mapping)
-    out = nt_ds.map_batches(RewriteTerms,
-                            fn_constructor_kwargs={"mapping_ref": ref},
-                            batch_format="pyarrow",
-                            concurrency=concurrency)
+    if concurrency is None:
+        # task pool with a per-worker cached rewriter: the mapping's
+        # Arrow arrays build once per worker process, no actor spin-up
+        out = nt_ds.map_batches(
+            lambda b: _cached_rewriter(ref)(b), batch_format="pyarrow")
+    else:
+        out = nt_ds.map_batches(RewriteTerms,
+                                fn_constructor_kwargs={"mapping_ref": ref},
+                                batch_format="pyarrow",
+                                concurrency=concurrency)
     if dedup:
         from .dedup import dedup_triples
 

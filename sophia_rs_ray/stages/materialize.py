@@ -182,7 +182,7 @@ def _write_one_partition(tbl: pa.Table, out_dir: str, order: str,
     cols = _order_cols(order)
     t0 = time.perf_counter()
     keep = [c for c in ("g", "s", "p", "o") if c in cols]
-    tbl = tbl.select(keep)
+    tbl = _decode_terms(tbl.select(keep))
     td = time.perf_counter()
     tbl = tbl.sort_by([(c, "ascending") for c in cols])
     if distinct and tbl.num_rows > 1:
@@ -252,6 +252,29 @@ def _partition_layout(orders: Sequence[str], num_shards: int,
     return layout
 
 
+def _intern_terms(cell: pa.Table) -> pa.Table:
+    """Dictionary-encode a partition piece's term columns: the exchange
+    then ships int32 indices + the cell's DISTINCT term strings (the
+    SURVEY §1.5 interned-term payload — a hub term like rdf:type crosses
+    the wire once per cell instead of once per row, cutting exchange
+    bytes ~N×avg-multiplicity).  Exact: the dictionary carries the full
+    strings, so no hash-collision risk; the writer decodes before its
+    sort (``_decode_terms``)."""
+    return pa.table({c: pc.dictionary_encode(cell[c].combine_chunks())
+                     for c in cell.column_names})
+
+
+def _decode_terms(tbl: pa.Table) -> pa.Table:
+    """Inverse of ``_intern_terms``: dictionary → large_string (Arrow
+    sort/group kernels don't take dictionary inputs)."""
+    cols = {}
+    for c in tbl.column_names:
+        col = tbl[c]
+        cols[c] = pc.cast(col, pa.large_string()) \
+            if pa.types.is_dictionary(col.type) else col
+    return pa.table(cols)
+
+
 def _split_block(tbl: pa.Table, orders: Tuple[str, ...], num_shards: int,
                  salts: Dict[str, int], done_keys: frozenset):
     """Map side: one input block → one (possibly None) sub-table per
@@ -291,7 +314,8 @@ def _split_block(tbl: pa.Table, orders: Tuple[str, ...], num_shards: int,
                     out.append(None)
                     continue
                 lo, hi = int(bounds[j]), int(bounds[j + 1])
-                out.append(sorted_tbl.slice(lo, hi - lo) if hi > lo else None)
+                out.append(_intern_terms(sorted_tbl.slice(lo, hi - lo))
+                           if hi > lo else None)
     return tuple(out)
 
 

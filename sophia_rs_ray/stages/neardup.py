@@ -31,9 +31,20 @@ from ..util import safe_join
 
 
 def minhash_signatures(docs_ds, *, n_perm: int = 64, k: int = 3,
-                       seed: int = 42, concurrency=2, batch_size: int = 256):
-    """documents (doc_id, text) → (doc_id, sig) via the MinHasher actor
-    pool (permutation params built once per actor)."""
+                       seed: int = 42, concurrency=None,
+                       batch_size: int = 256):
+    """documents (doc_id, text) → (doc_id, sig).
+
+    Default: a TASK pool over ``minhash_batch`` (params cached per
+    worker process) — per-execution actor spin-up dominates this
+    cheap-setup stage's wall time.  Pass an explicit ``concurrency``
+    to run the MinHasher actor-pool variant instead."""
+    if concurrency is None:
+        from ..functions.dedup import minhash_batch
+
+        return docs_ds.map_batches(
+            lambda b: minhash_batch(b, n_perm=n_perm, k=k, seed=seed),
+            batch_format="pyarrow", batch_size=batch_size)
     return docs_ds.map_batches(
         MinHasher, fn_constructor_kwargs={"n_perm": n_perm, "k": k,
                                           "seed": seed},
@@ -140,7 +151,7 @@ def verify_pairs(pairs_ds, sigs_ds, *, threshold: float = 0.5,
 def near_dup_clusters(docs_ds, *, n_perm: int = 64, k: int = 3,
                       n_bands: int = 16, rows_per_band: int = 4,
                       threshold: float = 0.5, pair_cap: int = 50,
-                      num_partitions: int = 8, concurrency=2,
+                      num_partitions: int = 8, concurrency=None,
                       seed: int = 42):
     """documents (doc_id, text) → (doc_id, cluster); cluster = min doc_id
     reachable through verified near-dup edges."""

@@ -189,6 +189,49 @@ class MentionDetector:
         })
 
 
+#: per-worker-process cache of compiled detectors, keyed by the
+#: broadcast ObjectRef — the task-pool analogue of actor __init__
+_DETECTOR_CACHE: dict = {}
+
+
+def _cached_detector(dict_ref, **kw) -> MentionDetector:
+    import ray
+
+    key = (dict_ref.binary() if isinstance(dict_ref, ray.ObjectRef)
+           else id(dict_ref), tuple(sorted(kw.items())))
+    det = _DETECTOR_CACHE.get(key)
+    if det is None:
+        if len(_DETECTOR_CACHE) > 8:
+            _DETECTOR_CACHE.clear()
+        det = MentionDetector(dict_ref, **kw)
+        _DETECTOR_CACHE[key] = det
+    return det
+
+
+def detect_mentions(ds, dictionary, *, key_col: str = "url",
+                    text_col: str = "text", max_candidates: int = 8,
+                    batch_size: int = 256):
+    """Task-pool mention detection: the gazetteer automaton compiles
+    once per worker process (cache keyed by the broadcast ref, zero-copy
+    ``ray.get`` from the node-local store) — same once-per-worker setup
+    as the MentionDetector actor pool without its per-execution actor
+    spin-up cost.  Plain dicts are ``ray.put`` here so every task shares
+    one broadcast copy."""
+    import ray
+
+    if not isinstance(dictionary, ray.ObjectRef):
+        dictionary = ray.put(dictionary)
+
+    def fn(b: pa.Table) -> pa.Table:
+        det = _cached_detector(dictionary, key_col=key_col,
+                               text_col=text_col,
+                               max_candidates=max_candidates)
+        return det(b)
+
+    return ds.map_batches(fn, batch_format="pyarrow",
+                          batch_size=batch_size)
+
+
 # ---------------------------------------------------------------------------
 # link scoring (context join + per-mention argmax)
 # ---------------------------------------------------------------------------
@@ -273,11 +316,12 @@ def links_to_triples(links_ds, *, key_col: str = "url"):
 
 
 def entity_link_pipeline(pages_ds, *, subject_prefix: str = "",
-                         concurrency=2,
+                         concurrency=None,
                          batch_size: int = 128,
                          num_partitions: Optional[int] = None):
     """End-to-end: pages → triples + text → dictionary broadcast →
-    mention actor pool → context join → scored links."""
+    mention detection (cached task pool; pass ``concurrency`` for the
+    actor-pool variant) → context join → scored links."""
     import ray
 
     from ..pipelines.kg import extract_text, kg_pipeline
@@ -295,10 +339,13 @@ def entity_link_pipeline(pages_ds, *, subject_prefix: str = "",
     d = name_dictionary(nt, subject_prefix=subject_prefix)
     d_ref = ray.put(d)
     text = extract_text(pages_ds)
-    mentions = text.map_batches(
-        MentionDetector,
-        fn_constructor_kwargs={"dictionary": d_ref},
-        batch_format="pyarrow", concurrency=concurrency,
-        batch_size=batch_size)
+    if concurrency is None:
+        mentions = detect_mentions(text, d_ref, batch_size=batch_size)
+    else:
+        mentions = text.map_batches(
+            MentionDetector,
+            fn_constructor_kwargs={"dictionary": d_ref},
+            batch_format="pyarrow", concurrency=concurrency,
+            batch_size=batch_size)
     ctx = page_entities(nt, subject_prefix=subject_prefix)
     return score_links(mentions, ctx, num_partitions=num_partitions)
