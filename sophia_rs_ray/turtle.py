@@ -111,6 +111,12 @@ class TurtleParser:
         self.strict = strict
         self.triples: List[Tuple[Term, Term, Term]] = []
         self._anon = 0
+        # fresh-anon labels must never collide with the document's own
+        # explicit labels (a reparse of "[] … . _:ttl_anon1 … ." would
+        # otherwise conflate the two nodes)
+        self._anon_prefix = "ttl_anon"
+        while f"_:{self._anon_prefix}" in text:
+            self._anon_prefix += "x"
         self._reified_stmt = False  # last parsed term was << s p o >>
 
     def emit(self, s: Term, p: Term, o: Term):
@@ -189,7 +195,7 @@ class TurtleParser:
 
     def fresh_bnode(self) -> Term:
         self._anon += 1
-        return bnode(f"ttl_anon{self._anon}{self.bnode_suffix}")
+        return bnode(f"{self._anon_prefix}{self._anon}{self.bnode_suffix}")
 
     def parse_literal(self) -> Optional[Term]:
         q = self.peek()
@@ -623,14 +629,39 @@ def format_term_turtle(t: Term, prefixes: Dict[str, str],
     return format_term(t)
 
 
+_RDF_FIRST_NT = f"<{RDF_FIRST}>"
+_RDF_REST_NT = f"<{RDF_REST}>"
+_RDF_NIL_NT = f"<{RDF_NIL}>"
+
+
+def _tt_bnode_labels(t: Term, out: set) -> None:
+    """Collect bnode keys nested inside RDF 1.2 triple terms — those
+    labels can't be rewritten, so they disqualify inlining."""
+    if t[0] == KIND_BNODE:
+        out.add(format_term(t))
+    elif t[0] == 3:  # KIND_TRIPLE
+        from .ntriples import _LineParser
+
+        lp = _LineParser(t[1])
+        lp.pos = 3
+        for _ in range(3):
+            lp.skip_ws()
+            _tt_bnode_labels(lp.parse_term(), out)
+
+
 def serialize_turtle(triples, prefixes: Optional[Dict[str, str]] = None,
                      emit_prefixes: bool = True, indent: str = "  ",
-                     base: Optional[str] = None) -> str:
+                     base: Optional[str] = None,
+                     inline: bool = True) -> str:
     """Triples → pretty Turtle: subject grouping with ';'/',', prefix
-    abbreviation, sugar literals. Input order defines subject order
-    (sort upstream for deterministic output).  With ``base``, IRIs are
-    relativized against it (@base emitted first; reference
-    iri/src/relativize.rs via turtle pretty serializer)."""
+    abbreviation, sugar literals; with ``inline`` (default, mirroring
+    the reference pretty engine ``turtle/src/serializer/_pretty.rs``)
+    single-reference bnodes render as anonymous ``[ … ]`` property
+    lists, well-formed rdf:first/rest chains as ``( … )`` collections,
+    unreferenced bnode subjects as ``[]``, and cycles fall back to
+    labels.  Input order defines subject order (sort upstream for
+    deterministic output).  With ``base``, IRIs are relativized against
+    it (@base emitted first; reference iri/src/relativize.rs)."""
     prefixes = dict(prefixes if prefixes is not None else DEFAULT_PREFIXES)
     relativizer = None
     if base is not None:
@@ -645,24 +676,166 @@ def serialize_turtle(triples, prefixes: Optional[Dict[str, str]] = None,
             out.append(f"@prefix {pfx}: <{ns}> .")
         if prefixes or base is not None:
             out.append("")
-    # group consecutive same-subject triples, then same-predicate objects
-    groups: List[Tuple[str, List[Tuple[str, List[str]]]]] = []
+
+    def fmt(t: Term) -> str:
+        return format_term_turtle(t, prefixes, relativizer)
+
+    triples = list(triples)
+    if not inline:
+        # plain path: group consecutive same-subject / same-predicate
+        groups: List[Tuple[str, List[Tuple[str, List[str]]]]] = []
+        for (s, p, o) in triples:
+            st, pt, ot = fmt(s), fmt(p), fmt(o)
+            if not groups or groups[-1][0] != st:
+                groups.append((st, []))
+            plist = groups[-1][1]
+            if not plist or plist[-1][0] != pt:
+                plist.append((pt, []))
+            plist[-1][1].append(ot)
+        for st, plist in groups:
+            lines = [st]
+            for i, (pt, objs) in enumerate(plist):
+                sep = ";" if i + 1 < len(plist) else "."
+                lines.append(f"{indent}{pt} {', '.join(objs)} {sep}")
+            out.append("\n".join(lines))
+        return "\n".join(out) + ("\n" if out else "")
+
+    # --- pretty-inline path (reference _pretty.rs semantics) ---------
+    key = format_term
+    subj_map: Dict[str, List[Tuple[Term, Term]]] = {}
+    subj_term: Dict[str, Term] = {}
+    subj_order: List[str] = []
+    obj_refs: Dict[str, int] = {}
+    no_inline: set = set()
     for (s, p, o) in triples:
-        st = format_term_turtle(s, prefixes, relativizer)
-        pt = format_term_turtle(p, prefixes, relativizer)
-        ot = format_term_turtle(o, prefixes, relativizer)
-        if not groups or groups[-1][0] != st:
-            groups.append((st, []))
-        plist = groups[-1][1]
-        if not plist or plist[-1][0] != pt:
-            plist.append((pt, []))
-        plist[-1][1].append(ot)
-    for st, plist in groups:
+        sk = key(s)
+        if sk not in subj_map:
+            subj_map[sk] = []
+            subj_term[sk] = s
+            subj_order.append(sk)
+        subj_map[sk].append((p, o))
+        if o[0] == KIND_BNODE:
+            obj_refs[key(o)] = obj_refs.get(key(o), 0) + 1
+        for t in (s, o):
+            if t[0] == 3:
+                _tt_bnode_labels(t, no_inline)
+
+    def inlinable(k: str) -> bool:
+        return obj_refs.get(k, 0) == 1 and k not in no_inline
+
+    def list_chain(head: str):
+        """[(elem terms)], {consumed node keys} for a well-formed
+        rdf:first/rest chain from ``head`` (interior nodes: exactly one
+        first + one rest, referenced once), else None."""
+        elems: List[Term] = []
+        nodes: set = set()
+        cur = head
+        while True:
+            if cur in nodes:
+                return None                       # cycle
+            props = subj_map.get(cur)
+            if props is None or len(props) != 2:
+                return None
+            firsts = [o for (p, o) in props if key(p) == _RDF_FIRST_NT]
+            rests = [o for (p, o) in props if key(p) == _RDF_REST_NT]
+            if len(firsts) != 1 or len(rests) != 1:
+                return None
+            nodes.add(cur)
+            elems.append(firsts[0])
+            nxt = rests[0]
+            nk = key(nxt)
+            if nk == _RDF_NIL_NT:
+                return elems, nodes
+            if nxt[0] != KIND_BNODE or not inlinable(nk) \
+                    or nk not in subj_map:
+                return None
+            cur = nk
+
+    rendered: set = set()
+
+    def fmt_obj(o: Term, visiting: frozenset) -> str:
+        k = key(o)
+        if o[0] != KIND_BNODE or not inlinable(k) or k in visiting \
+                or k in rendered:
+            return fmt(o)
+        chain = list_chain(k)
+        if chain is not None:
+            elems, nodes = chain
+            rendered.update(nodes)
+            inner = visiting | nodes
+            return "(" + "".join(
+                " " + fmt_obj(e, inner) for e in elems) + " )" \
+                if elems else "()"
+        props = subj_map.get(k)
+        if props is None:
+            rendered.add(k)
+            return "[]"
+        rendered.add(k)
+        return "[ " + render_props(props, visiting | {k}) + " ]"
+
+    def render_props(props: List[Tuple[Term, Term]],
+                     visiting: frozenset) -> str:
+        by_pred: List[Tuple[str, List[str]]] = []
+        for (p, o) in props:
+            pt = fmt(p)
+            ot = fmt_obj(o, visiting)
+            if not by_pred or by_pred[-1][0] != pt:
+                by_pred.append((pt, []))
+            by_pred[-1][1].append(ot)
+        return " ; ".join(f"{pt} {', '.join(objs)}"
+                          for pt, objs in by_pred)
+
+    def emit_subject(sk: str) -> None:
+        s = subj_term[sk]
+        props = subj_map[sk]
+        rendered.add(sk)
+        visiting = frozenset([sk])
+        st = None
+        if s[0] == KIND_BNODE and obj_refs.get(sk, 0) == 0 \
+                and sk not in no_inline:
+            # subject-list sugar: render the chain as the subject and
+            # keep any EXTRA predicates as the statement body
+            firsts = [(p, o) for (p, o) in props
+                      if key(p) == _RDF_FIRST_NT]
+            rests = [(p, o) for (p, o) in props if key(p) == _RDF_REST_NT]
+            extra = [(p, o) for (p, o) in props
+                     if key(p) not in (_RDF_FIRST_NT, _RDF_REST_NT)]
+            if len(firsts) == 1 and len(rests) == 1 and extra:
+                saved = dict(subj_map)
+                subj_map[sk] = firsts + rests
+                chain = list_chain(sk)
+                subj_map[sk] = saved[sk]
+                if chain is not None:
+                    elems, nodes = chain
+                    rendered.update(nodes)
+                    inner = visiting | nodes
+                    st = "(" + "".join(
+                        " " + fmt_obj(e, inner) for e in elems) + " )"
+                    props = extra
+            if st is None:
+                st = "[]"
+        if st is None:
+            st = fmt(s)
         lines = [st]
-        for i, (pt, objs) in enumerate(plist):
-            sep = ";" if i + 1 < len(plist) else "."
+        by_pred: List[Tuple[str, List[str]]] = []
+        for (p, o) in props:
+            pt = fmt(p)
+            ot = fmt_obj(o, visiting)
+            if not by_pred or by_pred[-1][0] != pt:
+                by_pred.append((pt, []))
+            by_pred[-1][1].append(ot)
+        for i, (pt, objs) in enumerate(by_pred):
+            sep = ";" if i + 1 < len(by_pred) else "."
             lines.append(f"{indent}{pt} {', '.join(objs)} {sep}")
         out.append("\n".join(lines))
+
+    for sk in subj_order:
+        if not (subj_term[sk][0] == KIND_BNODE and inlinable(sk)):
+            emit_subject(sk)
+    # leftovers: inline-candidates never consumed (cycle components)
+    for sk in subj_order:
+        if sk not in rendered:
+            emit_subject(sk)
     return "\n".join(out) + ("\n" if out else "")
 
 
