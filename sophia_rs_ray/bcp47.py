@@ -53,3 +53,62 @@ def check_tag(tag: str) -> str:
     if not is_valid_tag(tag):
         raise InvalidLanguageTag(f"invalid BCP47 language tag {tag!r}")
     return tag
+
+
+class LanguageTag:
+    """Validated BCP47 tag with the reference's case-insensitive
+    equality / ordering / hashing semantics (``_tag.rs:104-152``):
+    two tags differing only in case compare equal and hash equal;
+    ordering compares the ASCII-lowercased forms.  Comparisons accept
+    plain strings on either side."""
+
+    __slots__ = ("tag",)
+
+    def __init__(self, tag: str, *, unchecked: bool = False):
+        if not unchecked:
+            check_tag(tag)
+        self.tag = tag
+
+    @classmethod
+    def new_unchecked(cls, tag: str) -> "LanguageTag":
+        return cls(tag, unchecked=True)
+
+    def __str__(self) -> str:
+        return self.tag
+
+    def __repr__(self) -> str:
+        return f"LanguageTag({self.tag!r})"
+
+    def _key(self) -> str:
+        return self.tag.lower()
+
+    @staticmethod
+    def _other(other) -> str:
+        if isinstance(other, LanguageTag):
+            return other._key()
+        if isinstance(other, str):
+            return other.lower()
+        return NotImplemented  # type: ignore[return-value]
+
+    def __eq__(self, other) -> bool:
+        o = self._other(other)
+        return NotImplemented if o is NotImplemented else self._key() == o
+
+    def __hash__(self) -> int:
+        return hash(self._key())
+
+    def __lt__(self, other) -> bool:
+        o = self._other(other)
+        return NotImplemented if o is NotImplemented else self._key() < o
+
+    def __le__(self, other) -> bool:
+        o = self._other(other)
+        return NotImplemented if o is NotImplemented else self._key() <= o
+
+    def __gt__(self, other) -> bool:
+        o = self._other(other)
+        return NotImplemented if o is NotImplemented else self._key() > o
+
+    def __ge__(self, other) -> bool:
+        o = self._other(other)
+        return NotImplemented if o is NotImplemented else self._key() >= o

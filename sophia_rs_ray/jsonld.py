@@ -184,7 +184,18 @@ class _Context:
         out = self.copy()
         for part in ctx if isinstance(ctx, list) else [ctx]:
             if isinstance(part, str):
-                part = self._load_remote(part)
+                # remote context URLs resolve against the document base
+                # before dereferencing (JSON-LD 1.1 §5.2.2 step 5.2.1)
+                url = part
+                if out.base:
+                    try:
+                        url = resolve(out.base, part)
+                    except ValueError:
+                        pass
+                loaded = self._load_remote(url)
+                if loaded is None and url != part:
+                    loaded = self._load_remote(part)
+                part = loaded
                 if part is None:
                     continue  # unknown remote context: NoLoader behavior
             if part is None:

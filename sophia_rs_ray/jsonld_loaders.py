@@ -1,0 +1,152 @@
+"""Composable JSON-LD document loaders — the reference's loader suite
+(``jsonld/src/loader.rs`` + ``jsonld/src/loader/``: NoLoader, FsLoader,
+StaticLoader, FileUrlLoader, ChainLoader, ClosureLoader) re-expressed
+as plain callables.
+
+A loader is a callable ``(url: str) -> document`` (parsed JSON) that
+raises :class:`LoaderError` when it cannot serve the URL.
+:func:`as_context_loader` adapts any loader to the
+``JsonLdOptions.context_loader`` slot, whose protocol is
+"return None for unknown contexts" (the pipeline's NoLoader default —
+unknown remote contexts are ignored rather than failing the document).
+No loader here performs network I/O: HTTP stays a user-supplied
+closure (``ClosureLoader``), by design (SURVEY §2.1 no-network rule).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, Dict, List, Optional, Tuple
+
+__all__ = [
+    "LoaderError", "NoLoader", "StaticLoader", "FsLoader",
+    "FileUrlLoader", "ChainLoader", "ClosureLoader", "as_context_loader",
+]
+
+
+class LoaderError(Exception):
+    """Raised by a loader that cannot serve the requested URL."""
+
+
+class NoLoader:
+    """Loads nothing — for self-sufficient documents
+    (``json_ld::NoLoader``)."""
+
+    def __call__(self, url: str):
+        raise LoaderError(f"NoLoader cannot load {url}")
+
+
+class StaticLoader:
+    """Serves a fixed URL → document mapping from memory — embed
+    normative contexts in a program (``loader/static_loader.rs``)."""
+
+    def __init__(self, documents: Optional[Dict[str, object]] = None):
+        self.docs: Dict[str, object] = dict(documents or {})
+
+    def with_(self, url: str, document) -> "StaticLoader":
+        """Builder-style registration (``StaticLoader::with``)."""
+        self.docs[url] = document
+        return self
+
+    def __call__(self, url: str):
+        try:
+            return self.docs[url]
+        except KeyError:
+            raise LoaderError(f"StaticLoader has no document for {url}") \
+                from None
+
+
+class FsLoader:
+    """Maps URL prefixes to file-system directories
+    (``json_ld::FsLoader``): ``mount("http://ex.org/ctx/", "/srv/ctx")``
+    serves ``http://ex.org/ctx/a/b.jsonld`` from ``/srv/ctx/a/b.jsonld``.
+    Path traversal outside a mounted directory is refused."""
+
+    def __init__(self):
+        self.mounts: List[Tuple[str, str]] = []
+
+    def mount(self, url_prefix: str, directory: str) -> "FsLoader":
+        self.mounts.append((url_prefix.rstrip("/") + "/",
+                            os.path.abspath(directory)))
+        return self
+
+    def __call__(self, url: str):
+        for prefix, directory in self.mounts:
+            if not url.startswith(prefix):
+                continue
+            rel = url[len(prefix):].split("#", 1)[0].split("?", 1)[0]
+            path = os.path.abspath(os.path.join(directory,
+                                                *rel.split("/")))
+            if not path.startswith(directory + os.sep):
+                raise LoaderError(f"path escape refused for {url}")
+            try:
+                with open(path, encoding="utf-8") as f:
+                    return json.load(f)
+            except FileNotFoundError:
+                raise LoaderError(f"no file for {url}") from None
+            except ValueError as e:
+                raise LoaderError(f"invalid JSON at {url}: {e}") from None
+        raise LoaderError(f"no mount covers {url}")
+
+
+class FileUrlLoader:
+    """Loads ``file:`` URLs from the local file system
+    (``loader/file_url_loader.rs``)."""
+
+    def __call__(self, url: str):
+        if not url.startswith("file:"):
+            raise LoaderError(f"not a file: URL: {url}")
+        path = url[len("file://"):] if url.startswith("file://") \
+            else url[len("file:"):]
+        path = path.split("#", 1)[0].split("?", 1)[0]
+        try:
+            with open(path, encoding="utf-8") as f:
+                return json.load(f)
+        except FileNotFoundError:
+            raise LoaderError(f"no file for {url}") from None
+        except ValueError as e:
+            raise LoaderError(f"invalid JSON at {url}: {e}") from None
+
+
+class ChainLoader:
+    """Tries each loader in turn; first success wins; raises only when
+    all fail (``loader/chain_loader.rs`` generalized to N loaders)."""
+
+    def __init__(self, *loaders):
+        self.loaders = loaders
+
+    def __call__(self, url: str):
+        errors = []
+        for ld in self.loaders:
+            try:
+                return ld(url)
+            except LoaderError as e:
+                errors.append(str(e))
+        raise LoaderError("; ".join(errors) or f"empty chain for {url}")
+
+
+class ClosureLoader:
+    """Wraps a plain function ``(url) -> document | None``
+    (``loader/closure_loader.rs``) — the hook where a user plugs an
+    HTTP client; ``None`` means "cannot serve"."""
+
+    def __init__(self, fn: Callable[[str], object]):
+        self.fn = fn
+
+    def __call__(self, url: str):
+        doc = self.fn(url)
+        if doc is None:
+            raise LoaderError(f"closure returned None for {url}")
+        return doc
+
+
+def as_context_loader(loader) -> Callable[[str], object]:
+    """Adapt a raising loader to ``JsonLdOptions.context_loader``
+    (None = unknown context, ignored by the processor)."""
+    def ctx_loader(url: str):
+        try:
+            return loader(url)
+        except LoaderError:
+            return None
+    return ctx_loader

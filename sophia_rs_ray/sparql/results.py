@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import io
 import json
+import re
 from typing import Dict, List, Optional, Sequence, Tuple, Union
 
 from ..ntriples import parse_term_text
@@ -256,9 +257,28 @@ def parse_tsv_results(text: str) -> Tuple[List[str], BindingsRows]:
         cells = line.split("\t")
         row: Dict[str, Optional[str]] = {}
         for v, cell in zip(vars_, cells):
-            row[v] = format_term(parse_term_text(cell)) if cell else None
+            row[v] = _parse_tsv_term(cell) if cell else None
         rows.append(row)
     return vars_, rows
+
+
+_TSV_SUGAR = [  # SPARQL-TSV terms use TURTLE syntax incl. number sugar
+    (re.compile(r"^[+-]?[0-9]+$"),
+     "http://www.w3.org/2001/XMLSchema#integer"),
+    (re.compile(r"^[+-]?[0-9]*\.[0-9]+$"),
+     "http://www.w3.org/2001/XMLSchema#decimal"),
+    (re.compile(r"^[+-]?(?:[0-9]+\.?[0-9]*|\.[0-9]+)[eE][+-]?[0-9]+$"),
+     "http://www.w3.org/2001/XMLSchema#double"),
+    (re.compile(r"^(?:true|false)$"),
+     "http://www.w3.org/2001/XMLSchema#boolean"),
+]
+
+
+def _parse_tsv_term(cell: str) -> str:
+    for rx, dt in _TSV_SUGAR:
+        if rx.match(cell):
+            return format_term((2, cell, dt, "", 0))
+    return format_term(parse_term_text(cell))
 
 
 def bindings_to_csv(bindings, vars: Optional[Sequence[str]] = None) -> str:

@@ -1,0 +1,157 @@
+"""SPARQL 1.1 protocol client surface — the reference's
+``sparql_client/src/lib.rs:58-190`` re-expressed with a PLUGGABLE
+transport instead of a bundled HTTP stack (no network ships in this
+engine by design; plug ``requests``/``urllib`` in one lambda).
+
+A transport is a callable
+
+    transport(endpoint: str, query: str, headers: dict) ->
+        (content_type: str, body: str)
+
+The client POSTs the query with the reference's default Accept header,
+then dispatches on the response content type exactly like the
+reference: SPARQL-results JSON/XML/TSV → ``Bindings`` or a bool,
+Turtle / N-Triples / RDF/XML → an iterator of term triples.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+__all__ = ["SparqlClient", "Bindings", "SparqlClientError",
+           "static_transport"]
+
+
+class SparqlClientError(Exception):
+    """Protocol-level failure (transport error, unsupported type)."""
+
+
+class Bindings:
+    """SELECT result: ``variables()`` + iteration yielding one
+    ``{var: value-or-None}`` row dict per solution (reference
+    ``SparqlBindings`` + row iterator)."""
+
+    def __init__(self, vars_: Sequence[str], rows: List[dict]):
+        self._vars = list(vars_)
+        self._rows = rows
+
+    def variables(self) -> List[str]:
+        return list(self._vars)
+
+    def __iter__(self):
+        return iter(self._rows)
+
+    def __len__(self) -> int:
+        return len(self._rows)
+
+    def to_dataset(self):
+        """Bindings → Ray Dataset (the SERVICE join input)."""
+        from .sparql.results import rows_to_dataset
+
+        return rows_to_dataset(self._vars, self._rows)
+
+
+#: reference Self::DEFAULT_ACCEPT (lib.rs:67)
+DEFAULT_ACCEPT = ("application/sparql-results+json,"
+                  "application/sparql-results+xml;q=0.8,text/turtle,"
+                  "application/n-triples;q=0.9,application/rdf+xml;q=0.8")
+
+
+class SparqlClient:
+    """``SparqlClient::new(endpoint).query(q)`` parity.
+
+    ``query`` returns ``bool`` (ASK), :class:`Bindings` (SELECT), or a
+    list of term triples (CONSTRUCT/DESCRIBE), mirroring the
+    reference's ``SparqlResult`` enum."""
+
+    def __init__(self, endpoint: str,
+                 transport: Optional[Callable] = None):
+        self.endpoint = endpoint
+        self.transport = transport
+        self._accept: Optional[str] = None
+
+    # builder-style configuration (lib.rs with_client / with_accept)
+    def with_transport(self, transport: Callable) -> "SparqlClient":
+        self.transport = transport
+        return self
+
+    def with_accept(self, accept: str) -> "SparqlClient":
+        self._accept = accept
+        return self
+
+    def accept(self) -> str:
+        return self._accept or DEFAULT_ACCEPT
+
+    def query(self, query: str):
+        if self.transport is None:
+            raise SparqlClientError(
+                "no transport configured (this engine ships no HTTP "
+                "stack; pass transport=lambda endpoint, q, headers: …)")
+        headers = {"Accept": self.accept(),
+                   "Content-type": "application/sparql-query",
+                   "User-Agent": "sophia_rs_ray SPARQL client"}
+        try:
+            ctype, body = self.transport(self.endpoint, query, headers)
+        except Exception as e:
+            raise SparqlClientError(f"transport failed: {e}") from e
+        return self._dispatch(ctype, body)
+
+    # --- response dispatch (lib.rs:133-168) --------------------------
+    def _dispatch(self, content_type: str, body: str):
+        from .sparql.results import parse_results
+
+        ctype = (content_type or "application/octet-stream") \
+            .split(";", 1)[0].strip().lower()
+        if ctype == "application/sparql-results+json":
+            parsed = parse_results(body, "json")
+        elif ctype == "application/sparql-results+xml":
+            parsed = parse_results(body, "xml")
+        elif ctype in ("text/tab-separated-values",):
+            parsed = parse_results(body, "tsv")
+        elif ctype == "text/turtle":
+            from .turtle import parse_turtle
+
+            return parse_turtle(body)
+        elif ctype == "application/n-triples":
+            from .ntriples import parse_document
+
+            return [(s, p, o) for (s, p, o, _g) in parse_document(body)]
+        elif ctype == "application/rdf+xml":
+            from .rdfxml import parse_rdfxml
+
+            return parse_rdfxml(body)
+        else:
+            raise SparqlClientError(
+                f"unsupported content-type: {ctype}")
+        if isinstance(parsed, bool):
+            return parsed
+        vars_, rows = parsed
+        return Bindings(vars_, rows)
+
+    # --- SERVICE integration -----------------------------------------
+    def as_service_resolver(self) -> Callable[[str, str], str]:
+        """Adapter for ``sparql.algebra.set_service_resolver``: SERVICE
+        clauses then run through this client's transport (the resolver
+        protocol wants the raw document text; format is re-sniffed by
+        the evaluator)."""
+        def resolver(endpoint_iri: str, query_text: str) -> str:
+            headers = {"Accept": self.accept(),
+                       "Content-type": "application/sparql-query",
+                       "User-Agent": "sophia_rs_ray SPARQL client"}
+            _ctype, body = self.transport(endpoint_iri, query_text,
+                                          headers)
+            return body
+        return resolver
+
+
+def static_transport(responses: Dict[str, Tuple[str, str]]):
+    """Requests-free transport double: maps endpoint → (content_type,
+    body), ignoring the query — the unit-test stand-in for an HTTP
+    client."""
+    def transport(endpoint: str, _query: str, _headers: dict):
+        try:
+            return responses[endpoint]
+        except KeyError:
+            raise SparqlClientError(
+                f"no canned response for {endpoint}") from None
+    return transport

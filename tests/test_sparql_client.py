@@ -1,0 +1,145 @@
+"""SPARQL-protocol client parity (reference sparql_client/src/lib.rs):
+content-negotiated dispatch over a requests-free transport double, and
+SERVICE integration through the pluggable resolver."""
+
+import pytest
+
+from sophia_rs_ray.sparql_client import (Bindings, SparqlClient,
+                                         SparqlClientError,
+                                         static_transport)
+
+EP = "http://sparql.example/endpoint"
+
+JSON_BINDINGS = """{
+  "head": {"vars": ["s", "n"]},
+  "results": {"bindings": [
+    {"s": {"type": "uri", "value": "http://e/a"},
+     "n": {"type": "literal", "value": "1",
+           "datatype": "http://www.w3.org/2001/XMLSchema#integer"}},
+    {"s": {"type": "uri", "value": "http://e/b"}}
+  ]}
+}"""
+
+JSON_ASK = '{"head": {}, "boolean": true}'
+
+XML_BINDINGS = """<?xml version="1.0"?>
+<sparql xmlns="http://www.w3.org/2005/sparql-results#">
+  <head><variable name="s"/></head>
+  <results>
+    <result><binding name="s"><uri>http://e/a</uri></binding></result>
+  </results>
+</sparql>"""
+
+TSV_BINDINGS = "?s\t?n\n<http://e/a>\t1\n"
+
+TURTLE_DOC = "<http://e/s> <http://e/p> <http://e/o> ."
+NT_DOC = "<http://e/s> <http://e/p> \"v\" .\n"
+RDFXML_DOC = """<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:e="http://e/">
+  <rdf:Description rdf:about="http://e/s"><e:p>v</e:p></rdf:Description>
+</rdf:RDF>"""
+
+
+def _cli(ctype, body):
+    return SparqlClient(EP, transport=static_transport(
+        {EP: (ctype, body)}))
+
+
+def test_ask_returns_bool():
+    assert _cli("application/sparql-results+json", JSON_ASK) \
+        .query("ASK {}") is True
+
+
+def test_select_json_bindings():
+    res = _cli("application/sparql-results+json;charset=utf-8",
+               JSON_BINDINGS).query("SELECT * {}")
+    assert isinstance(res, Bindings)
+    assert res.variables() == ["s", "n"]
+    rows = list(res)
+    assert len(rows) == 2
+    assert rows[0]["s"] == "<http://e/a>"
+    assert rows[1].get("n") is None        # unbound OPTIONAL
+
+
+def test_select_xml_bindings():
+    res = _cli("application/sparql-results+xml", XML_BINDINGS) \
+        .query("SELECT * {}")
+    assert res.variables() == ["s"]
+    assert list(res)[0]["s"] == "<http://e/a>"
+
+
+def test_select_tsv_bindings():
+    res = _cli("text/tab-separated-values", TSV_BINDINGS) \
+        .query("SELECT * {}")
+    assert res.variables() == ["s", "n"]
+
+
+@pytest.mark.parametrize("ctype,body", [
+    ("text/turtle", TURTLE_DOC),
+    ("application/n-triples", NT_DOC),
+    ("application/rdf+xml", RDFXML_DOC),
+])
+def test_graph_responses_yield_triples(ctype, body):
+    triples = _cli(ctype, body).query("CONSTRUCT {} WHERE {}")
+    assert len(triples) == 1
+    s, p, o = triples[0]
+    assert s[1] == "http://e/s"
+
+
+def test_unsupported_content_type():
+    with pytest.raises(SparqlClientError, match="unsupported"):
+        _cli("application/octet-stream", "x").query("SELECT * {}")
+
+
+def test_no_transport_is_explicit_error():
+    with pytest.raises(SparqlClientError, match="transport"):
+        SparqlClient(EP).query("ASK {}")
+
+
+def test_accept_header_default_and_override():
+    seen = {}
+
+    def transport(endpoint, q, headers):
+        seen.update(headers)
+        return "application/sparql-results+json", JSON_ASK
+
+    cli = SparqlClient(EP, transport=transport)
+    cli.query("ASK {}")
+    assert seen["Accept"].startswith("application/sparql-results+json")
+    cli.with_accept("text/turtle").query("ASK {}")
+    assert seen["Accept"] == "text/turtle"
+
+
+def test_bindings_to_dataset(ray_session):
+    res = _cli("application/sparql-results+json", JSON_BINDINGS) \
+        .query("SELECT * {}")
+    ds = res.to_dataset()
+    assert ds.count() == 2
+
+
+def test_service_clause_runs_through_client(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sophia_rs_ray.sparql.algebra import set_service_resolver
+    from sophia_rs_ray.sparql.run import sparql
+
+    cli = SparqlClient(EP, transport=static_transport(
+        {"http://remote.example/sparql":
+         ("application/sparql-results+json", JSON_BINDINGS)}))
+    set_service_resolver(cli.as_service_resolver())
+    try:
+        tbl = pa.table({
+            "s": pa.array(["<http://e/a>"], pa.large_string()),
+            "p": pa.array(["<http://e/p>"], pa.large_string()),
+            "o": pa.array(["<http://e/o>"], pa.large_string()),
+            "g": pa.array([""], pa.large_string()),
+        })
+        q = """SELECT ?s ?n WHERE {
+          SERVICE <http://remote.example/sparql> { ?s ?x ?n }
+        }"""
+        rows = sparql(q, rd.from_arrow(tbl)).take_all()
+        assert {r["s"] for r in rows} == {"<http://e/a>", "<http://e/b>"}
+    finally:
+        set_service_resolver(None)
