@@ -511,13 +511,18 @@ def _term_to_jsonld(t: Term):
     raise ValueError(f"JSON-LD cannot serialize term kind {t[0]}")
 
 
-def serialize_jsonld(triples) -> str:
-    """Triples (Term tuples) → flattened expanded JSON-LD text.
-    Deterministic: nodes in first-seen subject order, values in input
-    order, keys sorted inside each node."""
+_RDF_FIRST_IRI = "http://www.w3.org/1999/02/22-rdf-syntax-ns#first"
+_RDF_REST_IRI = "http://www.w3.org/1999/02/22-rdf-syntax-ns#rest"
+_RDF_NIL_IRI = "http://www.w3.org/1999/02/22-rdf-syntax-ns#nil"
 
+
+def _build_nodes(triples, fold_lists: bool = False):
+    """Triples → (subject order, {id: expanded node}); with
+    ``fold_lists``, single-reference rdf:first/rest chains collapse
+    into ``{"@list": […]}`` values and their nodes are dropped."""
     nodes: dict = {}
     order: list = []
+    obj_refs: dict = {}
     for s, p, o in triples:
         sid = ("_:" + s[1]) if s[0] == KIND_BNODE else s[1]
         if sid not in nodes:
@@ -528,8 +533,184 @@ def serialize_jsonld(triples) -> str:
             node.setdefault("@type", []).append(o[1])
         else:
             node.setdefault(p[1], []).append(_term_to_jsonld(o))
-    out = [dict(sorted(nodes[sid].items())) for sid in order]
-    return json.dumps(out, ensure_ascii=False, sort_keys=False)
+        if o[0] == KIND_BNODE:
+            oid = "_:" + o[1]
+            obj_refs[oid] = obj_refs.get(oid, 0) + 1
+    if not fold_lists:
+        return order, nodes
+
+    def chain(head: str):
+        elems, consumed = [], []
+        cur = head
+        while True:
+            n = nodes.get(cur)
+            if n is None or set(n) != {"@id", _RDF_FIRST_IRI,
+                                       _RDF_REST_IRI}:
+                return None
+            if len(n[_RDF_FIRST_IRI]) != 1 or len(n[_RDF_REST_IRI]) != 1:
+                return None
+            consumed.append(cur)
+            elems.append(n[_RDF_FIRST_IRI][0])
+            nxt = n[_RDF_REST_IRI][0]
+            nid = nxt.get("@id") if isinstance(nxt, dict) else None
+            if nid == _RDF_NIL_IRI:
+                return elems, consumed
+            if nid is None or not nid.startswith("_:") \
+                    or obj_refs.get(nid, 0) != 1 or nid in consumed:
+                return None
+            cur = nid
+
+    consumed_all: set = set()
+    for sid in order:
+        node = nodes[sid]
+        for key, vals in list(node.items()):
+            if key == "@id":
+                continue
+            for i, v in enumerate(vals if key != "@type" else []):
+                vid = v.get("@id") if isinstance(v, dict) else None
+                if vid is None or not vid.startswith("_:") \
+                        or obj_refs.get(vid, 0) != 1 \
+                        or vid in consumed_all or vid == sid:
+                    continue
+                got = chain(vid)
+                if got is None:
+                    continue
+                elems, consumed = got
+                # elements may themselves be folded heads; resolve after
+                vals[i] = {"@list": elems}
+                consumed_all.update(consumed)
+    if consumed_all:
+        order = [sid for sid in order if sid not in consumed_all]
+        for sid in consumed_all:
+            nodes.pop(sid, None)
+    return order, nodes
+
+
+def serialize_jsonld(triples, context: Optional[dict] = None,
+                     compact_arrays: bool = True) -> str:
+    """Triples (Term tuples) → JSON-LD text.
+
+    Default: flattened expanded form (deterministic: nodes in
+    first-seen subject order, values in input order, keys sorted per
+    node).  With ``context``, the document is COMPACTED against it
+    (JSON-LD 1.1 Compaction; reference
+    ``jsonld/src/serializer/engine.rs`` options surface): term and
+    CURIE substitution for IRIs, @vocab-relative keys, typed-value /
+    language compaction per term definition, @container @list/@set
+    handling (rdf:first/rest chains fold into ``@list``), and
+    single-element arrays collapse unless ``compact_arrays=False``."""
+    if context is None:
+        order, nodes = _build_nodes(triples)
+        out = [dict(sorted(nodes[sid].items())) for sid in order]
+        return json.dumps(out, ensure_ascii=False, sort_keys=False)
+
+    order, nodes = _build_nodes(triples, fold_lists=True)
+    comp = _Compactor(context, compact_arrays)
+    out = [comp.node(dict(sorted(nodes[sid].items()))) for sid in order]
+    doc: dict = {"@context": context}
+    if len(out) == 1:
+        doc.update(out[0])
+    else:
+        doc["@graph"] = out
+    return json.dumps(doc, ensure_ascii=False, sort_keys=False)
+
+
+class _Compactor:
+    """Scoped JSON-LD 1.1 compaction against a caller-supplied
+    context: exact-term, CURIE, and @vocab IRI compaction + value
+    compaction driven by the term definitions."""
+
+    def __init__(self, context: dict, compact_arrays: bool = True):
+        self.compact_arrays = compact_arrays
+        self.vocab = None
+        self.defs: dict = {}          # term -> normalized definition
+        self.by_iri: dict = {}        # iri -> term (first wins)
+        self.prefixes: list = []      # (iri-prefix, term), longest first
+        for term, d in context.items():
+            if term.startswith("@"):
+                if term == "@vocab":
+                    self.vocab = d
+                continue
+            dd = {"@id": d} if isinstance(d, str) else dict(d)
+            iri = dd.get("@id")
+            if iri is None and self.vocab:
+                iri = self.vocab + term
+                dd["@id"] = iri
+            self.defs[term] = dd
+            if iri and iri not in self.by_iri:
+                self.by_iri[iri] = term
+            if isinstance(d, str) and d[-1:] in ("/", "#", ":"):
+                self.prefixes.append((d, term))
+        self.prefixes.sort(key=lambda pr: -len(pr[0]))
+
+    def iri(self, iri: str, vocab: bool = True) -> str:
+        if vocab and iri in self.by_iri:
+            return self.by_iri[iri]
+        if vocab and self.vocab and iri.startswith(self.vocab) \
+                and len(iri) > len(self.vocab):
+            suffix = iri[len(self.vocab):]
+            if suffix not in self.defs:
+                return suffix
+        for prefix, term in self.prefixes:
+            if iri.startswith(prefix) and len(iri) > len(prefix):
+                return f"{term}:{iri[len(prefix):]}"
+        return iri
+
+    def value(self, term_def: dict, v):
+        if isinstance(v, dict) and "@list" in v:
+            inner = [self.value(term_def, x) for x in v["@list"]]
+            if term_def.get("@container") == "@list":
+                return inner            # container absorbs the keyword
+            return {"@list": inner}
+        if isinstance(v, dict) and set(v) == {"@id"}:
+            cid = self.iri(v["@id"], vocab=False)
+            if term_def.get("@type") == "@id":
+                return cid
+            return {"@id": cid}
+        if isinstance(v, dict) and "@value" in v:
+            dt = v.get("@type")
+            lang = v.get("@language")
+            if dt and term_def.get("@type") == dt:
+                return v["@value"]
+            if lang and term_def.get("@language") == lang:
+                return v["@value"]
+            if not dt and not lang:
+                return v["@value"]
+            out = {"@value": v["@value"]}
+            if dt:
+                out["@type"] = self.iri(dt)
+            if lang:
+                out["@language"] = lang
+            return out
+        return v
+
+    def node(self, node: dict) -> dict:
+        out: dict = {}
+        nid = node.get("@id")
+        if nid is not None and not nid.startswith("_:"):
+            out["@id"] = self.iri(nid, vocab=False)
+        elif nid is not None:
+            out["@id"] = nid
+        for key, vals in node.items():
+            if key == "@id":
+                continue
+            if key == "@type":
+                tv = [self.iri(t) for t in vals]
+                out["@type"] = tv[0] if len(tv) == 1 \
+                    and self.compact_arrays else tv
+                continue
+            term = self.iri(key)
+            term_def = self.defs.get(term, {})
+            cv = [self.value(term_def, v) for v in vals]
+            keep_array = term_def.get("@container") in ("@set",) \
+                or not self.compact_arrays
+            if term_def.get("@container") == "@list" and len(cv) == 1 \
+                    and isinstance(cv[0], list):
+                out[term] = cv[0]
+            else:
+                out[term] = cv[0] if len(cv) == 1 and not keep_array \
+                    else cv
+        return out
 
 
 def format_jsonld_batch(batch):
