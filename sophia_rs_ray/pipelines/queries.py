@@ -241,6 +241,52 @@ def _jsonld_roundtrip(sf_dir: str):
 JSONLD_ROUNDTRIP_SQL = f"SELECT s, p, o FROM ({DOC_TRIPLES_SQL})"
 
 
+def _jsonld_compact_roundtrip(sf_dir: str):
+    """doc_triples → COMPACTED JSON-LD per batch (term/CURIE/@vocab +
+    typed-value folding against a caller context; reference
+    jsonld/src/serializer/engine.rs compaction options) → our expander
+    → NT rows.  Oracle = the plain doc_triples SQL, so the compaction
+    must be perfectly information-preserving."""
+    from ..jsonld import jsonld_to_triples, serialize_jsonld
+    from ..ntriples import parse_term_text
+
+    ctx = {
+        "dc": "http://purl.org/dc/terms/",
+        "Document": "http://kg.example/Document",
+        "nchars": {"@id": "http://kg.example/nchars",
+                   "@type": "http://www.w3.org/2001/XMLSchema#integer"},
+    }
+    ds = doc_triples(sf_dir)
+
+    def ser(b: pa.Table) -> pa.Table:
+        trs = [(parse_term_text(s), parse_term_text(p),
+                parse_term_text(o))
+               for s, p, o in zip(b["s"].to_pylist(), b["p"].to_pylist(),
+                                  b["o"].to_pylist())]
+        return pa.table({"jsonld": pa.array(
+            [serialize_jsonld(trs, context=ctx)], pa.large_string())})
+
+    docs = ds.map_batches(ser, batch_format="pyarrow")
+
+    def parse_chunk(b: pa.Table) -> pa.Table:
+        s_out, p_out, o_out = [], [], []
+        for text in b["jsonld"].to_pylist():
+            trs, err = jsonld_to_triples(text)
+            assert err is None, err
+            for (s, p, o, _g) in trs:
+                s_out.append(format_term(s))
+                p_out.append(format_term(p))
+                o_out.append(format_term(o))
+        return pa.table({"s": pa.array(s_out, pa.large_string()),
+                         "p": pa.array(p_out, pa.large_string()),
+                         "o": pa.array(o_out, pa.large_string())})
+
+    return docs.map_batches(parse_chunk, batch_format="pyarrow")
+
+
+JSONLD_COMPACT_ROUNDTRIP_SQL = f"SELECT s, p, o FROM ({DOC_TRIPLES_SQL})"
+
+
 def _c14n_normalize(sf_dir: str):
     """Whole-dataset RDFC-1.0 over the (bnode-free) doc-triples table →
     sorted canonical N-Quads lines (c14n/src/rdfc10.rs:28-105)."""
@@ -1537,6 +1583,8 @@ def registry() -> Registry:
         "turtle_roundtrip": (_turtle_roundtrip, TURTLE_ROUNDTRIP_SQL),
         "rdfxml_roundtrip": (_rdfxml_roundtrip, RDFXML_ROUNDTRIP_SQL),
         "jsonld_roundtrip": (_jsonld_roundtrip, JSONLD_ROUNDTRIP_SQL),
+        "jsonld_compact_roundtrip": (_jsonld_compact_roundtrip,
+                                     JSONLD_COMPACT_ROUNDTRIP_SQL),
         "c14n_normalize": (_c14n_normalize, C14N_NORMALIZE_SQL),
         # SPARQL-ish relational operators
         "tpch_q1": (R.tpch_q1, R.TPCH_Q1_SQL),
