@@ -283,9 +283,139 @@ class PageExtractor(HTMLParser):
             self._vocab_stack.pop()
 
 
-def extract_page(html: str):
+# ---------------------------------------------------------------------------
+# fast tokenizer front end
+# ---------------------------------------------------------------------------
+# The PageExtractor consumes SAX events, so the stdlib parser is
+# replaceable: ``html.parser``'s goahead/parse_starttag is 58% of the
+# flagship extract stage's CPU (profiled at bench scale).  This
+# tokenizer emits the SAME event stream for well-formed and typical
+# malformed HTML (differential-tested against the stdlib parser in
+# tests/test_extract_fast.py); anything it cannot tokenize falls back
+# to the stdlib path per document.
+
+#: html.parser's CDATA_CONTENT_ELEMENTS — stdlib does NOT raw-text
+#: textarea/title, so neither do we (differential parity)
+_RAWTEXT_TAGS = frozenset(("script", "style"))
+_START_RE = re.compile(
+    r"<([a-zA-Z][^\t\n\r\f />\x00]*)"                  # tag name
+    r"((?:[^>\"']|\"[^\"]*\"|'[^']*')*?)"              # attr soup
+    r"(/?)>", re.S)
+_END_RE = re.compile(r"</([a-zA-Z][^\t\n\r\f />\x00]*)[^>]*>", re.S)
+_ATTR_RE = re.compile(
+    r"""([^\s/>=]+)(?:\s*=\s*("[^"]*"|'[^']*'|[^\s>]*))?""", re.S)
+_RAW_END: Dict[str, "re.Pattern[str]"] = {}
+
+
+def _raw_end(tag: str):
+    rx = _RAW_END.get(tag)
+    if rx is None:
+        rx = re.compile(rf"</\s*{tag}[^>]*>", re.I)
+        _RAW_END[tag] = rx
+    return rx
+
+
+def _parse_attrs(src: str):
+    from html import unescape
+
+    out = []
+    for m in _ATTR_RE.finditer(src):
+        name = m.group(1).lower()
+        if name == "/":
+            continue
+        v = m.group(2)
+        if v is None:
+            out.append((name, None))
+            continue
+        if v[:1] in ('"', "'") and v[-1:] == v[:1]:
+            v = v[1:-1]
+        if "&" in v:
+            v = unescape(v)
+        out.append((name, v))
+    return out
+
+
+def _fast_feed(h: PageExtractor, text: str) -> None:
+    """Emit handle_starttag/startendtag/endtag/data events like
+    ``HTMLParser(convert_charrefs=True).feed`` (charrefs decoded in
+    text and attribute values, NOT inside raw-text elements)."""
+    from html import unescape
+
+    pos, n = 0, len(text)
+    find = text.find
+    while pos < n:
+        lt = find("<", pos)
+        if lt < 0:
+            data = text[pos:]
+            h.handle_data(unescape(data) if "&" in data else data)
+            break
+        if lt > pos:
+            data = text[pos:lt]
+            h.handle_data(unescape(data) if "&" in data else data)
+        nxt = text[lt + 1:lt + 2]
+        if nxt == "/":
+            m = _END_RE.match(text, lt)
+            if m:
+                h.handle_endtag(m.group(1).lower())
+                pos = m.end()
+            else:
+                gt = find(">", lt)
+                pos = n if gt < 0 else gt + 1
+        elif nxt.isalpha():
+            m = _START_RE.match(text, lt)
+            if not m:
+                h.handle_data("<")
+                pos = lt + 1
+                continue
+            tag = m.group(1).lower()
+            attrs = _parse_attrs(m.group(2)) if m.group(2) else []
+            pos = m.end()
+            if m.group(3):
+                h.handle_startendtag(tag, attrs)
+                continue
+            h.handle_starttag(tag, attrs)
+            if tag in _RAWTEXT_TAGS and tag not in VOID_TAGS:
+                m2 = _raw_end(tag).search(text, pos)
+                if m2:
+                    raw = text[pos:m2.start()]
+                    if raw:
+                        h.handle_data(raw)       # CDATA: no unescape
+                    h.handle_endtag(tag)
+                    pos = m2.end()
+                else:
+                    # unterminated raw-text element: stdlib swallows
+                    # the buffered content at EOF — match it
+                    pos = n
+        elif nxt == "!":
+            if text.startswith("<!--", lt):
+                end = find("-->", lt + 4)
+                pos = n if end < 0 else end + 3
+            else:                                 # doctype / bogus decl
+                gt = find(">", lt)
+                pos = n if gt < 0 else gt + 1
+        elif nxt == "?":                          # processing instruction
+            gt = find(">", lt)
+            pos = n if gt < 0 else gt + 1
+        else:                                     # lone '<' is text
+            h.handle_data("<")
+            pos = lt + 1
+
+
+def extract_page(html: str, *, engine: str = "fast"):
     """Parse one HTML document → (visible_text, jsonld_blocks, micro_items,
-    rdfa_roots). Never raises on malformed HTML (best-effort recovery)."""
+    rdfa_roots). Never raises on malformed HTML (best-effort recovery).
+    ``engine="stdlib"`` forces the html.parser front end (differential
+    testing; the fast tokenizer also falls back to it per document on
+    any tokenizer error)."""
+    if engine == "fast":
+        p = PageExtractor()
+        try:
+            _fast_feed(p, html)
+            p.close()
+            return (p.visible_text(), p.jsonld_blocks, p.micro_items,
+                    p.rdfa_roots)
+        except Exception:  # noqa: BLE001 — fall back to stdlib parsing
+            pass
     p = PageExtractor()
     try:
         p.feed(html)

@@ -252,6 +252,12 @@ def _partition_layout(orders: Sequence[str], num_shards: int,
     return layout
 
 
+#: below this cell size the dictionary indices outweigh the string
+#: savings (cells are near-unique); at 100-TB block sizes cells are
+#: thousands of rows and interning always engages
+_INTERN_MIN_ROWS = 128
+
+
 def _intern_terms(cell: pa.Table) -> pa.Table:
     """Dictionary-encode a partition piece's term columns: the exchange
     then ships int32 indices + the cell's DISTINCT term strings (the
@@ -260,6 +266,8 @@ def _intern_terms(cell: pa.Table) -> pa.Table:
     bytes ~N×avg-multiplicity).  Exact: the dictionary carries the full
     strings, so no hash-collision risk; the writer decodes before its
     sort (``_decode_terms``)."""
+    if cell.num_rows < _INTERN_MIN_ROWS:
+        return cell
     return pa.table({c: pc.dictionary_encode(cell[c].combine_chunks())
                      for c in cell.column_names})
 
@@ -319,13 +327,23 @@ def _split_block(tbl: pa.Table, orders: Tuple[str, ...], num_shards: int,
     return tuple(out)
 
 
+def _concat_pieces_mixed(parts):
+    """Concat partition pieces that may mix interned (dictionary) and
+    plain (large_string) schemas — small cells skip interning
+    (``_INTERN_MIN_ROWS``), so a partition can receive both."""
+    schemas = {p.schema for p in parts}
+    if len(schemas) > 1:
+        parts = [_decode_terms(p) for p in parts]
+    return pa.concat_tables(parts)
+
+
 def _write_partition(out_dir: str, order: str, shard: int, salt: int,
                      distinct: bool, *parts):
     t0 = time.perf_counter()
     parts = [p for p in parts if p is not None and p.num_rows]
     if not parts:
         return None
-    tbl = pa.concat_tables(parts)
+    tbl = _concat_pieces_mixed(parts)
     t1 = time.perf_counter()
     row = _write_one_partition(tbl, out_dir, order, shard, salt, distinct)
     row["t_concat_ms"] = round(1000 * (t1 - t0), 1)
@@ -342,7 +360,7 @@ def _combine_pieces(*parts):
     parts = [p for p in parts if p is not None and p.num_rows]
     if not parts:
         return None
-    return pa.concat_tables(parts)
+    return _concat_pieces_mixed(parts)
 
 
 def _materialize_exchange(nt_ds, out_dir: str, orders: List[str],
