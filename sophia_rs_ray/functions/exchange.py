@@ -23,6 +23,7 @@ contributes at most ``blocks`` rows to its partition.
 
 from __future__ import annotations
 
+import os
 import zlib
 from typing import Callable, List, Optional, Sequence
 
@@ -31,6 +32,31 @@ import pyarrow.compute as pc
 
 _MASK64 = (1 << 64) - 1
 _FIB = 0x9E3779B97F4A7C15
+
+
+def intern_threshold() -> int:
+    """Minimum partition-piece rows before exchange payloads are
+    dictionary-encoded (SURVEY §1.5 interned terms).
+
+    Interning trades encode/decode CPU for exchange BYTES.  On a
+    single node the object store is shared memory — there are no
+    network bytes to save, so interning is pure overhead (measured:
+    the 500k-page flagship's 16/32-CPU arms regressed ~25% with
+    unconditional interning).  Default: engage at 128-row cells only
+    when the Ray cluster has >1 alive node; ``SOPHIA_INTERN_MIN_ROWS``
+    overrides either way (0 = always, huge = never)."""
+    env = os.environ.get("SOPHIA_INTERN_MIN_ROWS")
+    if env is not None:
+        return int(env)
+    try:
+        import ray
+
+        if ray.is_initialized() and \
+                sum(1 for n in ray.nodes() if n.get("Alive")) > 1:
+            return 128
+    except Exception:
+        pass
+    return 1 << 62
 
 
 def _key_hash(tbl: pa.Table, key_cols: Sequence[str]):

@@ -55,11 +55,14 @@ def dedup_triples(ds, carry_min: tuple = ("url",), with_count: bool = False,
     shared TERM's string also crosses the exchange once per block
     rather than once per distinct triple containing it.
     """
-    from ..functions.exchange import hash_aggregate
+    from ..functions.exchange import hash_aggregate, intern_threshold
 
     keep_extra = list(carry_min) + (["n_dups"] if with_count else [])
     carry = list(carry_min)
     term_cols = ["s", "p", "o"]
+    # interning pays only when exchange bytes cross a network (see
+    # intern_threshold); captured at build time on the driver
+    intern_min = intern_threshold()
 
     def _aggs():
         aggs = [(c, "min") for c in carry]
@@ -85,9 +88,10 @@ def dedup_triples(ds, carry_min: tuple = ("url",), with_count: bool = False,
         g = t.group_by("spo_key").aggregate(
             [(c, "min") for c in term_cols] + _aggs())
         g = g.rename_columns(["spo_key"] + _names())
+        intern = g.num_rows >= intern_min
         return pa.table({
             c: (pc.dictionary_encode(g[c].combine_chunks())
-                if c in term_cols else g[c])
+                if intern and c in term_cols else g[c])
             for c in _names()})
 
     def finalize(t: pa.Table) -> pa.Table:

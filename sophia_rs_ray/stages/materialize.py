@@ -252,21 +252,18 @@ def _partition_layout(orders: Sequence[str], num_shards: int,
     return layout
 
 
-#: below this cell size the dictionary indices outweigh the string
-#: savings (cells are near-unique); at 100-TB block sizes cells are
-#: thousands of rows and interning always engages
-_INTERN_MIN_ROWS = 128
-
-
-def _intern_terms(cell: pa.Table) -> pa.Table:
+def _intern_terms(cell: pa.Table, min_rows: int) -> pa.Table:
     """Dictionary-encode a partition piece's term columns: the exchange
     then ships int32 indices + the cell's DISTINCT term strings (the
     SURVEY §1.5 interned-term payload — a hub term like rdf:type crosses
     the wire once per cell instead of once per row, cutting exchange
     bytes ~N×avg-multiplicity).  Exact: the dictionary carries the full
     strings, so no hash-collision risk; the writer decodes before its
-    sort (``_decode_terms``)."""
-    if cell.num_rows < _INTERN_MIN_ROWS:
+    sort (``_decode_terms``).  ``min_rows`` comes from
+    ``functions.exchange.intern_threshold()``: huge on a single node
+    (shared-memory object store — no bytes to save), 128 on real
+    multi-node clusters."""
+    if cell.num_rows < min_rows:
         return cell
     return pa.table({c: pc.dictionary_encode(cell[c].combine_chunks())
                      for c in cell.column_names})
@@ -284,7 +281,8 @@ def _decode_terms(tbl: pa.Table) -> pa.Table:
 
 
 def _split_block(tbl: pa.Table, orders: Tuple[str, ...], num_shards: int,
-                 salts: Dict[str, int], done_keys: frozenset):
+                 salts: Dict[str, int], done_keys: frozenset,
+                 intern_min: int = 1 << 62):
     """Map side: one input block → one (possibly None) sub-table per
     partition, returned as separate objects so each write task fetches
     ONLY its partition.  One stable argsort + zero-copy slices per
@@ -322,8 +320,9 @@ def _split_block(tbl: pa.Table, orders: Tuple[str, ...], num_shards: int,
                     out.append(None)
                     continue
                 lo, hi = int(bounds[j]), int(bounds[j + 1])
-                out.append(_intern_terms(sorted_tbl.slice(lo, hi - lo))
-                           if hi > lo else None)
+                out.append(
+                    _intern_terms(sorted_tbl.slice(lo, hi - lo),
+                                  intern_min) if hi > lo else None)
     return tuple(out)
 
 
@@ -411,18 +410,21 @@ def _materialize_exchange(nt_ds, out_dir: str, orders: List[str],
         for j in active:
             push(j, piece_refs[j])
 
+    from ..functions.exchange import intern_threshold
+
+    intern_min = intern_threshold()
     n_blocks = 0
     try:
         for bundle in nt_ds.iter_internal_ref_bundles():
             for r in bundle.block_refs:
                 n_blocks += 1
                 feed(split.remote(r, tuple(orders), num_shards, salts,
-                                  done_keys))
+                                  done_keys, intern_min))
     except AttributeError:  # older Ray: no streaming ref API
         for r in nt_ds.to_arrow_refs():
             n_blocks += 1
             feed(split.remote(r, tuple(orders), num_shards, salts,
-                              done_keys))
+                              done_keys, intern_min))
 
     futures = {}
     for j, (oi, shard, salt) in enumerate(layout):

@@ -187,3 +187,42 @@ def test_sparql_over_materialized_graph(ray_session, tmp_path):
     q2 = "SELECT ?o WHERE { <urn:a> <urn:knows>+ ?o }"
     got2 = sorted(r["o"] for r in select(q2, mg).take_all())
     assert got2 == ["<urn:b>", "<urn:c>"]
+
+
+def test_interned_exchange_equals_plain(ray_session, tmp_path,
+                                        monkeypatch):
+    """Force the interned (dictionary) exchange payload path — the
+    single-node default skips it (intern_threshold) — and assert the
+    materialized layouts are byte-equivalent to the plain-string path
+    (same digests, same row counts)."""
+    import ray.data as rd
+
+    ds = rd.from_arrow(_nt_table()).repartition(3)
+    plain_dir = str(tmp_path / "plain")
+    materialize_graph(ds, plain_dir, num_shards=N_SHARDS, salts=SALTS,
+                      distinct=True)
+    monkeypatch.setenv("SOPHIA_INTERN_MIN_ROWS", "0")
+    interned_dir = str(tmp_path / "interned")
+    materialize_graph(ds, interned_dir, num_shards=N_SHARDS, salts=SALTS,
+                      distinct=True)
+    for order in ORDERS:
+        assert dataset_digest(plain_dir, order) == \
+            dataset_digest(interned_dir, order)
+
+
+def test_interned_dedup_equals_plain(ray_session, monkeypatch):
+    """dedup_triples with forced interned payloads returns the same
+    distinct triples as the plain path."""
+    import ray.data as rd
+
+    from sophia_rs_ray.stages.dedup import dedup_triples
+
+    ds = rd.from_arrow(_nt_table()).repartition(3)
+    plain = sorted(
+        (r["s"], r["p"], r["o"])
+        for r in dedup_triples(ds, carry_min=()).take_all())
+    monkeypatch.setenv("SOPHIA_INTERN_MIN_ROWS", "0")
+    interned = sorted(
+        (r["s"], r["p"], r["o"])
+        for r in dedup_triples(ds, carry_min=()).take_all())
+    assert plain == interned and len(plain) == 200  # dup collapsed
