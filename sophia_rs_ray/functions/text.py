@@ -125,3 +125,42 @@ def fingerprint_batch(b: pa.Table) -> pa.Table:
     return pa.table({"doc_id": b["doc_id"],
                      "fingerprint": pa.array([f - (1 << 63) for f in fps],
                                              pa.int64())})
+
+
+def winnow_fingerprints_batch(b: pa.Table, *, k: int = 16,
+                              w: int = 8) -> pa.Table:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — public algorithm): character k-gram hashes, then for
+    every window of ``w`` consecutive grams keep the RIGHTMOST minimum;
+    the distinct selected (position, hash) pairs are the fingerprint
+    set, guaranteeing any match of length ≥ k+w-1 shares a fingerprint.
+
+    Gram hash = first 60 bits of md5(k-gram) so the DuckDB oracle
+    reproduces it exactly (``CAST('0x'||substr(md5(x),1,15) AS
+    BIGINT)``); window selection is vectorized numpy
+    (sliding_window_view + reversed argmin = rightmost min)."""
+    import hashlib
+
+    ids: List = []
+    poss: List[int] = []
+    fps: List[int] = []
+    for doc_id, text in zip(b["doc_id"].to_pylist(),
+                            b["text"].to_pylist()):
+        t = text or ""
+        n = len(t) - k + 1
+        if n < w:
+            continue  # too short for one full window (spec guarantee)
+        hs = np.fromiter(
+            (int(hashlib.md5(t[i:i + k].encode()).hexdigest()[:15], 16)
+             for i in range(n)), np.int64, n)
+        win = np.lib.stride_tricks.sliding_window_view(hs, w)
+        right_min = (w - 1) - np.argmin(win[:, ::-1], axis=1)
+        sel = np.unique(np.arange(n - w + 1) + right_min)
+        ids.extend([doc_id] * len(sel))
+        poss.extend((sel + 1).tolist())     # 1-indexed like SQL substr
+        fps.extend(hs[sel].tolist())
+    return pa.table({
+        "doc_id": pa.array(ids, b["doc_id"].type),
+        "pos": pa.array(poss, pa.int64()),
+        "fp": pa.array(fps, pa.int64()),
+    })

@@ -381,6 +381,49 @@ FROM documents
 """
 
 
+def _winnow_fingerprints(sf_dir: str):
+    """Winnowing document fingerprints (rolling k-gram hash + rightmost
+    window minimum; Schleimer et al. SIGMOD'03) — the guarantee-bearing
+    fingerprint family of the dedup suite (any shared substring of
+    length >= k+w-1 shares a fingerprint).  Stateless vectorized
+    map_batches; md5 gram hashes reproduce exactly in the SQL oracle."""
+    import ray.data as rd
+
+    from ..functions.text import winnow_fingerprints_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(winnow_fingerprints_batch,
+                          batch_format="pyarrow")
+
+
+WINNOW_SQL = """
+WITH grams AS (
+  SELECT doc_id, text, UNNEST(range(1, length(text) - 14)) AS i
+  FROM documents WHERE length(text) >= 23
+), gh AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i,
+         CAST('0x' || substr(md5(substr(text, CAST(i AS INT), 16)), 1, 15)
+              AS BIGINT) AS h
+  FROM grams
+), wins AS (
+  SELECT doc_id, i AS ws,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wmin,
+         count(*) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS cnt
+  FROM gh
+), sel AS (
+  SELECT w.doc_id, w.ws, max(g.i) AS pos, w.wmin AS fp
+  FROM (SELECT * FROM wins WHERE cnt = 8) w
+  JOIN gh g ON g.doc_id = w.doc_id
+           AND g.i BETWEEN w.ws AND w.ws + 7 AND g.h = w.wmin
+  GROUP BY w.doc_id, w.ws, w.wmin
+)
+SELECT DISTINCT doc_id, pos, fp FROM sel
+"""
+
+
 def _repetition(sf_dir: str):
     import ray.data as rd
 
@@ -1610,6 +1653,7 @@ def registry() -> Registry:
         "token_counts": (_token_counts, TOKEN_COUNTS_SQL),
         "quality_features": (_quality, QUALITY_SQL),
         "repetition_features": (_repetition, REPETITION_SQL),
+        "winnow_fingerprints": (_winnow_fingerprints, WINNOW_SQL),
         "vocab_top_terms": (_vocab_top_terms, VOCAB_TOP_TERMS_SQL),
         "quality_filter": (_quality_filter, QUALITY_FILTER_SQL),
         "knn_cosine": (_knn, KNN_SQL),

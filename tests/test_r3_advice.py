@@ -98,3 +98,36 @@ def test_describe_null_default_graph(ray_session):
     res = sparql("DESCRIBE <http://ex/s>", rd.from_arrow(tbl))
     assert res.take_all() == [
         {"s": "<http://ex/s>", "p": "<http://ex/p>", "o": "<http://ex/o>"}]
+
+
+# --- winnowing fingerprints (round-3 addition) -----------------------
+
+def test_winnowing_guarantee_shared_substring():
+    """Any shared substring of length >= k+w-1 must share at least one
+    fingerprint (the winnowing paper's core guarantee)."""
+    import pyarrow as pa
+
+    from sophia_rs_ray.functions.text import winnow_fingerprints_batch
+
+    shared = "the quick brown fox jumps over the lazy dog!"  # 45 >= 23
+    b = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["AAAA " + shared + " BBBB",
+                          "xyzzy " + shared + " qwert"], pa.string()),
+    })
+    t = winnow_fingerprints_batch(b)
+    fp1 = {f for d, f in zip(t["doc_id"].to_pylist(),
+                             t["fp"].to_pylist()) if d == 1}
+    fp2 = {f for d, f in zip(t["doc_id"].to_pylist(),
+                             t["fp"].to_pylist()) if d == 2}
+    assert fp1 & fp2
+
+
+def test_winnowing_short_doc_empty():
+    import pyarrow as pa
+
+    from sophia_rs_ray.functions.text import winnow_fingerprints_batch
+
+    b = pa.table({"doc_id": pa.array([1], pa.int64()),
+                  "text": pa.array(["too short"], pa.string())})
+    assert winnow_fingerprints_batch(b).num_rows == 0
