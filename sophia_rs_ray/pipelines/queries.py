@@ -1289,6 +1289,31 @@ def _url_dedup(sf_dir: str):
                           num_partitions=8)
 
 
+def _video_frame_sample(sf_dir: str):
+    """Multimodal video plumbing: synthetic multi-frame binary payloads
+    → actor-pool frame sampling (uniform time stride, fake codec
+    boundary) → one row per sampled frame with a real decoded
+    thumbnail. Rows-only; stride/shape determinism asserted in
+    tests/test_multimodal.py."""
+    from ..stages.multimodal import sample_frames, synthetic_video_dataset
+
+    n = {"0.001": 50, "0.01": 500, "0.1": 5000}.get(_sf_of(sf_dir), 500)
+    out = sample_frames(synthetic_video_dataset(n), every_sec=0.25)
+    return out.map_batches(
+        lambda b: b.select(["video_id", "frame_idx", "t_sec"]),
+        batch_format="pyarrow")
+
+
+def _audio_features(sf_dir: str):
+    """Multimodal audio plumbing: synthetic PCM payloads → actor-pool
+    decode + windowed RMS / zero-crossing features (vectorized numpy).
+    Rows-only; window math asserted in tests/test_multimodal.py."""
+    from ..stages.multimodal import audio_features, synthetic_audio_dataset
+
+    n = {"0.001": 50, "0.01": 500, "0.1": 5000}.get(_sf_of(sf_dir), 500)
+    return audio_features(synthetic_audio_dataset(n))
+
+
 def _media_features(sf_dir: str):
     """Multimodal plumbing: synthetic binary media → actor-pool decode
     (deterministic fake codec) + resize + feature extraction. Rows-only;
@@ -1671,6 +1696,8 @@ def registry() -> Registry:
         "ivf_knn": (_ivf_knn, None),
         "embedding_near_dup_lsh": (_embedding_near_dup_lsh, None),
         "media_features": (_media_features, None),
+        "video_frame_sample": (_video_frame_sample, None),
+        "audio_features": (_audio_features, None),
         "url_dedup": (_url_dedup, None),
         # rows-only
         "kg_pipeline": (_kg_pipeline, None),

@@ -47,3 +47,59 @@ def test_resize_shapes():
     arr = FakeImageDecoder().decode(b"x", 32, 24)
     small = ex._resize(arr)
     assert small.shape == (4, 6, 3)
+
+
+def test_frame_sampler_stride_and_shape(ray_session):
+    from sophia_rs_ray.stages.multimodal import (sample_frames,
+                                                 synthetic_video_dataset)
+
+    rows = sample_frames(synthetic_video_dataset(8), every_sec=0.25) \
+        .take_all()
+    assert rows
+    import collections
+    by_vid = collections.defaultdict(list)
+    for r in rows:
+        by_vid[r["video_id"]].append(r)
+        assert len(r["thumb"]) == 8 * 8 * 3
+        assert list(r["thumb_shape"]) == [8, 8, 3]
+    for vid, rs in by_vid.items():
+        idxs = sorted(r["frame_idx"] for r in rs)
+        # uniform stride from 0
+        diffs = {b - a for a, b in zip(idxs, idxs[1:])}
+        assert idxs[0] == 0 and len(diffs) <= 1
+
+
+def test_frame_sampler_deterministic(ray_session):
+    from sophia_rs_ray.stages.multimodal import (sample_frames,
+                                                 synthetic_video_dataset)
+
+    a = sorted((r["video_id"], r["frame_idx"], r["thumb"]) for r in
+               sample_frames(synthetic_video_dataset(4)).take_all())
+    b = sorted((r["video_id"], r["frame_idx"], r["thumb"]) for r in
+               sample_frames(synthetic_video_dataset(4)).take_all())
+    assert a == b
+
+
+def test_audio_features_window_math(ray_session):
+    import numpy as np
+
+    from sophia_rs_ray.stages.multimodal import (FakeAudioDecoder,
+                                                 audio_features,
+                                                 synth_audio_batch,
+                                                 synthetic_audio_dataset)
+    import pyarrow as pa
+
+    rows = audio_features(synthetic_audio_dataset(4),
+                          window=1024).take_all()
+    assert rows and all(0.0 <= r["zcr"] <= 1.0 for r in rows)
+    # 8000 samples / 1024 → 7 full windows per clip
+    import collections
+    per = collections.Counter(r["audio_id"] for r in rows)
+    assert set(per.values()) == {7}
+    # spot-check one window's RMS against a direct computation
+    b = synth_audio_batch(pa.table({"id": pa.array([0], pa.int64())}))
+    pcm = FakeAudioDecoder().decode(b["payload"][0].as_py(), 8000)
+    want = float(np.sqrt((pcm[:1024] ** 2).mean()))
+    got = next(r["rms"] for r in rows
+               if r["audio_id"] == 0 and r["window"] == 0)
+    assert abs(got - want) < 1e-9
