@@ -237,6 +237,8 @@ class _Context:
         types (uses term defs + @vocab); else document-relative."""
         if not isinstance(value, str) or value.startswith("@"):
             return None
+        if value.startswith("_:"):
+            return value        # blank node identifier (§5.1.2 step 3)
         if vocab and value in self.terms:
             mapped = self.terms[value].get("@id")
             if mapped is None:  # def without @id: expand via @vocab
@@ -417,6 +419,8 @@ class JsonLdExpander:
         if isinstance(v, str):
             t = tdef.get("@type")
             if t == "@id":
+                if v.startswith("_:"):      # coerced bnode identifier
+                    return bnode(v[2:])
                 expanded = ctx.expand_iri(v, vocab=False)
                 return iri(expanded) if expanded else None
             if isinstance(t, str) and not t.startswith("@"):
@@ -675,6 +679,10 @@ class _Compactor:
             if lang and term_def.get("@language") == lang:
                 return v["@value"]
             if not dt and not lang:
+                # a bare string under a typed/language-coercing term
+                # would EXPAND back as coerced — keep it wrapped
+                if term_def.get("@type") or term_def.get("@language"):
+                    return {"@value": v["@value"]}
                 return v["@value"]
             out = {"@value": v["@value"]}
             if dt:

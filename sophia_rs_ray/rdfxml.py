@@ -225,10 +225,22 @@ def _split_iri(text: str) -> Optional[Tuple[str, str]]:
     return None
 
 
+#: chars XML 1.0 cannot carry even as character references (§2.2 Char)
+_XML_UNREPRESENTABLE = re.compile(
+    "[\x00-\x08\x0b\x0c\x0e-\x1f\ud800-\udfff￾￿]")
+
+
 def _xml_escape(s: str, attr: bool = False) -> str:
+    if _XML_UNREPRESENTABLE.search(s):
+        raise ValueError(
+            "value contains characters not representable in XML 1.0")
     s = s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    # \r must be a charref: XML parsers normalize raw CR/CRLF to LF
+    # (XML 1.0 §2.11), which would silently alter the literal
+    s = s.replace("\r", "&#13;")
     if attr:
-        s = s.replace('"', "&quot;")
+        s = s.replace('"', "&quot;").replace("\t", "&#9;") \
+            .replace("\n", "&#10;")
     return s
 
 
