@@ -102,7 +102,8 @@ def run_bench() -> dict:
                  "customers_per_region", "orders_per_segment",
                  "gazetteer_mentions", "indexed_pattern_scan",
                  "vocab_top_terms", "price_median_by_flag",
-                 "events_props_k", "repetition_features"):
+                 "events_props_k", "repetition_features",
+                 "novel_bigrams", "source_stats"):
         fn, _sql = reg[name]
         t0 = time.perf_counter()
         res = fn(SF_DIR)

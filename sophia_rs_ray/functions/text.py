@@ -164,3 +164,81 @@ def winnow_fingerprints_batch(b: pa.Table, *, k: int = 16,
         "pos": pa.array(poss, pa.int64()),
         "fp": pa.array(fps, pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# normalization / PII / bigram rarity (training-data hygiene ops)
+# ---------------------------------------------------------------------------
+
+#: RE2-compatible patterns (no lookaround) so DuckDB's regexp_* (also
+#: RE2) reproduces the exact same matches in the oracle SQL.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_NUM = r"\d{7,}"
+
+
+def normalize_batch(b: pa.Table) -> pa.Table:
+    """Unicode NFC + lowercase + whitespace-collapse + trim — the
+    standard text-normalization pass before dedup/fingerprinting.
+
+    lower/collapse/trim are Arrow kernels; NFC goes through CPython's
+    C-level ``unicodedata`` because pyarrow's ``utf8_normalize`` does
+    NOT compose combining sequences (verified on 16.1: e+U+0301 stays
+    two codepoints, while DuckDB's ``nfc_normalize`` composes).  The
+    ``is_normalized`` fast path skips the copy for the (typical)
+    already-NFC row."""
+    import unicodedata
+
+    import pyarrow.compute as pc
+
+    s = pa.array([
+        v if v is None or unicodedata.is_normalized("NFC", v)
+        else unicodedata.normalize("NFC", v)
+        for v in b["text"].to_pylist()], b["text"].type
+        if not isinstance(b["text"], pa.ChunkedArray)
+        else b["text"].type)
+    s = pc.utf8_lower(s)
+    s = pc.replace_substring_regex(s, pattern=r"\s+", replacement=" ")
+    s = pc.utf8_trim(s, characters=" ")
+    return pa.table({"doc_id": b["doc_id"], "norm_text": s,
+                     "n_chars_norm": pc.utf8_length(s)})
+
+
+def pii_redact_batch(b: pa.Table) -> pa.Table:
+    """Regex PII scrub: emails → [EMAIL], IPv4 → [IP], long digit runs
+    → [NUM].  Counts are taken on the ORIGINAL text per pattern (so
+    they are order-independent); replacements apply sequentially.
+    Vectorized RE2 kernels only."""
+    import pyarrow.compute as pc
+
+    t = b["text"]
+    n_email = pc.count_substring_regex(t, pattern=PII_EMAIL)
+    n_ip = pc.count_substring_regex(t, pattern=PII_IPV4)
+    n_num = pc.count_substring_regex(t, pattern=PII_NUM)
+    s = pc.replace_substring_regex(t, pattern=PII_EMAIL,
+                                   replacement="[EMAIL]")
+    s = pc.replace_substring_regex(s, pattern=PII_IPV4, replacement="[IP]")
+    s = pc.replace_substring_regex(s, pattern=PII_NUM, replacement="[NUM]")
+    return pa.table({
+        "doc_id": b["doc_id"], "redacted": s,
+        "n_email": pc.cast(n_email, pa.int64()),
+        "n_ip": pc.cast(n_ip, pa.int64()),
+        "n_num": pc.cast(n_num, pa.int64()),
+    })
+
+
+def bigram_pairs_batch(b: pa.Table) -> pa.Table:
+    """Per-document DISTINCT token bigrams as (doc_id, bigram) pairs —
+    the map side of corpus-level bigram-rarity aggregation.  Pairs are
+    globally distinct because a doc lives in exactly one batch."""
+    ids: List = []
+    bgs: List[str] = []
+    for doc_id, text in zip(b["doc_id"].to_pylist(),
+                            b["text"].to_pylist()):
+        toks = tokens_of(text or "")
+        seen = set(
+            toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1))
+        ids.extend([doc_id] * len(seen))
+        bgs.extend(seen)
+    return pa.table({"doc_id": pa.array(ids, b["doc_id"].type),
+                     "bigram": pa.array(bgs, pa.string())})

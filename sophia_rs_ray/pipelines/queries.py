@@ -550,6 +550,172 @@ WHERE tc.n_tokens BETWEEN 40 AND 100000
 """
 
 
+def _normalize_docs(sf_dir: str):
+    """Text normalization pass (NFC + lowercase + ws-collapse + trim):
+    the hygiene step before any fingerprint/dedup family.  Pure Arrow
+    kernels, stateless map — streams at any scale."""
+    import ray.data as rd
+
+    from ..functions.text import normalize_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(normalize_batch, batch_format="pyarrow")
+
+
+NORMALIZE_DOCS_SQL = r"""
+SELECT doc_id,
+       trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'),
+            ' ') AS norm_text,
+       length(trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ',
+                                  'g'), ' ')) AS n_chars_norm
+FROM documents
+"""
+
+
+def _pii_redact(sf_dir: str):
+    """PII scrub over documents (emails / IPv4 / long digit runs) with
+    per-category match counts.  RE2 kernels on both the Ray and the
+    DuckDB side, so semantics agree byte-for-byte."""
+    import ray.data as rd
+
+    from ..functions.text import pii_redact_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(pii_redact_batch, batch_format="pyarrow")
+
+
+def _pii_sql() -> str:
+    from ..functions.text import PII_EMAIL, PII_IPV4, PII_NUM
+
+    # '' escaping: patterns contain no single quotes
+    return f"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '{PII_EMAIL}', '[EMAIL]', 'g'),
+           '{PII_IPV4}', '[IP]', 'g'),
+           '{PII_NUM}', '[NUM]', 'g') AS redacted,
+       CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT)
+           AS n_email,
+       CAST(len(regexp_extract_all(text, '{PII_IPV4}')) AS BIGINT) AS n_ip,
+       CAST(len(regexp_extract_all(text, '{PII_NUM}')) AS BIGINT) AS n_num
+FROM documents
+"""
+
+
+def _novel_bigrams(sf_dir: str):
+    """Per-document count of corpus-unique bigrams (bigrams appearing
+    in exactly one document) — a rarity/novelty signal for curriculum
+    and dedup triage.  Plan: per-doc distinct (bigram, doc_id) pairs →
+    hash exchange on the bigram (per-bigram doc counts, keep
+    singletons) → second tiny exchange summing per doc, union'd with a
+    zero row per document so every doc_id appears."""
+    import ray.data as rd
+
+    from ..functions.exchange import hash_aggregate
+    from ..functions.text import bigram_pairs_batch
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    pairs = docs.map_batches(bigram_pairs_batch, batch_format="pyarrow")
+
+    # pairs are globally distinct (distinct-per-doc, doc in one batch):
+    # count docs per bigram without any partial-dedup pass
+    def per_bigram(t: pa.Table) -> pa.Table:
+        g = t.group_by(["bigram"]).aggregate([("doc_id", "count"),
+                                              ("doc_id", "max")])
+        g = g.rename_columns(["bigram", "nd", "only_doc"])
+        f = g.filter(pc.equal(g["nd"], pa.scalar(1, pa.int64())))
+        return pa.table({"doc_id": f["only_doc"],
+                         "novel": pa.array([1] * f.num_rows, pa.int64())})
+
+    singles = hash_aggregate(pairs, ["bigram"], None, per_bigram,
+                             num_partitions=8)
+
+    zeros = docs.map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"],
+                            "novel": pa.array([0] * len(b), pa.int64())}),
+        batch_format="pyarrow")
+
+    def sum_doc(t: pa.Table) -> pa.Table:
+        return t.group_by(["doc_id"]).aggregate([("novel", "sum")]) \
+            .rename_columns(["doc_id", "novel"])
+
+    def final_doc(t: pa.Table) -> pa.Table:
+        return sum_doc(t).rename_columns(["doc_id", "novel_bigrams"])
+
+    return hash_aggregate(singles.union(zeros), ["doc_id"],
+                          sum_doc, final_doc, num_partitions=4)
+
+
+NOVEL_BIGRAMS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                     x -> x <> '') AS ts
+  FROM documents
+), bg AS (
+  SELECT DISTINCT doc_id, bigram FROM (
+    SELECT doc_id,
+           unnest([ts[i] || ' ' || ts[i+1] for i in range(1, len(ts))])
+               AS bigram
+    FROM toks)
+), singles AS (
+  SELECT max(doc_id) AS doc_id FROM bg GROUP BY bigram
+  HAVING count(*) = 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(n.c, 0) AS BIGINT) AS novel_bigrams
+FROM documents d
+LEFT JOIN (SELECT doc_id, count(*) AS c FROM singles GROUP BY 1) n
+  ON d.doc_id = n.doc_id
+"""
+
+
+def _source_stats(sf_dir: str):
+    """Per-source corpus stats (doc count, chars, tokens): the
+    domain-level aggregation every crawl-curation pipeline starts
+    with.  Per-batch partial aggregate → tiny final exchange; only
+    |sources| rows shuffle."""
+    import ray.data as rd
+
+    from ..functions.exchange import hash_aggregate
+    from ..functions.text import tokens_of
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "n_chars", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ntok = pa.array([len(tokens_of(t or ""))
+                         for t in b["text"].to_pylist()], pa.int64())
+        t = pa.table({"source": b["source"],
+                      "n_docs": pa.array([1] * len(b), pa.int64()),
+                      "total_chars": b["n_chars"],
+                      "total_tokens": ntok})
+        return _merge_sources(t)
+
+    def _merge_sources(t: pa.Table) -> pa.Table:
+        return t.group_by(["source"]).aggregate(
+            [("n_docs", "sum"), ("total_chars", "sum"),
+             ("total_tokens", "sum")]) \
+            .rename_columns(["source", "n_docs", "total_chars",
+                             "total_tokens"])
+
+    return hash_aggregate(ds, ["source"], partial, _merge_sources,
+                          num_partitions=2)
+
+
+SOURCE_STATS_SQL = r"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(len(list_filter(string_split_regex(coalesce(text, ''),
+            '\s+'), x -> x <> ''))) AS BIGINT) AS total_tokens
+FROM documents GROUP BY source
+"""
+
+
 def _rdf_entailment(sf_dir: str):
     """RDF-only ruleset saturation (reference ``Rdf`` struct) over the
     doc triples: input + rdf1 (used predicates typed rdf:Property) +
@@ -1681,6 +1847,10 @@ def registry() -> Registry:
         "winnow_fingerprints": (_winnow_fingerprints, WINNOW_SQL),
         "vocab_top_terms": (_vocab_top_terms, VOCAB_TOP_TERMS_SQL),
         "quality_filter": (_quality_filter, QUALITY_FILTER_SQL),
+        "normalize_docs": (_normalize_docs, NORMALIZE_DOCS_SQL),
+        "pii_redact": (_pii_redact, _pii_sql()),
+        "novel_bigrams": (_novel_bigrams, NOVEL_BIGRAMS_SQL),
+        "source_stats": (_source_stats, SOURCE_STATS_SQL),
         "knn_cosine": (_knn, KNN_SQL),
         "knn_self_join": (_knn_self_join, KNN_SELF_JOIN_SQL),
         "gazetteer_mentions": (_gazetteer_mentions, GAZETTEER_SQL),
