@@ -1358,9 +1358,26 @@ def evaluate(node: Node, triples_ds, *, num_partitions: int = 8,
 
     if isinstance(node, LeftJoin):
         left, right = ev(node.left), ev(node.right)
-        shared = sorted(set(_vars_of(left)) & set(_vars_of(right)))
+        lv, rv = _vars_of(left), _vars_of(right)
+        shared = sorted(set(lv) & set(rv))
         if not shared:
-            raise ValueError("LeftJoin without shared variables")
+            if not lv:  # empty left (Ray drops empty schemas): ∅
+                return left
+            # disjoint OPTIONAL: every right solution is compatible
+            # with every left one, so LeftJoin == cross Join when the
+            # right side is non-empty; an empty right keeps the left
+            # rows with the optional vars unbound
+            if not rv or right.count() == 0:
+                def add_unbound(b: pa.Table) -> pa.Table:
+                    for c in rv:
+                        b = b.append_column(
+                            c, pa.array([None] * b.num_rows, pa.string()))
+                    return b
+
+                return left.map_batches(add_unbound,
+                                        batch_format="pyarrow")
+            return _cross_or_join(left, right,
+                                  num_partitions=num_partitions)
         return _join_bindings(left, right, "left_outer",
                               num_partitions, tuple(shared))
 
