@@ -204,3 +204,154 @@ def test_random_query_matches_duckdb(seed, ray_session):
     assert got == want, (
         f"seed={seed}\nquery: {qtext}\nsql: {sql}\n"
         f"got {len(got)} rows, want {len(want)}")
+
+
+# ---------------------------------------------------------------------------
+# UNION and MINUS shapes (separate algebra paths)
+# ---------------------------------------------------------------------------
+
+def _compile_bgp(patterns, prefix):
+    """(from_sql, conds, bound) for a BGP, aliases prefixed uniquely."""
+    aliases, conds, bound = [], [], {}
+    for i, (s, p, o) in enumerate(patterns):
+        a = f"{prefix}{i}"
+        aliases.append(f"quads {a}")
+        for col, term in zip("spo", (s, p, o)):
+            if term.startswith("?"):
+                if term in bound:
+                    conds.append(f"{bound[term]} = {a}.{col}")
+                else:
+                    bound[term] = f"{a}.{col}"
+            else:
+                conds.append(f"{a}.{col} = '{term}'")
+    return " CROSS JOIN ".join(aliases), conds, bound
+
+
+def _bgp_vars(patterns):
+    return list(dict.fromkeys(
+        t for pat in patterns for t in pat if t.startswith("?")))
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_random_union_matches_duckdb(seed, ray_session):
+    import duckdb
+    import ray.data as rd
+
+    rng = random.Random(7000 + seed)
+    triples = _random_graph(rng)
+    ga = _Gen(rng)
+    left = [ga.pattern() for _ in range(rng.randint(1, 2))]
+    gb = _Gen(rng)
+    gb.nvar = 50  # distinct var namespace unless we force overlap
+    right = [gb.pattern() for _ in range(rng.randint(1, 2))]
+    if rng.random() < 0.5 and _bgp_vars(left) and _bgp_vars(right):
+        # rename one right var onto a left var: shared projection col
+        src = rng.choice(_bgp_vars(right))
+        dst = rng.choice(_bgp_vars(left))
+        right = [tuple(dst if t == src else t for t in pat)
+                 for pat in right]
+    lv, rv = _bgp_vars(left), _bgp_vars(right)
+    if not lv or not rv:
+        pytest.skip("degenerate constant-only side")
+    allv = sorted(set(lv) | set(rv))
+    proj = sorted(rng.sample(allv, rng.randint(1, min(3, len(allv)))))
+
+    body_l = " . ".join(" ".join(p) for p in left)
+    body_r = " . ".join(" ".join(p) for p in right)
+    qtext = (f"SELECT {' '.join(proj)} WHERE "
+             f"{{ {{ {body_l} }} UNION {{ {body_r} }} }}")
+
+    def side_sql(patterns, bound_vars, prefix):
+        frm, conds, bound = _compile_bgp(patterns, prefix)
+        cols = ", ".join(
+            (f"{bound[v]} AS {v[1:]}" if v in bound
+             else f"CAST(NULL AS VARCHAR) AS {v[1:]}") for v in proj)
+        where = (" WHERE " + " AND ".join(conds)) if conds else ""
+        return f"SELECT {cols} FROM {frm}{where}"
+
+    sql = (side_sql(left, lv, "a") + " UNION ALL " +
+           side_sql(right, rv, "b"))
+
+    from sophia_rs_ray.sparql import select
+
+    ds = rd.from_arrow(pa.table({
+        "s": pa.array([t[0] for t in triples], pa.large_string()),
+        "p": pa.array([t[1] for t in triples], pa.large_string()),
+        "o": pa.array([t[2] for t in triples], pa.large_string()),
+    }))
+    got = _norm_rows(select(qtext, ds).take_all(), proj)
+
+    con = duckdb.connect()
+    con.register("quads", pa.table({
+        "s": pa.array([t[0] for t in triples]),
+        "p": pa.array([t[1] for t in triples]),
+        "o": pa.array([t[2] for t in triples]),
+    }))
+    cur = con.execute(sql)
+    cols = [d[0] for d in cur.description]
+    want = sorted(
+        tuple((row[cols.index(v[1:])] or "") for v in proj)
+        for row in cur.fetchall())
+    assert got == want, f"seed={seed}\nquery: {qtext}\nsql: {sql}"
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_random_minus_matches_duckdb(seed, ray_session):
+    import duckdb
+    import ray.data as rd
+
+    rng = random.Random(9000 + seed)
+    triples = _random_graph(rng)
+    g = _Gen(rng)
+    left = [g.pattern() for _ in range(rng.randint(1, 2))]
+    lv = _bgp_vars(left)
+    if not lv:
+        pytest.skip("degenerate constant-only left")
+    # MINUS right: one pattern sharing >=1 left var, all vars bound on
+    # both sides -> anti-join on the shared vars
+    shared = rng.choice(lv)
+    other = f"?m{rng.randint(0, 9)}"
+    minus_pat = (shared, rng.choice(PREDICATES), other) \
+        if rng.random() < 0.5 else (other, rng.choice(PREDICATES), shared)
+    proj = sorted(rng.sample(lv, rng.randint(1, min(3, len(lv)))))
+
+    body_l = " . ".join(" ".join(p) for p in left)
+    qtext = (f"SELECT {' '.join(proj)} WHERE "
+             f"{{ {body_l} MINUS {{ {' '.join(minus_pat)} }} }}")
+
+    frm, conds, bound = _compile_bgp(left, "l")
+    mconds = []
+    for col, term in zip("spo", minus_pat):
+        if term == shared:
+            mconds.append(f"m.{col} = {bound[shared]}")
+        elif term.startswith("?"):
+            pass  # free var on the minus side
+        else:
+            mconds.append(f"m.{col} = '{term}'")
+    where = (" WHERE " + " AND ".join(conds)) if conds else " WHERE 1=1"
+    where += (" AND NOT EXISTS (SELECT 1 FROM quads m WHERE "
+              + " AND ".join(mconds) + ")")
+    cols = ", ".join(f"{bound[v]} AS {v[1:]}" for v in proj)
+    sql = f"SELECT {cols} FROM {frm}{where}"
+
+    from sophia_rs_ray.sparql import select
+
+    ds = rd.from_arrow(pa.table({
+        "s": pa.array([t[0] for t in triples], pa.large_string()),
+        "p": pa.array([t[1] for t in triples], pa.large_string()),
+        "o": pa.array([t[2] for t in triples], pa.large_string()),
+    }))
+    got = _norm_rows(select(qtext, ds).take_all(), proj)
+
+    con = duckdb.connect()
+    con.register("quads", pa.table({
+        "s": pa.array([t[0] for t in triples]),
+        "p": pa.array([t[1] for t in triples]),
+        "o": pa.array([t[2] for t in triples]),
+    }))
+    cur = con.execute(sql)
+    colnames = [d[0] for d in cur.description]
+    want = sorted(
+        tuple((row[colnames.index(v[1:])] or "") for v in proj)
+        for row in cur.fetchall())
+    assert got == want, f"seed={seed}\nquery: {qtext}\nsql: {sql}"
