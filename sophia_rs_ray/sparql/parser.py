@@ -720,12 +720,14 @@ class _Parser:
             from .algebra import InlineData
             one = self._compile_path(s, path[1], o)
             end_vars = [t.name for t in (s, o) if isinstance(t, Var)]
-            one = Distinct(Project(end_vars, one))
+            one = Project(end_vars, one)
             if isinstance(o, Var):
                 zero = InlineData(o.name, [s])
             else:
                 zero = InlineData(s.name, [o])
-            return Union(one, zero)
+            # distinct over the WHOLE union: a one-hop self-loop match
+            # equals the zero-length endpoint copy and must not repeat
+            return Distinct(Union(one, zero))
         if kind in ("opt", "plus", "star", "neg"):
             # general evaluation: negated sets and closures over
             # arbitrary sub-paths with free endpoints (semi-naive
