@@ -242,3 +242,46 @@ def bigram_pairs_batch(b: pa.Table) -> pa.Table:
         bgs.extend(seen)
     return pa.table({"doc_id": pa.array(ids, b["doc_id"].type),
                      "bigram": pa.array(bgs, pa.string())})
+
+
+#: fixed token-window size standing in for paragraph boundaries — the
+#: bench corpus has no newlines, so segmentation is deterministic token
+#: windows; swap the splitter for '\n\n' chunks on real crawl text.
+SEGMENT_TOKENS = 10
+
+
+def segments_batch(b: pa.Table) -> pa.Table:
+    """(doc_id, text) → exploded (doc_id, seg_idx, seg): CCNet-style
+    paragraph segmentation as fixed ``SEGMENT_TOKENS``-token windows.
+    Mirrored exactly by the DuckDB oracle's list-comprehension slice
+    (``ts[i*10+1:i*10+10]``, 1-based inclusive)."""
+    ids: List = []
+    idxs: List[int] = []
+    segs: List[str] = []
+    for doc_id, text in zip(b["doc_id"].to_pylist(),
+                            b["text"].to_pylist()):
+        toks = tokens_of(text or "")
+        n = (len(toks) + SEGMENT_TOKENS - 1) // SEGMENT_TOKENS
+        for i in range(n):
+            ids.append(doc_id)
+            idxs.append(i)
+            segs.append(" ".join(
+                toks[i * SEGMENT_TOKENS:(i + 1) * SEGMENT_TOKENS]))
+    return pa.table({"doc_id": pa.array(ids, b["doc_id"].type),
+                     "seg_idx": pa.array(idxs, pa.int64()),
+                     "seg": pa.array(segs, pa.large_string())})
+
+
+def doc_segment_totals_batch(b: pa.Table) -> pa.Table:
+    """(doc_id, text) → one sentinel row per document carrying the
+    total segment count (seg_idx = -1, seg = '').  Unioned with the
+    kept-segment stream so every doc_id survives reassembly even when
+    all of its segments were corpus-duplicated (or the text is empty)."""
+    totals = [
+        (len(tokens_of(t or "")) + SEGMENT_TOKENS - 1) // SEGMENT_TOKENS
+        for t in b["text"].to_pylist()]
+    n = len(b)
+    return pa.table({"doc_id": b["doc_id"],
+                     "seg_idx": pa.array([-1] * n, pa.int64()),
+                     "seg": pa.array([""] * n, pa.large_string()),
+                     "n_segments": pa.array(totals, pa.int64())})

@@ -716,6 +716,111 @@ FROM documents GROUP BY source
 """
 
 
+def _segment_dedup(sf_dir: str):
+    """CCNet-style paragraph-level dedup: drop every segment whose
+    normalized form occurs more than once in the WHOLE corpus, then
+    reassemble each document's surviving text in original order.
+
+    Plan (two exchanges, no broadcast, no driver pull):
+      explode docs into fixed-token segments (stateless map) →
+      hash exchange on the segment string; combine caps within-block
+      copies of a segment at 2 rows (globally duplicated either way,
+      and dropped rows are exactly the rows the final filter drops —
+      this bounds hot segments at 2 rows/block) →
+      per-partition keep rows whose segment count == 1 →
+      second hash exchange on doc_id (kept segments + one sentinel
+      row per doc carrying the total) → per-doc ordered rejoin.
+    Scale: a pathologically hot segment costs ≤ 2 rows per input
+    block on the wire; the reassembly exchange ships only surviving
+    text once.
+    """
+    import ray.data as rd
+
+    from ..functions.exchange import hash_aggregate
+    from ..functions.text import doc_segment_totals_batch, segments_batch
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    segs = docs.map_batches(segments_batch, batch_format="pyarrow")
+
+    def cap_dups(t: pa.Table) -> pa.Table:
+        import polars as pl
+        df = pl.from_arrow(t)
+        return df.filter(
+            pl.int_range(pl.len()).over("seg") < 2).to_arrow()
+
+    def keep_unique(t: pa.Table) -> pa.Table:
+        g = t.group_by(["seg"]).aggregate([("seg", "count")])
+        singles = g.filter(
+            pc.equal(g["seg_count"], pa.scalar(1, pa.int64())))["seg"]
+        mask = pc.is_in(t["seg"], value_set=singles.combine_chunks())
+        return t.filter(mask)
+
+    kept = hash_aggregate(segs, ["seg"], cap_dups, keep_unique,
+                          num_partitions=8)
+    kept = kept.map_batches(
+        lambda b: b.append_column(
+            "n_segments", pa.array([-1] * len(b), pa.int64())),
+        batch_format="pyarrow")
+    sentinels = docs.map_batches(doc_segment_totals_batch,
+                                 batch_format="pyarrow")
+
+    def assemble(t: pa.Table) -> pa.Table:
+        import polars as pl
+        df = pl.from_arrow(t)
+        out = (df.sort(["doc_id", "seg_idx"])
+               .group_by("doc_id", maintain_order=True)
+               .agg([
+                   pl.col("seg").filter(pl.col("seg_idx") >= 0)
+                     .str.join(" ").alias("clean_text"),
+                   (pl.col("seg_idx") >= 0).sum()
+                     .cast(pl.Int64).alias("n_kept"),
+                   pl.col("n_segments").max().cast(pl.Int64)
+                     .alias("n_segments"),
+               ]))
+        out = out.with_columns(
+            (pl.col("n_segments") - pl.col("n_kept"))
+            .alias("n_dup_segments"))
+        return out.select(["doc_id", "clean_text", "n_segments",
+                           "n_dup_segments"]).to_arrow()
+
+    return hash_aggregate(kept.union(sentinels), ["doc_id"],
+                          None, assemble, num_partitions=4)
+
+
+SEGMENT_DEDUP_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                     x -> x <> '') AS ts
+  FROM documents
+), segs AS (
+  SELECT doc_id,
+         unnest([{'seg_idx': i,
+                  'seg': array_to_string(ts[i*10+1:i*10+10], ' ')}
+                 for i in range((len(ts)+9)//10)],
+                recursive := true)
+  FROM toks
+), uniq AS (
+  SELECT seg FROM segs GROUP BY seg HAVING count(*) = 1
+), kept AS (
+  SELECT s.doc_id, s.seg_idx, s.seg FROM segs s JOIN uniq u USING (seg)
+), agg AS (
+  SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+), tot AS (
+  SELECT doc_id, (len(ts)+9)//10 AS n_segments FROM toks
+)
+SELECT t.doc_id,
+       coalesce(a.clean_text, '') AS clean_text,
+       CAST(t.n_segments AS BIGINT) AS n_segments,
+       CAST(t.n_segments - coalesce(a.n_kept, 0) AS BIGINT)
+           AS n_dup_segments
+FROM tot t LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def _rdf_entailment(sf_dir: str):
     """RDF-only ruleset saturation (reference ``Rdf`` struct) over the
     doc triples: input + rdf1 (used predicates typed rdf:Property) +
@@ -1851,6 +1956,7 @@ def registry() -> Registry:
         "pii_redact": (_pii_redact, _pii_sql()),
         "novel_bigrams": (_novel_bigrams, NOVEL_BIGRAMS_SQL),
         "source_stats": (_source_stats, SOURCE_STATS_SQL),
+        "segment_dedup": (_segment_dedup, SEGMENT_DEDUP_SQL),
         "knn_cosine": (_knn, KNN_SQL),
         "knn_self_join": (_knn_self_join, KNN_SELF_JOIN_SQL),
         "gazetteer_mentions": (_gazetteer_mentions, GAZETTEER_SQL),
