@@ -821,6 +821,46 @@ FROM tot t LEFT JOIN agg a USING (doc_id)
 """
 
 
+def _stratified_sample(sf_dir: str):
+    """Deterministic stratified corpus sampling — the source-mixing
+    primitive of every training-data recipe: each source gets a
+    sampling rate derived from md5(source) (10–90 %), each row a keep
+    decision from md5(doc_id), so the sample is reproducible across
+    runs, resumable, and shuffle-free (a pure stateless filter; no
+    randomness, no driver state).  md5 on both sides keeps the DuckDB
+    oracle byte-exact (crc32 would be the vectorized swap-in where an
+    oracle is not needed)."""
+    import hashlib
+
+    import ray.data as rd
+
+    def keep(b: pa.Table) -> pa.Table:
+        rates = {}
+        mask = []
+        for d, s in zip(b["doc_id"].to_pylist(), b["source"].to_pylist()):
+            r = rates.get(s)
+            if r is None:
+                r = rates[s] = int(hashlib.md5(
+                    s.encode()).hexdigest()[:8], 16) % 81 + 10
+            h = int(hashlib.md5(
+                str(d).encode()).hexdigest()[:8], 16) % 100
+            mask.append(h < r)
+        return b.filter(pa.array(mask, pa.bool_()))
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source", "n_chars"])
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+STRATIFIED_SAMPLE_SQL = """
+SELECT doc_id, source, n_chars
+FROM documents
+WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT)
+          % 100
+      < CAST('0x' || substr(md5(source), 1, 8) AS UBIGINT) % 81 + 10
+"""
+
+
 def _rdf_entailment(sf_dir: str):
     """RDF-only ruleset saturation (reference ``Rdf`` struct) over the
     doc triples: input + rdf1 (used predicates typed rdf:Property) +
@@ -1957,6 +1997,7 @@ def registry() -> Registry:
         "novel_bigrams": (_novel_bigrams, NOVEL_BIGRAMS_SQL),
         "source_stats": (_source_stats, SOURCE_STATS_SQL),
         "segment_dedup": (_segment_dedup, SEGMENT_DEDUP_SQL),
+        "stratified_sample": (_stratified_sample, STRATIFIED_SAMPLE_SQL),
         "knn_cosine": (_knn, KNN_SQL),
         "knn_self_join": (_knn_self_join, KNN_SELF_JOIN_SQL),
         "gazetteer_mentions": (_gazetteer_mentions, GAZETTEER_SQL),
