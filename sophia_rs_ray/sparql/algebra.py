@@ -1526,9 +1526,19 @@ def evaluate(node: Node, triples_ds, *, num_partitions: int = 8,
 
     if isinstance(node, Exists):
         left, right = ev(node.left), ev(node.right)
-        shared = sorted(set(_vars_of(left)) & set(_vars_of(right)))
+        lv = _vars_of(left)
+        shared = sorted(set(lv) & set(_vars_of(right)))
         if not shared:
-            raise ValueError("Exists without shared variables")
+            if not lv:  # empty left (Ray drops empty schemas): ∅
+                return left
+            # var-disjoint (or empty-right) EXISTS: every inner
+            # solution is compatible with every outer row, so the
+            # filter is a constant gate on "does the inner pattern
+            # match at all" (sparql11-query §8.1.1); bounded one-row
+            # driver probe, never a shuffle
+            nonempty = right.limit(1).count() > 0
+            keep = nonempty != node.negated
+            return left if keep else left.limit(0)
         return _semi_anti(left, right, shared, anti=node.negated,
                           require_overlap=False,
                           num_partitions=num_partitions)
