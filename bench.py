@@ -103,7 +103,8 @@ def run_bench() -> dict:
                  "gazetteer_mentions", "indexed_pattern_scan",
                  "vocab_top_terms", "price_median_by_flag",
                  "events_props_k", "repetition_features",
-                 "novel_bigrams", "source_stats"):
+                 "novel_bigrams", "source_stats", "segment_dedup",
+                 "stratified_sample"):
         fn, _sql = reg[name]
         t0 = time.perf_counter()
         res = fn(SF_DIR)
