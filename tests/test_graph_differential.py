@@ -132,3 +132,65 @@ def test_random_graph_query_matches_duckdb(seed, ray_session):
     assert got == want, (
         f"seed={seed}\nquery: {q}\nsql: {sql}\n"
         f"got {len(got)}, want {len(want)}")
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_random_dataset_clause_matches_duckdb(seed, ray_session):
+    """FROM / FROM NAMED semantics: the plain BGP sees the UNION of
+    the FROM graphs (not the stored default graph), and GRAPH ?g
+    ranges over exactly the FROM NAMED graphs."""
+    import duckdb
+
+    from sophia_rs_ray.sparql import select
+
+    rng = random.Random(9900 + seed)
+    quads = _random_quads(rng)
+    named = GRAPH_NAMES[1:]
+
+    from_gs = rng.sample(named, rng.randint(1, 2))
+    named_gs = rng.sample(named, rng.randint(1, 2))
+
+    p1 = rng.choice(PREDICATES)
+    p2 = rng.choice(PREDICATES)
+    with_graph = rng.random() < 0.7
+    clause = " ".join(f"FROM {g}" for g in from_gs) + " " + \
+        " ".join(f"FROM NAMED {g}" for g in named_gs)
+    if with_graph:
+        q = (f"SELECT ?a ?b ?g ?c {clause} WHERE "
+             f"{{ ?a {p1} ?b . GRAPH ?g {{ ?b {p2} ?c }} }}")
+    else:
+        q = f"SELECT ?a ?b {clause} WHERE {{ ?a {p1} ?b }}"
+
+    in_from = ", ".join(f"'{g}'" for g in from_gs)
+    in_named = ", ".join(f"'{g}'" for g in named_gs)
+    if with_graph:
+        sql = (
+            "SELECT DISTINCT d.s AS a, d.o AS b, n.g AS g, n.o AS c "
+            "FROM quads d JOIN quads n ON d.o = n.s "
+            f"WHERE d.p = '{p1}' AND d.g IN ({in_from}) "
+            f"AND n.p = '{p2}' AND n.g IN ({in_named})")
+    else:
+        # FROM-union is a set union: duplicates across graphs collapse
+        sql = (f"SELECT DISTINCT s AS a, o AS b FROM quads "
+               f"WHERE p = '{p1}' AND g IN ({in_from})")
+
+    rows = select(q, _quads_ds(quads)).take_all()
+    cols = ("a", "b", "g", "c") if with_graph else ("a", "b")
+    # the FROM default graph is a graph UNION (set semantics): dedup
+    # the engine rows the same way the SQL's DISTINCT does
+    got = sorted({tuple(r[c] or "" for c in cols) for r in rows})
+
+    con = duckdb.connect()
+    con.register("quads_src", pa.table({
+        "s": pa.array([x[0] for x in quads]),
+        "p": pa.array([x[1] for x in quads]),
+        "o": pa.array([x[2] for x in quads]),
+        "g": pa.array([x[3] for x in quads]),
+    }))
+    con.execute("CREATE VIEW quads AS SELECT * FROM quads_src")
+    want = sorted(tuple(c or "" for c in row)
+                  for row in con.execute(sql).fetchall())
+
+    assert got == want, (
+        f"seed={seed}\nquery: {q}\nsql: {sql}\n"
+        f"got {len(got)}, want {len(want)}")
