@@ -20,7 +20,11 @@ import pyarrow as pa
 from ..util import safe_join
 
 _MERSENNE = (1 << 61) - 1
-_TOKEN = re.compile(r"\W+", re.U)
+# EXACTLY RE2's ASCII \W (what DuckDB's regexp_split_to_array('\W+')
+# matches) — Python's own \W is unicode-aware and would tokenize
+# "naïve" differently from the SQL oracle. ASCII-only corpora are
+# identical under both definitions.
+_TOKEN = re.compile(r"[^0-9A-Za-z_]+")
 
 
 def _perm_params(n_perm: int, seed: int = 42) -> Tuple[np.ndarray, np.ndarray]:

@@ -373,9 +373,9 @@ QUALITY_SQL = r"""
 SELECT doc_id,
        length(text) AS n_chars,
        len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens,
-       cast(list_aggregate(list_transform(
+       cast(coalesce(list_aggregate(list_transform(
            list_filter(string_split_regex(text, '\s+'), x -> x <> ''),
-           x -> length(x)), 'sum') AS BIGINT) AS token_chars,
+           x -> length(x)), 'sum'), 0) AS BIGINT) AS token_chars,
        length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha_chars
 FROM documents
 """

@@ -1,0 +1,109 @@
+"""Registry fuzz: every DuckDB-oracled documents-table operator is run
+over RANDOM adversarial corpora — unicode (precomposed and combining),
+empty and whitespace-only texts, exact and near duplicates, PII-laden
+strings, stopword-rich multilingual soup — not just the fixed driver
+testdata.  The oracle SQL runs over the same random parquet, so any
+divergence is a real Ray-side/SQL-side semantics drift."""
+
+import math
+import random
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+DOC_QUERIES = [
+    "token_counts", "quality_features", "repetition_features",
+    "dedup_exact_docs", "normalize_docs", "pii_redact", "novel_bigrams",
+    "source_stats", "segment_dedup", "stratified_sample", "simhash_docs",
+    "lang_id", "vocab_top_terms", "quality_filter", "winnow_fingerprints",
+    "minhash_bands", "near_dup_clusters", "ngram_jaccard",
+]
+
+_WORDS = ("the of and to a in is that it for le la les de et un une "
+          "table row scan batch value käse héllo naïve éclair "
+          "☃snow Данные 数据 word0 word1 word2 word3").split()
+_SPECIALS = ["user@ex.com", "10.2.3.44", "123456789012", "a.b@c.io"]
+_SEEDS = range(6)
+
+
+def _random_corpus(rng, n):
+    texts = []
+    for i in range(n):
+        r = rng.random()
+        if r < 0.05:
+            texts.append("")
+            continue
+        if r < 0.10 and texts:
+            texts.append(rng.choice(texts))  # exact duplicate
+            continue
+        k = rng.randint(1, 50)
+        toks = [rng.choice(_WORDS) for _ in range(k)]
+        if rng.random() < 0.3:
+            toks.insert(rng.randrange(len(toks) + 1),
+                        rng.choice(_SPECIALS))
+        if r < 0.18 and texts and texts[-1]:
+            # near-duplicate of the previous doc
+            base = texts[-1].split()
+            if base:
+                base[rng.randrange(len(base))] = rng.choice(_WORDS)
+                toks = base
+        sep = rng.choice([" ", " ", " ", "  ", "\t", "\n"])
+        texts.append(sep.join(toks))
+    return pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(texts, pa.large_string()),
+        "lang": pa.array([rng.choice(["en", "fr", "de"])
+                          for _ in range(n)]),
+        "source": pa.array([f"s{rng.randint(0, 2)}" for _ in range(n)]),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+
+
+@pytest.fixture(scope="module")
+def corpora(tmp_path_factory):
+    out = {}
+    for seed in _SEEDS:
+        rng = random.Random(4000 + seed)
+        d = tmp_path_factory.mktemp(f"fuzz{seed}")
+        pq.write_table(_random_corpus(rng, rng.randint(6, 60)),
+                       d / "documents.parquet")
+        out[seed] = str(d)
+    return out
+
+
+@pytest.mark.parametrize("seed", _SEEDS)
+@pytest.mark.parametrize("name", DOC_QUERIES)
+def test_doc_query_matches_oracle_on_random_corpus(
+        name, seed, corpora, ray_session):
+    import duckdb
+
+    from sophia_rs_ray.pipelines.queries import registry
+
+    fn, sql = registry()[name]
+    sf_dir = corpora[seed]
+
+    got = fn(sf_dir)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    got = got[sorted(got.columns)]
+    got = got.sort_values(by=list(got.columns)).reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    want = con.execute(sql).fetchdf()
+    want = want[sorted(want.columns)]
+    want = want.sort_values(by=list(want.columns)).reset_index(drop=True)
+
+    assert list(got.columns) == list(want.columns), f"{name}[{seed}]"
+    assert len(got) == len(want), (
+        f"{name}[{seed}]: {len(got)} rows != {len(want)}")
+    for c in got.columns:
+        a, b = got[c].tolist(), want[c].tolist()
+        if a and isinstance(a[0], float):
+            ok = all((math.isnan(x) and math.isnan(y))
+                     or math.isclose(x, y, rel_tol=1e-12, abs_tol=1e-12)
+                     for x, y in zip(a, b))
+            assert ok, f"{name}[{seed}].{c} differs"
+        else:
+            assert a == b, f"{name}[{seed}].{c} differs"
