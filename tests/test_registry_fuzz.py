@@ -107,3 +107,115 @@ def test_doc_query_matches_oracle_on_random_corpus(
             assert ok, f"{name}[{seed}].{c} differs"
         else:
             assert a == b, f"{name}[{seed}].{c} differs"
+
+
+# ---------------------------------------------------------------------------
+# events-table and embeddings-table oracled queries over random inputs
+# ---------------------------------------------------------------------------
+
+EVENT_QUERIES = ["events_hourly", "user_sessions", "clicks_asof_view",
+                 "events_rolling_1h", "events_props_k"]
+EMB_QUERIES = ["knn_cosine", "knn_self_join", "embedding_near_dup"]
+_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def _random_events(rng, n):
+    recs = []
+    for i in range(n):
+        props = rng.choice([
+            '{"k": %d}' % rng.randint(0, 99),
+            '{ "k" : %d }' % rng.randint(0, 99),      # json.loads fallback
+            '{"k": %d, "j": {"x": 1}}' % rng.randint(0, 99),
+        ])
+        recs.append((i,
+                     rng.randint(0, 3 * 86400) * 1_000_000,
+                     rng.randint(0, 5),
+                     rng.choice(_TYPES),
+                     rng.randint(0, 99999) / 100.0,
+                     props))
+    return pa.table({
+        "event_id": pa.array([r[0] for r in recs], pa.int64()),
+        "ts": pa.array([r[1] for r in recs], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in recs], pa.int64()),
+        "event_type": pa.array([r[3] for r in recs]),
+        "value": pa.array([r[4] for r in recs], pa.float64()),
+        "props": pa.array([r[5] for r in recs]),
+    })
+
+
+def _random_embeddings(rng, n, dim=8):
+    return pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array(
+            [[round(rng.uniform(-1, 1), 3) for _ in range(dim)]
+             for _ in range(n)], pa.list_(pa.float32())),
+        "label": pa.array([rng.randint(0, 3) for _ in range(n)],
+                          pa.int32()),
+    })
+
+
+@pytest.fixture(scope="module")
+def mixed_corpora(tmp_path_factory):
+    out = {}
+    for seed in _SEEDS:
+        rng = random.Random(7000 + seed)
+        d = tmp_path_factory.mktemp(f"mfuzz{seed}")
+        pq.write_table(_random_events(rng, rng.randint(10, 90)),
+                       d / "events.parquet")
+        pq.write_table(_random_embeddings(rng, rng.randint(15, 60)),
+                       d / "embeddings.parquet")
+        out[seed] = str(d)
+    return out
+
+
+def _compare(name, seed, fn, sql, sf_dir, tables, float_tol):
+    import duckdb
+
+    got = fn(sf_dir)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    got = got[sorted(got.columns)]
+    got = got.sort_values(by=list(got.columns)).reset_index(drop=True)
+
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+    want = con.execute(sql).fetchdf()
+    want = want[sorted(want.columns)]
+    want = want.sort_values(by=list(want.columns)).reset_index(drop=True)
+
+    assert list(got.columns) == list(want.columns), f"{name}[{seed}]"
+    assert len(got) == len(want), (
+        f"{name}[{seed}]: {len(got)} rows != {len(want)}")
+    for c in got.columns:
+        a, b = got[c].tolist(), want[c].tolist()
+        if a and isinstance(a[0], float):
+            ok = all((math.isnan(x) and math.isnan(y))
+                     or math.isclose(x, y, rel_tol=float_tol,
+                                     abs_tol=float_tol)
+                     for x, y in zip(a, b))
+            assert ok, f"{name}[{seed}].{c} differs"
+        else:
+            assert a == b, f"{name}[{seed}].{c} differs"
+
+
+@pytest.mark.parametrize("seed", _SEEDS)
+@pytest.mark.parametrize("name", EVENT_QUERIES)
+def test_event_query_matches_oracle_on_random_events(
+        name, seed, mixed_corpora, ray_session):
+    from sophia_rs_ray.pipelines.queries import registry
+
+    fn, sql = registry()[name]
+    _compare(name, seed, fn, sql, mixed_corpora[seed], ["events"], 1e-9)
+
+
+@pytest.mark.parametrize("seed", _SEEDS)
+@pytest.mark.parametrize("name", EMB_QUERIES)
+def test_embedding_query_matches_oracle_on_random_vectors(
+        name, seed, mixed_corpora, ray_session):
+    from sophia_rs_ray.pipelines.queries import registry
+
+    fn, sql = registry()[name]
+    # sims round to 4dp on both sides; 1e-9 tolerates double-sum order
+    _compare(name, seed, fn, sql, mixed_corpora[seed],
+             ["embeddings"], 1e-9)
