@@ -541,6 +541,12 @@ def customer_ancestors(sf_dir: str):
         }).filter(pc.greater_equal(b["c_custkey"], pa.scalar(10))),
         batch_format="pyarrow")
     edges = edges.materialize()  # small; reused every round
+    if edges.count() == 0:
+        # keep the (node, ancestor) schema on the empty result — Ray
+        # drops the schema of zero-block datasets
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "ancestor": pa.array([], pa.int64())}))
 
     # parent map is small (≤ n/10 distinct parents) → broadcast dict
     import ray

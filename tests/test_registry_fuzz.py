@@ -171,8 +171,15 @@ def mixed_corpora(tmp_path_factory):
 def _compare(name, seed, fn, sql, sf_dir, tables, float_tol):
     import duckdb
 
-    got = fn(sf_dir)
-    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    raw = fn(sf_dir)
+    got = raw.to_pandas() if hasattr(raw, "to_pandas") else raw
+    if len(got) == 0 and len(got.columns) == 0 and hasattr(raw, "schema"):
+        # Ray's to_pandas drops columns of 0-row datasets even when the
+        # dataset itself still carries a schema
+        sch = raw.schema()
+        if sch is not None:
+            import pandas as pd
+            got = pd.DataFrame({n: [] for n in sch.names})
     got = got[sorted(got.columns)]
     got = got.sort_values(by=list(got.columns)).reset_index(drop=True)
 
@@ -219,3 +226,124 @@ def test_embedding_query_matches_oracle_on_random_vectors(
     # sims round to 4dp on both sides; 1e-9 tolerates double-sum order
     _compare(name, seed, fn, sql, mixed_corpora[seed],
              ["embeddings"], 1e-9)
+
+
+# ---------------------------------------------------------------------------
+# relational (TPC-H-ish) oracled queries over random consistent tables
+# ---------------------------------------------------------------------------
+
+REL_QUERIES = ["tpch_q1", "customers_per_region", "orders_per_segment",
+               "customers_without_orders", "large_parts_in_lineitem",
+               "top_orders_by_revenue", "nations_per_region_concat",
+               "customer_ancestors", "price_median_by_flag"]
+REL_TABLES = ["region", "nation", "customer", "orders", "lineitem",
+              "part"]
+_SEGS_MKT = ["BUILDING", "MACHINERY", "AUTOMOBILE"]
+
+
+def _random_tpch(rng):
+    nreg, nnat = rng.randint(1, 4), rng.randint(2, 8)
+    ncust, nord = rng.randint(3, 40), rng.randint(0, 60)
+    npart, nline = rng.randint(2, 25), rng.randint(0, 120)
+    region = pa.table({
+        "r_regionkey": pa.array(range(nreg), pa.int32()),
+        "r_name": pa.array([f"R{i}" for i in range(nreg)]),
+    })
+    nation = pa.table({
+        "n_nationkey": pa.array(range(nnat), pa.int32()),
+        "n_name": pa.array([f"N{i}" for i in range(nnat)]),
+        "n_regionkey": pa.array(
+            [rng.randrange(nreg) for _ in range(nnat)], pa.int32()),
+    })
+    customer = pa.table({
+        "c_custkey": pa.array(range(ncust), pa.int64()),
+        "c_name": pa.array([f"C{i}" for i in range(ncust)]),
+        "c_nationkey": pa.array(
+            [rng.randrange(nnat) for _ in range(ncust)], pa.int32()),
+        "c_acctbal": pa.array(
+            [rng.randint(-999999, 999999) / 100 for _ in range(ncust)],
+            pa.float64()),
+        "c_mktsegment": pa.array(
+            [rng.choice(_SEGS_MKT) for _ in range(ncust)]),
+    })
+    orders = pa.table({
+        "o_orderkey": pa.array(range(nord), pa.int64()),
+        "o_custkey": pa.array(
+            [rng.randrange(ncust) for _ in range(nord)], pa.int64()),
+        "o_orderstatus": pa.array(
+            [rng.choice("OFP") for _ in range(nord)]),
+        "o_totalprice": pa.array(
+            [rng.randint(0, 9999999) / 100 for _ in range(nord)],
+            pa.float64()),
+        "o_orderdate": pa.array(
+            [rng.randint(0, 3650) * 86400_000_000 for _ in range(nord)],
+            pa.timestamp("us")),
+        "o_orderpriority": pa.array(
+            [rng.choice(["1-URGENT", "3-MEDIUM", "5-LOW"])
+             for _ in range(nord)]),
+    })
+    lineitem = pa.table({
+        "l_orderkey": pa.array(
+            [rng.randrange(max(nord, 1)) for _ in range(nline)],
+            pa.int64()),
+        "l_partkey": pa.array(
+            [rng.randrange(npart) for _ in range(nline)], pa.int64()),
+        "l_suppkey": pa.array(
+            [rng.randrange(5) for _ in range(nline)], pa.int64()),
+        "l_linenumber": pa.array(
+            [rng.randint(1, 7) for _ in range(nline)], pa.int32()),
+        "l_quantity": pa.array(
+            [float(rng.randint(1, 50)) for _ in range(nline)],
+            pa.float64()),
+        "l_extendedprice": pa.array(
+            [rng.randint(100, 9999999) / 100 for _ in range(nline)],
+            pa.float64()),
+        "l_discount": pa.array(
+            [rng.randint(0, 10) / 100 for _ in range(nline)],
+            pa.float64()),
+        "l_tax": pa.array(
+            [rng.randint(0, 8) / 100 for _ in range(nline)],
+            pa.float64()),
+        "l_returnflag": pa.array([rng.choice("ARN") for _ in range(nline)]),
+        "l_linestatus": pa.array([rng.choice("OF") for _ in range(nline)]),
+        "l_shipdate": pa.array(
+            [rng.randint(0, 3650) * 86400_000_000 for _ in range(nline)],
+            pa.timestamp("us")),
+    })
+    part = pa.table({
+        "p_partkey": pa.array(range(npart), pa.int64()),
+        "p_name": pa.array([f"P{i}" for i in range(npart)]),
+        "p_brand": pa.array(
+            [f"B{rng.randint(0, 3)}" for _ in range(npart)]),
+        "p_type": pa.array(
+            [rng.choice(["STEEL", "BRASS", "TIN"]) for _ in range(npart)]),
+        "p_size": pa.array(
+            [rng.randint(1, 50) for _ in range(npart)], pa.int32()),
+        "p_retailprice": pa.array(
+            [rng.randint(100, 200000) / 100 for _ in range(npart)],
+            pa.float64()),
+    })
+    return {"region": region, "nation": nation, "customer": customer,
+            "orders": orders, "lineitem": lineitem, "part": part}
+
+
+@pytest.fixture(scope="module")
+def tpch_corpora(tmp_path_factory):
+    out = {}
+    for seed in _SEEDS:
+        rng = random.Random(9000 + seed)
+        d = tmp_path_factory.mktemp(f"tfuzz{seed}")
+        for name, tab in _random_tpch(rng).items():
+            pq.write_table(tab, d / f"{name}.parquet")
+        out[seed] = str(d)
+    return out
+
+
+@pytest.mark.parametrize("seed", _SEEDS)
+@pytest.mark.parametrize("name", REL_QUERIES)
+def test_relational_query_matches_oracle_on_random_tables(
+        name, seed, tpch_corpora, ray_session):
+    from sophia_rs_ray.pipelines.queries import registry
+
+    fn, sql = registry()[name]
+    _compare(name, seed, fn, sql, tpch_corpora[seed], REL_TABLES, 1e-9)
