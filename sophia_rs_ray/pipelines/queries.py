@@ -1255,9 +1255,15 @@ def _indexed_pattern_scan(sf_dir: str):
     predicate pattern through the POS layout: ONE shard directory read
     + pushed-down predicate — the distributed FastGraph 9-way dispatch
     (inmem/src/graph.rs:234-298). Same oracle as triples_matching."""
+    import hashlib
+
     from ..stages.materialize import materialize_graph, triples_matching
 
-    out = f"/tmp/sophia_rs_ray_cache/{_sf_of(sf_dir)}/doc_graph"
+    # key the resumable layout by the INPUT PATH, not just the sf tag —
+    # distinct corpora must never share a manifest (same scheme as
+    # _ivf_knn/_indexed_quad_scan)
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    out = f"/tmp/sophia_rs_ray_cache/{_sf_of(sf_dir)}-{tag}/doc_graph"
     materialize_graph(doc_triples(sf_dir), out, num_shards=8)
     pred = f"<{DC_LANGUAGE}>"
     ds = triples_matching(out, p=pred, num_shards=8)

@@ -37,7 +37,10 @@ def _random_corpus(rng, n):
         if r < 0.10 and texts:
             texts.append(rng.choice(texts))  # exact duplicate
             continue
-        k = rng.randint(1, 50)
+        # a third of the docs run long so threshold-type filters
+        # (n_chars > 300 …) select non-trivial subsets
+        k = rng.randint(50, 200) if rng.random() < 0.45 \
+            else rng.randint(1, 50)
         toks = [rng.choice(_WORDS) for _ in range(k)]
         if rng.random() < 0.3:
             toks.insert(rng.randrange(len(toks) + 1),
@@ -55,7 +58,7 @@ def _random_corpus(rng, n):
         "text": pa.array(texts, pa.large_string()),
         "lang": pa.array([rng.choice(["en", "fr", "de"])
                           for _ in range(n)]),
-        "source": pa.array([f"s{rng.randint(0, 2)}" for _ in range(n)]),
+        "source": pa.array([f"src{rng.randint(0, 2)}" for _ in range(n)]),
         "n_chars": pa.array([len(t) for t in texts], pa.int64()),
     })
 
@@ -66,7 +69,7 @@ def corpora(tmp_path_factory):
     for seed in _SEEDS:
         rng = random.Random(4000 + seed)
         d = tmp_path_factory.mktemp(f"fuzz{seed}")
-        pq.write_table(_random_corpus(rng, rng.randint(6, 60)),
+        pq.write_table(_random_corpus(rng, rng.randint(20, 90)),
                        d / "documents.parquet")
         out[seed] = str(d)
     return out
@@ -191,6 +194,10 @@ def _compare(name, seed, fn, sql, sf_dir, tables, float_tol):
     want = want[sorted(want.columns)]
     want = want.sort_values(by=list(want.columns)).reset_index(drop=True)
 
+    if len(want) == 0 and len(got) == 0 and len(got.columns) == 0:
+        # Ray keeps NO schema on zero-block datasets: empty-vs-empty
+        # is a match, the projected column names are unrecoverable
+        return
     assert list(got.columns) == list(want.columns), f"{name}[{seed}]"
     assert len(got) == len(want), (
         f"{name}[{seed}]: {len(got)} rows != {len(want)}")
@@ -347,3 +354,35 @@ def test_relational_query_matches_oracle_on_random_tables(
 
     fn, sql = registry()[name]
     _compare(name, seed, fn, sql, tpch_corpora[seed], REL_TABLES, 1e-9)
+
+
+# ---------------------------------------------------------------------------
+# KG / SPARQL oracled queries over random documents (the derived-KG
+# family: doc_triples and everything downstream of it)
+# ---------------------------------------------------------------------------
+
+KG_QUERIES = [
+    "doc_triples", "triples_dedup", "subjects_distinct",
+    "predicate_count", "triples_matching", "resource_view",
+    "sort_spo_limit", "indexed_pattern_scan", "rdfs_entailment",
+    "rdfs_entailment_full", "rdf_entailment", "turtle_roundtrip",
+    "rdfxml_roundtrip", "jsonld_roundtrip", "jsonld_compact_roundtrip",
+    "c14n_normalize", "gazetteer_mentions", "entity_dedup",
+    "graph_literals", "graph_remove_matching", "sparql_bgp_filter",
+    "sparql_subquery", "sparql_group_agg", "sparql_optional",
+    "sparql_union_distinct", "sparql_minus", "sparql_order_slice",
+    "sparql_extend_fns", "sparql_text_select", "sparql_text_construct",
+    "sparql_agg_noexplicit_group", "sparql_path_negated",
+    "sparql_having", "sparql_group_expr", "sparql_construct_where",
+    "sparql_describe",
+]
+
+
+@pytest.mark.parametrize("seed", _SEEDS)
+@pytest.mark.parametrize("name", KG_QUERIES)
+def test_kg_query_matches_oracle_on_random_corpus(
+        name, seed, corpora, ray_session):
+    from sophia_rs_ray.pipelines.queries import registry
+
+    fn, sql = registry()[name]
+    _compare(name, seed, fn, sql, corpora[seed], ["documents"], 1e-9)
