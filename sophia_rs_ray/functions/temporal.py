@@ -92,7 +92,8 @@ def sessionize(ds, *, key_col: str = "user_id", ts_col: str = "ts",
         aggs = [("one", "sum"), ("ts_us", "min"), ("ts_us", "max")]
         names = [key_col, "session", "n_events", "start_us", "end_us"]
         if value_col:
-            x = t[value_col].to_numpy(zero_copy_only=False)
+            x = np.nan_to_num(t[value_col].to_numpy(zero_copy_only=False))
+            # null value = 0 contribution (coalesce in the oracle)
             cents = (np.sign(x) * np.floor(np.abs(x) * 100 + 0.5))
             data["cents"] = pa.array(cents.astype(np.int64))
             aggs.append(("cents", "sum"))
@@ -281,7 +282,8 @@ def rolling_window(ds, *, key_col: str = "user_id", ts_col: str = "ts",
         n = len(t)
         nw = np.zeros(n, np.int64)
         if value_col:
-            x = t[value_col].to_numpy(zero_copy_only=False)
+            x = np.nan_to_num(t[value_col].to_numpy(zero_copy_only=False))
+            # null value = 0 contribution (coalesce in the oracle)
             cents = (np.sign(x) * np.floor(np.abs(x) * 100 + 0.5)) \
                 .astype(np.int64)
             sw = np.zeros(n, np.int64)

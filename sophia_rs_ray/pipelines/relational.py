@@ -50,7 +50,9 @@ def _cents(col, scale: float = 1e2):
     true DECIMAL casts and these integers reproduce them exactly.)"""
     import numpy as np
 
-    x = col.to_numpy(zero_copy_only=False)
+    x = np.nan_to_num(col.to_numpy(zero_copy_only=False))
+    # nulls contribute 0 (mirrored by coalesce(value, 0) in the
+    # oracles) — without the mask, nan.astype(int64) is INT64_MIN
     return (np.sign(x) * np.floor(np.abs(x) * scale + 0.5)).astype("int64")
 
 
@@ -181,8 +183,8 @@ def events_hourly(sf_dir: str):
 EVENTS_HOURLY_SQL = """
 SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
        count(*) AS n,
-       round(CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE)
-             / count(*), 4) AS avg_value
+       round(CAST(sum(CAST(coalesce("value", 0) AS DECIMAL(18,2)))
+                  AS DOUBLE) / count(*), 4) AS avg_value
 FROM events GROUP BY 1, 2
 """
 
@@ -619,7 +621,8 @@ WITH o AS (
   FROM o)
 SELECT user_id, CAST(session AS BIGINT) AS session, count(*) AS n_events,
        min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us,
-       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       CAST(sum(CAST(coalesce(value, 0) AS DECIMAL(18,2))) AS DOUBLE)
+           AS sum_value
 FROM s GROUP BY 1, 2
 """
 
@@ -701,7 +704,8 @@ def events_rolling_1h(sf_dir: str):
 EVENTS_ROLLING_1H_SQL = """
 SELECT user_id, event_id, epoch_us(ts) AS ts_us,
        count(*) OVER w AS n_w,
-       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_w
+       CAST(sum(CAST(coalesce(value, 0) AS DECIMAL(18,2))) OVER w
+            AS DOUBLE) AS sum_w
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts
              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)

@@ -134,7 +134,9 @@ def _random_events(rng, n):
                      rng.randint(0, 3 * 86400) * 1_000_000,
                      rng.randint(0, 5),
                      rng.choice(_TYPES),
-                     rng.randint(0, 99999) / 100.0,
+                     # nulls contribute 0 by the engine/oracle contract
+                     None if rng.random() < 0.15
+                     else rng.randint(0, 99999) / 100.0,
                      props))
     return pa.table({
         "event_id": pa.array([r[0] for r in recs], pa.int64()),
