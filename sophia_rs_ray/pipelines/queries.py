@@ -338,7 +338,8 @@ def _dedup_exact_docs(sf_dir: str):
 
 
 DEDUP_EXACT_SQL = """
-SELECT min(doc_id) AS rep_id, count(*) AS n_dups FROM documents GROUP BY text
+SELECT min(doc_id) AS rep_id, count(*) AS n_dups
+FROM documents GROUP BY coalesce(text, '')
 """
 
 
@@ -354,7 +355,8 @@ def _token_counts(sf_dir: str):
 
 TOKEN_COUNTS_SQL = r"""
 SELECT doc_id,
-       len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens
+       len(list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                       x -> x <> '')) AS n_tokens
 FROM documents
 """
 
@@ -371,12 +373,15 @@ def _quality(sf_dir: str):
 
 QUALITY_SQL = r"""
 SELECT doc_id,
-       length(text) AS n_chars,
-       len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens,
+       length(coalesce(text, '')) AS n_chars,
+       len(list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                       x -> x <> '')) AS n_tokens,
        cast(coalesce(list_aggregate(list_transform(
-           list_filter(string_split_regex(text, '\s+'), x -> x <> ''),
+           list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                       x -> x <> ''),
            x -> length(x)), 'sum'), 0) AS BIGINT) AS token_chars,
-       length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha_chars
+       length(regexp_replace(coalesce(text, ''), '[^a-zA-Z]', '', 'g'))
+           AS alpha_chars
 FROM documents
 """
 
@@ -399,8 +404,9 @@ def _winnow_fingerprints(sf_dir: str):
 
 WINNOW_SQL = """
 WITH grams AS (
-  SELECT doc_id, text, UNNEST(range(1, length(text) - 14)) AS i
-  FROM documents WHERE length(text) >= 23
+  SELECT doc_id, coalesce(text, '') AS text,
+         UNNEST(range(1, length(coalesce(text, '')) - 14)) AS i
+  FROM documents WHERE length(coalesce(text, '')) >= 23
 ), gh AS (
   SELECT doc_id, CAST(i AS BIGINT) AS i,
          CAST('0x' || substr(md5(substr(text, CAST(i AS INT), 16)), 1, 15)
@@ -1148,7 +1154,8 @@ LANG_ID_SQL = r"""
 WITH w AS (
   SELECT doc_id,
          list_distinct(list_transform(
-           regexp_extract_all(substr(text, 1, 2000), '[a-zA-Z'']+'),
+           regexp_extract_all(substr(coalesce(text, ''), 1, 2000),
+                              '[a-zA-Z'']+'),
            x -> lower(x))) AS words
   FROM documents
 ), s AS (
@@ -1872,7 +1879,8 @@ WITH RECURSIVE perms(pi, a, b) AS (VALUES
     (63, 1969251275389991129, 2042618724242302210)),
 toks AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '\W+'),
+         list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                           '\W+'),
                      x -> x <> '') AS tk
   FROM documents),
 padded AS (

@@ -31,11 +31,15 @@ def _random_corpus(rng, n):
     texts = []
     for i in range(n):
         r = rng.random()
+        if r < 0.03:
+            texts.append(None)  # null text ≡ '' by the engine contract
+            continue
         if r < 0.05:
             texts.append("")
             continue
         if r < 0.10 and texts:
-            texts.append(rng.choice(texts))  # exact duplicate
+            texts.append(rng.choice([t for t in texts if t is not None]
+                                    or [""]))  # exact duplicate
             continue
         # a third of the docs run long so threshold-type filters
         # (n_chars > 300 …) select non-trivial subsets
@@ -45,7 +49,7 @@ def _random_corpus(rng, n):
         if rng.random() < 0.3:
             toks.insert(rng.randrange(len(toks) + 1),
                         rng.choice(_SPECIALS))
-        if r < 0.18 and texts and texts[-1]:
+        if r < 0.18 and texts and texts[-1]:  # (None is falsy: skipped)
             # near-duplicate of the previous doc
             base = texts[-1].split()
             if base:
@@ -59,7 +63,7 @@ def _random_corpus(rng, n):
         "lang": pa.array([rng.choice(["en", "fr", "de"])
                           for _ in range(n)]),
         "source": pa.array([f"src{rng.randint(0, 2)}" for _ in range(n)]),
-        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        "n_chars": pa.array([len(t or "") for t in texts], pa.int64()),
     })
 
 
