@@ -37,7 +37,13 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
 
 
 def _mat_of(batch: pa.Table) -> Tuple[np.ndarray, np.ndarray]:
+    import pyarrow.compute as _pc
+
+    # null embeddings are skipped (the ANN oracles filter IS NOT NULL)
+    batch = batch.filter(_pc.is_valid(batch["embedding"]))
     ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+    if len(ids) == 0:
+        return ids, np.zeros((0, 1), np.float64)
     mat = _normalize(np.array(batch["embedding"].to_pylist(),
                               dtype=np.float64))
     return ids, mat
@@ -196,6 +202,9 @@ def cosine_near_dup_lsh(emb_ds, *, threshold: float = 0.4,
     def pack(b: pa.Table) -> pa.Table:
         # Ray's hash join rejects list<float> payload columns — ship
         # vectors as fixed-width binary instead
+        import pyarrow.compute as _pc
+
+        b = b.filter(_pc.is_valid(b["embedding"]))  # skip null vectors
         mat = np.array(b["embedding"].to_pylist(), dtype=np.float64)
         return pa.table({"vec_id": b["vec_id"],
                          "emb": pa.array([m.tobytes() for m in mat],
@@ -382,6 +391,9 @@ def ivf_topk(emb_ds, query: List[float], *, k: int = 10,
     qn = q / (np.linalg.norm(q) or 1.0)
 
     def score(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        batch = batch.filter(_pc.is_valid(batch["embedding"]))
         ids = np.asarray(batch["vec_id"].to_pylist())
         vecs = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
         buckets = bucket_of(vecs, cents)

@@ -32,8 +32,15 @@ def brute_force_topk(ds, query_vec: np.ndarray, k: int = 10,
     q_ref = ray.put(q)
 
     def score(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
         import ray as _ray
 
+        # null embeddings are skipped (oracle: WHERE embedding IS NOT
+        # NULL) — one bad row must not kill a 100-TB job
+        b = b.filter(_pc.is_valid(b[emb_col]))
+        if b.num_rows == 0:
+            return pa.table({id_col: pa.array([], b[id_col].type),
+                             "sim": pa.array([], pa.float64())})
         qv = _ray.get(q_ref)
         m = _matrix(b[emb_col])
         norms = np.linalg.norm(m, axis=1)
@@ -58,6 +65,13 @@ class HyperplaneLsh:
         self.planes = rng.normal(size=(n_planes, dim))
 
     def __call__(self, b: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        b = b.filter(_pc.is_valid(b["embedding"]))  # skip null vectors
+        if b.num_rows == 0:
+            return pa.table({"vec_id": b["vec_id"],
+                             "bucket": pa.array([], pa.int64()),
+                             "embedding": b["embedding"]})
         m = _matrix(b["embedding"])
         signs = (m @ self.planes.T) > 0
         buckets = signs @ (1 << np.arange(signs.shape[1], dtype=np.int64))

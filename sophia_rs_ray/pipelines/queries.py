@@ -999,6 +999,7 @@ WITH sims AS (
          round(list_cosine_similarity(a.embedding::DOUBLE[],
                                       b.embedding::DOUBLE[]), 4) AS sim
   FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  WHERE a.embedding IS NOT NULL AND b.embedding IS NOT NULL
 )
 SELECT id, neighbor_id, sim FROM (
   SELECT *, row_number() OVER (
@@ -1012,7 +1013,7 @@ KNN_SQL = """
 WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
 SELECT vec_id AS neighbor_id,
        round(list_cosine_similarity(embedding::DOUBLE[], (SELECT embedding FROM q)::DOUBLE[]), 4) AS sim
-FROM embeddings WHERE vec_id <> 0
+FROM embeddings WHERE vec_id <> 0 AND embedding IS NOT NULL
 ORDER BY sim DESC, vec_id LIMIT 10
 """
 
@@ -1039,7 +1040,8 @@ EMBEDDING_NEAR_DUP_SQL = """
 SELECT cast(a.vec_id AS BIGINT) AS id_a, cast(b.vec_id AS BIGINT) AS id_b,
        round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
 FROM embeddings a JOIN embeddings b ON cast(a.vec_id AS BIGINT) < cast(b.vec_id AS BIGINT)
-WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+WHERE a.embedding IS NOT NULL AND b.embedding IS NOT NULL
+  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
 """
 
 

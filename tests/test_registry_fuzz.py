@@ -156,8 +156,9 @@ def _random_embeddings(rng, n, dim=8):
     return pa.table({
         "vec_id": pa.array(range(n), pa.int64()),
         "embedding": pa.array(
-            [[round(rng.uniform(-1, 1), 3) for _ in range(dim)]
-             for _ in range(n)], pa.list_(pa.float32())),
+            [None if i > 0 and rng.random() < 0.08 else
+             [round(rng.uniform(-1, 1), 3) for _ in range(dim)]
+             for i in range(n)], pa.list_(pa.float32())),
         "label": pa.array([rng.randint(0, 3) for _ in range(n)],
                           pa.int32()),
     })
