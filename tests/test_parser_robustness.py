@@ -110,3 +110,50 @@ def test_jsonld_parser_returns_errors_not_raises(seed):
     doc = _mutate(rng, _valid_jsonld(rng))
     trs, err = jsonld_to_triples(doc)  # must NEVER raise
     assert err is None or isinstance(err, str)
+
+
+def _valid_html(rng):
+    blocks = ["<!DOCTYPE html><html><head><title>T</title>",
+              '<script type="application/ld+json">{"@id": "x:s"}</script>',
+              "</head><body>"]
+    for i in range(rng.randint(1, 6)):
+        blocks.append(rng.choice([
+            f"<p>para {i} <b>bold</b> tail</p>",
+            f'<div itemscope itemtype="x:T"><span itemprop="n">{i}</span></div>',
+            f'<section vocab="x:" typeof="T"><em property="p">{i}</em></section>',
+            f"<ul><li>a{i}<li>b{i}</ul>",
+            "<table><tr><td>c</td></tr></table>",
+        ]))
+    blocks.append("</body></html>")
+    return "".join(blocks)
+
+
+@pytest.mark.parametrize("seed", range(120))
+def test_extract_page_never_raises_and_engines_agree(seed):
+    """extract_page is the flagship's entry point for raw crawl bytes:
+    it must never raise on mutated garbage, and the fast tokenizer's
+    fallback contract means both engines stay callable on any input."""
+    from sophia_rs_ray.extract.html_page import extract_page
+
+    rng = random.Random(15000 + seed)
+    doc = _mutate(rng, _valid_html(rng))
+    for engine in ("fast", "stdlib"):
+        text, jsonld, micro, rdfa = extract_page(doc, engine=engine)
+        assert isinstance(text, str)
+
+
+@pytest.mark.parametrize("seed", range(80))
+def test_sparql_parser_never_crashes_internally(seed):
+    from sophia_rs_ray.sparql.parser import parse_query
+
+    rng = random.Random(16000 + seed)
+    base = ("PREFIX ex: <http://ex.org/> "
+            "SELECT DISTINCT ?s (COUNT(*) AS ?c) WHERE { "
+            "?s ex:p ?o . OPTIONAL { ?o ex:q ?z } "
+            "FILTER (?c > 3 || REGEX(STR(?s), \"x\")) } "
+            "GROUP BY ?s HAVING (COUNT(*) > 1) ORDER BY DESC(?c) LIMIT 5")
+    doc = _mutate(rng, base)
+    try:
+        parse_query(doc)
+    except ValueError:
+        pass  # SparqlParseError subclasses ValueError
