@@ -133,6 +133,85 @@ def _map_side(block, key_cols, num_partitions, combine):
     return _split_by_key(t, key_cols, num_partitions)
 
 
+def _undict(t: pa.Table) -> pa.Table:
+    """Decode every dictionary-encoded (interned) column to its plain
+    value type (string-likes widen to large_string, matching the plain
+    payload convention)."""
+    if not any(pa.types.is_dictionary(f.type) for f in t.schema):
+        return t
+    cols = {}
+    for name in t.column_names:
+        col = t[name]
+        if pa.types.is_dictionary(col.type):
+            vt = col.type.value_type
+            if pa.types.is_string(vt) or pa.types.is_large_string(vt):
+                vt = pa.large_string()
+            col = pc.cast(col, vt)
+        cols[name] = col
+    return pa.table(cols)
+
+
+def _concat_mixed(parts):
+    """Concat partials that may mix interned (dictionary) and plain
+    (large_string) schemas.  ``intern_threshold`` is a per-piece row
+    cutoff, so one partition legitimately receives both layouts (small
+    cells skip interning); pa.concat_tables raises on the mix, so
+    decode first when schemas differ."""
+    # schema objects with dict metadata are unhashable — compare by
+    # equality, not via a set
+    first = parts[0].schema
+    if any(p.schema != first for p in parts[1:]):
+        parts = [_undict(p) for p in parts]
+    return pa.concat_tables(parts, promote_options="default")
+
+
+def _merge_pieces(*parts):
+    """Fan-in node of the exchange merge tree: concat ≤ fanin piece
+    objects into one so reduce-task argument counts and the driver's
+    live-ref set stay bounded at ``fanin`` per level, independent of
+    input block count (same rationale as materialize._combine_pieces).
+    NOTE: this node only concats — it never re-applies ``combine``,
+    which is a per-*input-block* partial (e.g. dedup's ``n_dups = 1``
+    seed) and is not idempotent over its own output."""
+    parts = [p for p in parts if p is not None]
+    if not parts:
+        return None
+    nonempty = [p for p in parts if p.num_rows > 0]
+    if not nonempty:
+        # keep the narrowest empty schema (see _reduce_side rationale)
+        return min(parts, key=lambda p: p.num_columns)
+    return _concat_mixed(nonempty)
+
+
+class _MergeTree:
+    """Per-partition fan-in tree over piece ObjectRefs.
+
+    ``levels[j][d]`` holds up-to-``fanin`` refs at depth ``d`` for
+    partition ``j``; a full level collapses into one ``merge_fn`` call
+    and its refs are dropped, so the driver's live-ref set is
+    O(partitions · fanin · depth) and every downstream task's argument
+    list is bounded at ``fanin · depth`` refs, independent of input
+    block count.  Depth grows log_fanin(blocks) ≈ 2-3 even at 100 TB."""
+
+    def __init__(self, num_partitions: int, fanin: int, merge_fn):
+        self.fanin = fanin
+        self.merge_fn = merge_fn
+        self.levels: List[List[List]] = [[[]] for _ in range(num_partitions)]
+
+    def push(self, j: int, ref, depth: int = 0) -> None:
+        lv = self.levels[j]
+        while len(lv) <= depth:
+            lv.append([])
+        lv[depth].append(ref)
+        if len(lv[depth]) >= self.fanin:
+            merged = self.merge_fn(*lv[depth])
+            lv[depth] = []
+            self.push(j, merged, depth + 1)
+
+    def remaining(self, j: int) -> list:
+        return [r for lv in self.levels[j] for r in lv]
+
+
 def _reduce_side(finalize, fallback, *parts):
     parts = [p for p in parts if p is not None]
     if not parts:
@@ -153,7 +232,7 @@ def _reduce_side(finalize, fallback, *parts):
     # narrowest empty schema (the projected one).
     nonempty = [p for p in parts if p.num_rows > 0]
     if nonempty:
-        t = pa.concat_tables(nonempty, promote_options="default")
+        t = _concat_mixed(nonempty)
     else:
         t = min(parts, key=lambda p: p.num_columns)
     return finalize(t) if finalize is not None else t
@@ -162,13 +241,22 @@ def _reduce_side(finalize, fallback, *parts):
 def hash_aggregate(ds, key_cols: Sequence[str],
                    combine: Optional[Callable[[pa.Table], pa.Table]],
                    finalize: Optional[Callable[[pa.Table], pa.Table]],
-                   *, num_partitions: int = 16):
+                   *, num_partitions: int = 16, fanin: int = 256):
     """Exact per-key aggregation via the raw-task hash exchange.
 
     ``combine`` runs once per input block (partial aggregate — MUST
     keep the key columns); ``finalize`` runs once per hash partition
     over the concatenated partials (final aggregate).  Either may be
     None (identity).  Returns a Dataset of the finalize outputs.
+
+    Per-partition merge tree (same shape as materialize.py's): piece
+    refs collapse ``fanin`` at a time through ``_merge_pieces`` nodes,
+    so the final reduce task's argument count and the driver's live-ref
+    set are O(fanin · depth) per partition, independent of input block
+    count — at 10⁵ blocks the direct exchange would hand every reduce
+    task 10⁵ tiny object args and pin blocks × partitions refs on the
+    driver.  Below ``fanin`` blocks (every sandbox run) the tree is a
+    single level and the plan is identical to the direct exchange.
     """
     import ray
     import ray.data as rd
@@ -176,19 +264,38 @@ def hash_aggregate(ds, key_cols: Sequence[str],
     split = ray.remote(num_returns=num_partitions)(_map_side) \
         if num_partitions > 1 else ray.remote(_map_side)
     reduce = ray.remote(_reduce_side)
+    merge = ray.remote(_merge_pieces)
+    unwrap = ray.remote(lambda t: t[0]) if num_partitions == 1 else None
+    tree = _MergeTree(num_partitions, fanin,
+                      lambda *refs: merge.remote(*refs))
+
+    n_blocks = 0
+
+    def feed(block_ref) -> None:
+        nonlocal n_blocks
+        n_blocks += 1
+        refs = split.remote(block_ref, tuple(key_cols), num_partitions,
+                            combine)
+        if num_partitions == 1:
+            # num_returns=1 tasks return the 1-tuple itself; unwrap
+            # remotely
+            tree.push(0, unwrap.remote(refs))
+        else:
+            for j, r in enumerate(refs):
+                tree.push(j, r)
+
     # launch each block's map-side split the moment the block
     # materializes: the exchange overlaps the producing stage instead
     # of waiting behind a full-dataset to_arrow_refs() barrier
     try:
-        part_refs = [
-            split.remote(r, tuple(key_cols), num_partitions, combine)
-            for bundle in ds.iter_internal_ref_bundles()
-            for r in bundle.block_refs]
+        for bundle in ds.iter_internal_ref_bundles():
+            for r in bundle.block_refs:
+                feed(r)
     except AttributeError:  # older Ray: no streaming ref API
-        part_refs = [
-            split.remote(r, tuple(key_cols), num_partitions, combine)
-            for r in ds.to_arrow_refs()]
-    if not part_refs:
+        for r in ds.to_arrow_refs():
+            feed(r)
+
+    if not n_blocks:
         # zero-block input: derive the output schema from the fns on an
         # empty batch so downstream operators keep working
         schema = ds.schema()
@@ -197,12 +304,6 @@ def hash_aggregate(ds, key_cols: Sequence[str],
         t = combine(empty) if combine is not None else empty
         t = finalize(t) if finalize is not None else t
         return rd.from_arrow(t)
-    if num_partitions == 1:
-        # num_returns=1 tasks return the 1-tuple itself; unwrap remotely
-        unwrap = ray.remote(lambda t: t[0])
-        cols = [tuple(unwrap.remote(r) for r in part_refs)]
-    else:
-        cols = list(zip(*part_refs))
     # all-empty-partition fallback: a driver-side combined empty (most
     # combine fns synthesize their output columns on a 0-row input)
     fallback = None
@@ -222,7 +323,7 @@ def hash_aggregate(ds, key_cols: Sequence[str],
                 fallback = combine(empty) if combine is not None else empty
             except Exception:
                 fallback = None
-    out_refs = [reduce.remote(finalize, fallback, *cols[j])
+    out_refs = [reduce.remote(finalize, fallback, *tree.remaining(j))
                 for j in range(num_partitions)]
     return rd.from_arrow_refs(out_refs)
 
@@ -248,8 +349,8 @@ def _join_reduce(join_type, on, right_on, l_suffix, r_suffix, n_left,
                  *parts):
     left = [p for p in parts[:n_left] if p is not None]
     right = [p for p in parts[n_left:] if p is not None]
-    lt = pa.concat_tables(left, promote_options="default")
-    rt = pa.concat_tables(right, promote_options="default")
+    lt = _concat_mixed(left)
+    rt = _concat_mixed(right)
     return lt.join(rt, keys=list(on), right_keys=list(right_on),
                    join_type=join_type,
                    left_suffix=l_suffix, right_suffix=r_suffix,
@@ -295,17 +396,25 @@ def exchange_join(left_ds, right_ds, join_type: str, num_partitions: int,
     split = ray.remote(num_returns=num_partitions)(_map_side) \
         if num_partitions > 1 else ray.remote(_map_side)
     reduce = ray.remote(_join_reduce)
-    l_parts = [split.remote(r, tuple(on), num_partitions, None)
-               for r in l_refs]
-    r_parts = [split.remote(r, tuple(right_on), num_partitions, None)
-               for r in r_refs]
-    if num_partitions == 1:
-        unwrap = ray.remote(lambda t: t[0])
-        l_cols = [tuple(unwrap.remote(r) for r in l_parts)]
-        r_cols = [tuple(unwrap.remote(r) for r in r_parts)]
-    else:
-        l_cols = list(zip(*l_parts))
-        r_cols = list(zip(*r_parts))
+    merge = ray.remote(_merge_pieces)
+    unwrap = ray.remote(lambda t: t[0]) if num_partitions == 1 else None
+
+    def _exchange(refs, key_cols, fanin=256):
+        # per-partition merge tree (see hash_aggregate) so join-reduce
+        # arg counts stay bounded at 100-TB block counts
+        tree = _MergeTree(num_partitions, fanin,
+                          lambda *rs: merge.remote(*rs))
+        for r in refs:
+            parts = split.remote(r, tuple(key_cols), num_partitions, None)
+            if num_partitions == 1:
+                tree.push(0, unwrap.remote(parts))
+            else:
+                for j, p in enumerate(parts):
+                    tree.push(j, p)
+        return [tree.remaining(j) for j in range(num_partitions)]
+
+    l_cols = _exchange(l_refs, on)
+    r_cols = _exchange(r_refs, right_on)
     out = [reduce.remote(join_type, tuple(on), tuple(right_on),
                          left_suffix, right_suffix, len(l_cols[j]),
                          *l_cols[j], *r_cols[j])

@@ -330,8 +330,10 @@ def _concat_pieces_mixed(parts):
     """Concat partition pieces that may mix interned (dictionary) and
     plain (large_string) schemas — small cells skip interning
     (``_INTERN_MIN_ROWS``), so a partition can receive both."""
-    schemas = {p.schema for p in parts}
-    if len(schemas) > 1:
+    # schema objects with dict metadata are unhashable — compare by
+    # equality, not via a set
+    first = parts[0].schema
+    if any(p.schema != first for p in parts[1:]):
         parts = [_decode_terms(p) for p in parts]
     return pa.concat_tables(parts)
 
@@ -384,31 +386,21 @@ def _materialize_exchange(nt_ds, out_dir: str, orders: List[str],
     # waiting behind a full-dataset barrier (to_arrow_refs()).  Only
     # the reduce (write) side runs after the last block.
     combine = ray.remote(_combine_pieces)
-    # Per-partition merge tree: ``levels[j][d]`` holds up-to-``fanin``
-    # refs at tree depth d.  When a level fills, its refs collapse into
-    # one combine task and the driver drops them — bounding both the
-    # driver's live-ref set (O(npart · fanin · depth)) and every
-    # write/combine task's argument count at ``fanin``, independent of
-    # the input block count.  Depth is log_fanin(blocks) ≈ 2-3 even at
-    # 100 TB; below ``fanin`` blocks (every sandbox run) the tree is a
-    # single level and the plan is identical to the direct exchange.
-    levels: List[List[List]] = [[[]] for _ in range(npart)]
+    # Per-partition merge tree (functions/exchange._MergeTree): bounds
+    # both the driver's live-ref set (O(npart · fanin · depth)) and
+    # every write/combine task's argument count at ``fanin``,
+    # independent of the input block count.  Below ``fanin`` blocks
+    # (every sandbox run) the tree is a single level and the plan is
+    # identical to the direct exchange.
+    from ..functions.exchange import _MergeTree
 
-    def push(j: int, ref, depth: int = 0) -> None:
-        lv = levels[j]
-        while len(lv) <= depth:
-            lv.append([])
-        lv[depth].append(ref)
-        if len(lv[depth]) >= fanin:
-            merged = combine.remote(*lv[depth])
-            lv[depth] = []
-            push(j, merged, depth + 1)
+    tree = _MergeTree(npart, fanin, lambda *refs: combine.remote(*refs))
 
     active = [j for j, key in enumerate(layout) if key not in done_keys]
 
     def feed(piece_refs) -> None:
         for j in active:
-            push(j, piece_refs[j])
+            tree.push(j, piece_refs[j])
 
     from ..functions.exchange import intern_threshold
 
@@ -430,7 +422,7 @@ def _materialize_exchange(nt_ds, out_dir: str, orders: List[str],
     for j, (oi, shard, salt) in enumerate(layout):
         if (oi, shard, salt) in done_keys:
             continue
-        refs = [r for lv in levels[j] for r in lv]
+        refs = tree.remaining(j)
         futures[(oi, shard, salt)] = write.remote(
             out_dir, orders[oi], shard, salt, distinct, *refs)
     rows = ray.get(list(futures.values()))

@@ -1,0 +1,174 @@
+"""Round-4 exchange hardening (VERDICT #1 + ADVICE high):
+
+- hash_aggregate's fan-in merge tree bounds reduce-task argument
+  counts and driver-held refs at ``fanin`` per level, independent of
+  block count (>=10^3 blocks driven end-to-end here);
+- mixed dictionary/plain partials (per-piece interning threshold
+  straddled by block size) concat cleanly in the reduce — the exact
+  ArrowTypeError repro from round-3 ADVICE.
+"""
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+
+def _tree_remaining_bound(n_pushes: int, fanin: int) -> None:
+    from sophia_rs_ray.functions.exchange import _MergeTree
+
+    merges = []
+
+    def merge_fn(*refs):
+        merges.append(len(refs))
+        return ("merged", len(refs))
+
+    tree = _MergeTree(1, fanin, merge_fn)
+    for i in range(n_pushes):
+        tree.push(0, i)
+    rem = tree.remaining(0)
+    depth = len(tree.levels[0])
+    # every level holds < fanin refs, so the final consumer's arg list
+    # is < fanin * depth regardless of n_pushes
+    assert len(rem) < fanin * depth
+    assert all(n == fanin for n in merges)
+    if n_pushes >= fanin:
+        assert merges, "tree never collapsed a level"
+    # depth is logarithmic
+    import math
+
+    assert depth <= max(1, math.ceil(math.log(n_pushes, fanin))) + 1
+
+
+def test_merge_tree_bounds_args():
+    _tree_remaining_bound(10_000, 8)
+    _tree_remaining_bound(1_000, 256)  # single level below fanin
+    _tree_remaining_bound(3, 4)
+
+
+def test_hash_aggregate_1000_blocks_small_fanin(ray_session):
+    """>=10^3 blocks through the exchange with fanin=8 (forces a
+    3-level tree) must equal the direct single-partition plan."""
+    import ray.data as rd
+
+    from sophia_rs_ray.functions.exchange import hash_aggregate
+
+    tables = [
+        pa.table({
+            "k": pa.array([f"k{i % 37}", f"k{(i + 1) % 37}"]),
+            "v": pa.array([i, i * 2], pa.int64()),
+        })
+        for i in range(1000)
+    ]
+    ds = rd.from_arrow(tables)
+
+    def gsum(t: pa.Table) -> pa.Table:
+        out = t.group_by("k").aggregate([("v", "sum")])
+        return out.rename_columns(["k", "v"])
+
+    got = (
+        hash_aggregate(ds, ["k"], gsum, gsum, num_partitions=3, fanin=8)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    import collections
+
+    expect = collections.Counter()
+    for i in range(1000):
+        expect[f"k{i % 37}"] += i
+        expect[f"k{(i + 1) % 37}"] += i * 2
+    assert len(got) == 37
+    for _, row in got.iterrows():
+        assert expect[row["k"]] == row["v"]
+
+
+def test_dedup_triples_mixed_intern_partials(ray_session, monkeypatch):
+    """SOPHIA_INTERN_MIN_ROWS between the two blocks' distinct-key
+    counts -> one partial dictionary-encoded, one plain.  Round-3 code
+    raised ArrowTypeError('incompatible types') in the reduce concat."""
+    import ray.data as rd
+
+    from sophia_rs_ray.stages.dedup import dedup_triples
+
+    monkeypatch.setenv("SOPHIA_INTERN_MIN_ROWS", "50")
+
+    big = pa.table({
+        "s": pa.array([f"<http://ex/s{i}>" for i in range(120)]),
+        "p": pa.array(["<http://ex/p>"] * 120),
+        "o": pa.array([f'"v{i}"' for i in range(120)]),
+        "url": pa.array([f"http://page/{i % 3}" for i in range(120)]),
+    })
+    small = pa.table({
+        "s": pa.array([f"<http://ex/s{i}>" for i in range(10)]),
+        "p": pa.array(["<http://ex/p>"] * 10),
+        "o": pa.array([f'"v{i}"' for i in range(10)]),
+        "url": pa.array(["http://page/9"] * 10),
+    })
+    ds = rd.from_arrow([big, small])
+    out = dedup_triples(ds, num_partitions=4).to_pandas()
+    # 120 distinct triples; the 10 in `small` are duplicates of big's
+    assert len(out) == 120
+    assert set(out.columns) == {"s", "p", "o", "url"}
+    # provenance is the min url across duplicates
+    dup_urls = out[out["s"].isin([f"<http://ex/s{i}>" for i in range(10)])]
+    assert (dup_urls["url"] <= "http://page/9").all()
+
+
+def test_dedup_triples_mixed_intern_with_count(ray_session, monkeypatch):
+    import ray.data as rd
+
+    from sophia_rs_ray.stages.dedup import dedup_triples
+
+    monkeypatch.setenv("SOPHIA_INTERN_MIN_ROWS", "50")
+    big = pa.table({
+        "s": pa.array([f"<http://ex/s{i % 60}>" for i in range(200)]),
+        "p": pa.array(["<http://ex/p>"] * 200),
+        "o": pa.array(['"x"'] * 200),
+        "url": pa.array(["u"] * 200),
+    })
+    small = pa.table({
+        "s": pa.array(["<http://ex/s0>"] * 3),
+        "p": pa.array(["<http://ex/p>"] * 3),
+        "o": pa.array(['"x"'] * 3),
+        "url": pa.array(["u"] * 3),
+    })
+    ds = rd.from_arrow([big, small])
+    out = dedup_triples(ds, with_count=True, num_partitions=2).to_pandas()
+    assert len(out) == 60
+    by_s = dict(zip(out["s"], out["n_dups"]))
+    assert by_s["<http://ex/s0>"] == 200 // 60 + (1 if 0 < 200 % 60 else 0) + 3
+
+
+def test_concat_mixed_unifies_dictionary_and_plain():
+    from sophia_rs_ray.functions.exchange import _concat_mixed
+
+    plain = pa.table({"s": pa.array(["a", "b"], pa.large_string()),
+                      "n": pa.array([1, 2], pa.int64())})
+    interned = pa.table({
+        "s": pc.dictionary_encode(pa.array(["b", "c"], pa.large_string())),
+        "n": pa.array([3, 4], pa.int64()),
+    })
+    out = _concat_mixed([plain, interned])
+    assert out.num_rows == 4
+    assert not pa.types.is_dictionary(out["s"].type)
+    assert out["s"].to_pylist() == ["a", "b", "b", "c"]
+
+
+def test_exchange_join_many_blocks_small_fanin(ray_session):
+    import ray.data as rd
+
+    from sophia_rs_ray.functions.exchange import exchange_join
+
+    left = rd.from_arrow([
+        pa.table({"k": pa.array([f"k{i % 11}"]),
+                  "l": pa.array([i], pa.int64())})
+        for i in range(64)
+    ])
+    right = rd.from_arrow([
+        pa.table({"k": pa.array([f"k{j}"]),
+                  "r": pa.array([j * 100], pa.int64())})
+        for j in range(11)
+    ])
+    out = exchange_join(left, right, "inner", 2, on=["k"]).to_pandas()
+    assert len(out) == 64
+    assert (out["r"] == out["k"].str.slice(1).astype(int) * 100).all()
