@@ -626,8 +626,19 @@ def _novel_bigrams(sf_dir: str):
                            columns=["doc_id", "text"])
     pairs = docs.map_batches(bigram_pairs_batch, batch_format="pyarrow")
 
-    # pairs are globally distinct (distinct-per-doc, doc in one batch):
-    # count docs per bigram without any partial-dedup pass
+    # pairs are globally distinct (distinct-per-doc, doc in one batch).
+    # Block-level cap combiner (segment_dedup's trick): a bigram seen
+    # in >=2 docs within one block is globally non-novel either way, so
+    # within-block copies beyond the 2nd carry no information — cap at
+    # 2 rows per bigram per block.  A corpus-common bigram then costs
+    # <=2 rows per block on the wire instead of one row per containing
+    # document.
+    def cap_pairs(t: pa.Table) -> pa.Table:
+        import polars as pl
+        df = pl.from_arrow(t)
+        return df.filter(
+            pl.int_range(pl.len()).over("bigram") < 2).to_arrow()
+
     def per_bigram(t: pa.Table) -> pa.Table:
         g = t.group_by(["bigram"]).aggregate([("doc_id", "count"),
                                               ("doc_id", "max")])
@@ -636,7 +647,7 @@ def _novel_bigrams(sf_dir: str):
         return pa.table({"doc_id": f["only_doc"],
                          "novel": pa.array([1] * f.num_rows, pa.int64())})
 
-    singles = hash_aggregate(pairs, ["bigram"], None, per_bigram,
+    singles = hash_aggregate(pairs, ["bigram"], cap_pairs, per_bigram,
                              num_partitions=8)
 
     zeros = docs.map_batches(

@@ -117,6 +117,76 @@ def test_doc_query_matches_oracle_on_random_corpus(
 
 
 # ---------------------------------------------------------------------------
+# skew corpora: hot-key inputs (>10x skew on one bigram / segment /
+# source / duplicate doc) so the block-level cap combiners
+# (novel_bigrams cap_pairs, segment_dedup cap_dups, minhash band hub
+# cap) are exercised by the oracle harness, not just uniform data
+# ---------------------------------------------------------------------------
+
+SKEW_QUERIES = [
+    "novel_bigrams", "segment_dedup", "minhash_bands",
+    "near_dup_clusters", "source_stats", "vocab_top_terms",
+    "dedup_exact_docs", "token_counts", "stratified_sample",
+]
+_SKEW_SEEDS = range(3)
+
+
+def _skew_corpus(rng, n):
+    hot_phrase = "hot key " * rng.randint(6, 12)  # one dominant bigram
+    hot_paragraph = " ".join(rng.choice(_WORDS) for _ in range(40))
+    dup_doc = " ".join(rng.choice(_WORDS) for _ in range(rng.randint(60,
+                                                                     120)))
+    texts = []
+    for i in range(n):
+        r = rng.random()
+        if r < 0.25:
+            texts.append(dup_doc)  # one doc duplicated across the corpus
+            continue
+        k = rng.randint(40, 200) if rng.random() < 0.5 \
+            else rng.randint(1, 40)
+        toks = [rng.choice(_WORDS) for _ in range(k)]
+        body = " ".join(toks)
+        if r < 0.75:
+            body = hot_phrase + body  # >10x-hot bigram in most docs
+        if rng.random() < 0.5:
+            body = body + " " + hot_paragraph  # hot segment
+        texts.append(body)
+    return pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(texts, pa.large_string()),
+        "lang": pa.array([rng.choice(["en", "fr", "de"])
+                          for _ in range(n)]),
+        # 90% of docs land in one source
+        "source": pa.array(["src0" if rng.random() < 0.9
+                            else f"src{rng.randint(1, 2)}"
+                            for _ in range(n)]),
+        "n_chars": pa.array([len(t or "") for t in texts], pa.int64()),
+    })
+
+
+@pytest.fixture(scope="module")
+def skew_corpora(tmp_path_factory):
+    out = {}
+    for seed in _SKEW_SEEDS:
+        rng = random.Random(11000 + seed)
+        d = tmp_path_factory.mktemp(f"skew{seed}")
+        pq.write_table(_skew_corpus(rng, rng.randint(40, 120)),
+                       d / "documents.parquet")
+        out[seed] = str(d)
+    return out
+
+
+@pytest.mark.parametrize("seed", _SKEW_SEEDS)
+@pytest.mark.parametrize("name", SKEW_QUERIES)
+def test_doc_query_matches_oracle_on_skew_corpus(
+        name, seed, skew_corpora, ray_session):
+    from sophia_rs_ray.pipelines.queries import registry
+
+    fn, sql = registry()[name]
+    _compare(name, seed, fn, sql, skew_corpora[seed], ["documents"], 1e-9)
+
+
+# ---------------------------------------------------------------------------
 # events-table and embeddings-table oracled queries over random inputs
 # ---------------------------------------------------------------------------
 
