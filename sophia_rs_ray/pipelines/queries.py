@@ -1627,50 +1627,156 @@ def _url_dedup(sf_dir: str):
 
 
 def _video_frame_sample(sf_dir: str):
-    """Multimodal video plumbing: synthetic multi-frame binary payloads
-    → actor-pool frame sampling (uniform time stride, fake codec
-    boundary) → one row per sampled frame with a real decoded
-    thumbnail. Rows-only; stride/shape determinism asserted in
-    tests/test_multimodal.py."""
-    from ..stages.multimodal import sample_frames, synthetic_video_dataset
+    """Multimodal video: one real PNG per frame (length-prefixed) →
+    actor-pool frame sampling (uniform time stride, REAL per-frame
+    inflate + unfilter) → one row per sampled frame with decoded
+    channel means.  The closed-form pixel pattern makes the features
+    DuckDB-oracled (VIDEO_FRAME_SAMPLE_SQL); a broken decoder or
+    stride diverges from the oracle."""
+    import ray.data as rd
 
-    n = {"0.001": 50, "0.01": 500, "0.1": 5000}.get(_sf_of(sf_dir), 500)
-    out = sample_frames(synthetic_video_dataset(n), every_sec=0.25)
-    return out.map_batches(
-        lambda b: b.select(["video_id", "frame_idx", "t_sec"]),
-        batch_format="pyarrow")
+    from ..stages.multimodal import (PngVideoDecoder, sample_frames,
+                                     synth_png_video_batch)
+    from ..util import round_away
+
+    ids = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id"])
+    videos = ids.map_batches(synth_png_video_batch, batch_format="pyarrow")
+    out = sample_frames(videos, every_sec=0.25,
+                        decoder=PngVideoDecoder())
+
+    def flat(b: pa.Table) -> pa.Table:
+        feats = b["feature"].to_pylist()
+        return pa.table({
+            "video_id": b["video_id"],
+            "frame_idx": b["frame_idx"],
+            "t_sec": pa.array(round_away(b["t_sec"].to_numpy(), 4),
+                              pa.float64()),
+            "f_r": pa.array(round_away([f[0] for f in feats], 4),
+                            pa.float64()),
+            "f_g": pa.array(round_away([f[1] for f in feats], 4),
+                            pa.float64()),
+            "f_b": pa.array(round_away([f[2] for f in feats], 4),
+                            pa.float64()),
+        })
+
+    return out.map_batches(flat, batch_format="pyarrow")
+
+
+VIDEO_FRAME_SAMPLE_SQL = r"""
+WITH v AS (
+  SELECT doc_id AS video_id,
+         8 + (doc_id % 5) * 10 AS nf,
+         8 + (doc_id % 3) * 8 AS fps
+  FROM documents
+), f AS (
+  SELECT video_id, fps,
+         unnest(generate_series(0, nf - 1, fps // 4)) AS frame_idx
+  FROM v)
+SELECT video_id,
+       CAST(frame_idx AS INTEGER) AS frame_idx,
+       ROUND(frame_idx / CAST(fps AS DOUBLE), 4) AS t_sec,
+       ROUND(((video_id * 7 + frame_idx * 13) % 100) + 21.0, 4) AS f_r,
+       ROUND(((video_id * 7 + frame_idx * 13 + 29) % 100) + 21.0, 4) AS f_g,
+       ROUND(((video_id * 7 + frame_idx * 13 + 58) % 100) + 21.0, 4) AS f_b
+FROM f
+"""
 
 
 def _audio_features(sf_dir: str):
-    """Multimodal audio plumbing: synthetic PCM payloads → actor-pool
+    """Multimodal audio: real RIFF/WAVE payloads (square wave, period
+    and amplitude closed-form in the id) → actor-pool chunk-walking
     decode + windowed RMS / zero-crossing features (vectorized numpy).
-    Rows-only; window math asserted in tests/test_multimodal.py."""
-    from ..stages.multimodal import audio_features, synthetic_audio_dataset
+    DuckDB-oracled via AUDIO_FEATURES_SQL."""
+    import ray.data as rd
 
-    n = {"0.001": 50, "0.01": 500, "0.1": 5000}.get(_sf_of(sf_dir), 500)
-    return audio_features(synthetic_audio_dataset(n))
+    from ..stages.multimodal import (WavAudioDecoder, audio_features,
+                                     synth_wav_audio_batch)
+    from ..util import round_away
+
+    ids = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id"])
+    audio = ids.map_batches(synth_wav_audio_batch, batch_format="pyarrow")
+    out = audio_features(audio, decoder=WavAudioDecoder())
+
+    def rounded(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "audio_id": b["audio_id"],
+            "window": b["window"],
+            "rms": pa.array(round_away(b["rms"].to_numpy(), 4),
+                            pa.float64()),
+            "zcr": pa.array(round_away(b["zcr"].to_numpy(), 4),
+                            pa.float64()),
+        })
+
+    return out.map_batches(rounded, batch_format="pyarrow")
+
+
+AUDIO_FEATURES_SQL = r"""
+WITH a AS (
+  SELECT doc_id AS audio_id,
+         64 + (doc_id % 7) * 32 AS p,
+         8192 + (doc_id % 5) * 4096 AS amp
+  FROM documents
+), w AS (
+  SELECT audio_id, p, amp, unnest(generate_series(0, 6)) AS win FROM a)
+SELECT audio_id,
+       CAST(win AS INTEGER) AS "window",
+       ROUND(amp / 32768.0, 4) AS rms,
+       ROUND((((win * 1024 + 1023) // p) - ((win * 1024) // p))
+             / 1023.0, 4) AS zcr
+FROM w
+"""
 
 
 def _media_features(sf_dir: str):
-    """Multimodal plumbing: synthetic binary media → actor-pool decode
-    (deterministic fake codec) + resize + feature extraction. Rows-only;
-    determinism and shapes asserted in tests/test_multimodal.py."""
-    from ..stages.multimodal import media_features, synthetic_media_dataset
+    """Multimodal images: REAL PNG payloads (stdlib zlib deflate, all
+    five scanline filters) → actor-pool decode (inflate + unfilter) +
+    nearest-neighbor resize + channel-mean / gradient features.  The
+    closed-form ramp pattern (pixel = a_c + y + 2x, sizes divisible by
+    8) gives exact expected features, so this is DuckDB-oracled
+    (MEDIA_FEATURES_SQL) instead of rows-only."""
+    import ray.data as rd
 
-    n = {"0.001": 100, "0.01": 1000, "0.1": 10000}.get(_sf_of(sf_dir), 1000)
-    out = media_features(synthetic_media_dataset(n), concurrency=2)
+    from ..stages.multimodal import (PngImageDecoder, media_features,
+                                     synth_png_media_batch)
+    from ..util import round_away
+
+    ids = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id"])
+    media = ids.map_batches(synth_png_media_batch, batch_format="pyarrow")
+    out = media_features(media, decoder=PngImageDecoder())
 
     def flat(b: pa.Table) -> pa.Table:
         feats = b["feature"].to_pylist()
         return pa.table({
             "media_id": b["media_id"],
-            "f_r": pa.array([f[0] for f in feats], pa.float64()),
-            "f_g": pa.array([f[1] for f in feats], pa.float64()),
-            "f_b": pa.array([f[2] for f in feats], pa.float64()),
-            "f_grad": pa.array([f[3] for f in feats], pa.float64()),
+            "f_r": pa.array(round_away([f[0] for f in feats], 4),
+                            pa.float64()),
+            "f_g": pa.array(round_away([f[1] for f in feats], 4),
+                            pa.float64()),
+            "f_b": pa.array(round_away([f[2] for f in feats], 4),
+                            pa.float64()),
+            "f_grad": pa.array(round_away([f[3] for f in feats], 4),
+                               pa.float64()),
         })
 
     return out.map_batches(flat, batch_format="pyarrow")
+
+
+MEDIA_FEATURES_SQL = r"""
+WITH m AS (
+  SELECT doc_id,
+         16 + (doc_id % 3) * 8 AS h,
+         16 + (doc_id % 4) * 8 AS w
+  FROM documents)
+SELECT doc_id AS media_id,
+       ROUND(((doc_id * 7) % 100) + 0.4375 * h + 0.875 * w, 4) AS f_r,
+       ROUND(((doc_id * 7 + 29) % 100) + 0.4375 * h + 0.875 * w, 4) AS f_g,
+       ROUND(((doc_id * 7 + 58) % 100) + 0.4375 * h + 0.875 * w, 4) AS f_b,
+       ROUND(h / 8.0 + w / 4.0, 4) AS f_grad
+FROM m
+"""
 
 
 def _graph_literals(sf_dir: str):
@@ -2039,9 +2145,10 @@ def registry() -> Registry:
         "ngram_jaccard": (_ngram_jaccard, NGRAM_JACCARD_SQL),
         "ivf_knn": (_ivf_knn, None),
         "embedding_near_dup_lsh": (_embedding_near_dup_lsh, None),
-        "media_features": (_media_features, None),
-        "video_frame_sample": (_video_frame_sample, None),
-        "audio_features": (_audio_features, None),
+        "media_features": (_media_features, MEDIA_FEATURES_SQL),
+        "video_frame_sample": (_video_frame_sample,
+                               VIDEO_FRAME_SAMPLE_SQL),
+        "audio_features": (_audio_features, AUDIO_FEATURES_SQL),
         "url_dedup": (_url_dedup, None),
         # rows-only
         "kg_pipeline": (_kg_pipeline, None),

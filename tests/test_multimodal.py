@@ -103,3 +103,104 @@ def test_audio_features_window_math(ray_session):
     got = next(r["rms"] for r in rows
                if r["audio_id"] == 0 and r["window"] == 0)
     assert abs(got - want) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# round-4 real codecs: pure-numpy PNG (all five scanline filters) and
+# RIFF/WAVE, driven through the same actor-pool stages
+# ---------------------------------------------------------------------------
+
+def test_png_roundtrip_all_filters_random():
+    import numpy as np
+
+    from sophia_rs_ray.stages.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(42)
+    # heights >= 5 cycle through every filter type; include non-multiple
+    # sizes and degenerate 1x1
+    for h, w in [(16, 16), (24, 40), (32, 24), (7, 5), (5, 1), (1, 1),
+                 (6, 33)]:
+        arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(arr)), arr), (h, w)
+
+
+def test_png_decoder_rejects_garbage():
+    import pytest as _pytest
+
+    from sophia_rs_ray.stages.multimodal import decode_png
+
+    with _pytest.raises(ValueError):
+        decode_png(b"not a png at all")
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    import numpy as np
+
+    from sophia_rs_ray.stages.multimodal import WavAudioDecoder, encode_wav
+
+    rng = np.random.default_rng(7)
+    pcm = rng.integers(-32768, 32768, size=4096).astype(np.int16)
+    payload = encode_wav(pcm, 8000)
+    out = WavAudioDecoder().decode(payload)
+    assert np.allclose(out, pcm.astype(np.float32) / 32768.0)
+    # decoder walks chunks: an extra LIST chunk before fmt/data is fine
+    import struct
+
+    extra = (payload[:12] + b"LIST" + struct.pack("<I", 4) + b"INFO" +
+             payload[12:])
+    # fix the RIFF size field
+    extra = (b"RIFF" + struct.pack("<I", len(extra) - 8) + extra[8:])
+    out2 = WavAudioDecoder().decode(extra)
+    assert np.allclose(out2, out)
+
+
+def test_wav_decoder_rejects_garbage():
+    import pytest as _pytest
+
+    from sophia_rs_ray.stages.multimodal import WavAudioDecoder
+
+    with _pytest.raises(ValueError):
+        WavAudioDecoder().decode(b"RIFFxxxxNOPE")
+
+
+def test_png_video_decoder_slices_frames():
+    import numpy as np
+    import pyarrow as pa
+
+    from sophia_rs_ray.stages.multimodal import (PngVideoDecoder,
+                                                 decode_png,
+                                                 synth_png_video_batch)
+
+    b = synth_png_video_batch(pa.table({"doc_id": pa.array([3], pa.int64())}))
+    payload = b["payload"][0].as_py()
+    nf = b["n_frames"][0].as_py()
+    dec = PngVideoDecoder()
+    y = np.arange(16)[:, None, None]
+    x = np.arange(16)[None, :, None]
+    for idx in (0, 1, nf - 1):
+        a = np.array([(3 * 7 + idx * 13 + c * 29) % 100
+                      for c in range(3)])[None, None, :]
+        want = (a + y + 2 * x).astype(np.uint8)
+        assert np.array_equal(dec.frame(payload, idx), want), idx
+
+
+def test_real_codec_media_features_closed_form(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sophia_rs_ray.stages.multimodal import (PngImageDecoder,
+                                                 media_features,
+                                                 synth_png_media_batch)
+
+    ids = rd.from_arrow(pa.table({"doc_id": pa.array(range(12), pa.int64())}))
+    media = ids.map_batches(synth_png_media_batch, batch_format="pyarrow")
+    rows = media_features(media, decoder=PngImageDecoder()).take_all()
+    assert len(rows) == 12
+    for r in rows:
+        i = r["media_id"]
+        h, w = 16 + (i % 3) * 8, 16 + (i % 4) * 8
+        f = r["feature"]
+        for c in range(3):
+            want = (i * 7 + c * 29) % 100 + 0.4375 * h + 0.875 * w
+            assert abs(f[c] - want) < 1e-4, (i, c)
+        assert abs(f[3] - (h / 8 + w / 4)) < 1e-4
