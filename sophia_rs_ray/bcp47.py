@@ -59,8 +59,16 @@ class LanguageTag:
     """Validated BCP47 tag with the reference's case-insensitive
     equality / ordering / hashing semantics (``_tag.rs:104-152``):
     two tags differing only in case compare equal and hash equal;
-    ordering compares the ASCII-lowercased forms.  Comparisons accept
-    plain strings on either side."""
+    ordering compares the ASCII-lowercased forms.
+
+    ``==`` is typed (LanguageTag vs LanguageTag only), matching the
+    Rust reference's ``Eq`` — Rust's ``PartialEq<str>`` convenience
+    never participates in HashMap semantics, and accepting str here
+    would break Python's hash/eq invariant (``LanguageTag('EN') ==
+    'En'`` with unequal hashes gives inconsistent set membership).
+    Use :meth:`eq_str` for case-insensitive comparison against a plain
+    string.  Ordering comparisons still accept str (no hash
+    invariant applies to ordering)."""
 
     __slots__ = ("tag",)
 
@@ -91,8 +99,15 @@ class LanguageTag:
         return NotImplemented  # type: ignore[return-value]
 
     def __eq__(self, other) -> bool:
-        o = self._other(other)
-        return NotImplemented if o is NotImplemented else self._key() == o
+        if not isinstance(other, LanguageTag):
+            return NotImplemented
+        return self._key() == other._key()
+
+    def eq_str(self, other: str) -> bool:
+        """Case-insensitive comparison against a plain string — the
+        Rust ``PartialEq<str>`` convenience (``_tag.rs:115``), kept off
+        ``__eq__`` to preserve the hash/eq invariant."""
+        return self._key() == other.lower()
 
     def __hash__(self) -> int:
         return hash(self._key())

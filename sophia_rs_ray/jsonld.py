@@ -626,19 +626,36 @@ class _Compactor:
 
     def __init__(self, context: dict, compact_arrays: bool = True):
         self.compact_arrays = compact_arrays
-        self.vocab = None
+        # FIRST pass: @vocab and prefix-shaped string terms, so a term
+        # definition without @id gets vocab-expanded regardless of
+        # where '@vocab' sits in insertion order (r3 ADVICE), and @id
+        # CURIEs can expand against prefixes defined later
+        self.vocab = context.get("@vocab")
+        prefix_map: dict = {}
+        for term, d in context.items():
+            if not term.startswith("@") and isinstance(d, str) \
+                    and d[-1:] in ("/", "#", ":"):
+                prefix_map.setdefault(term, d)
+
+        def expand(iri):
+            if iri is None or iri.startswith("@"):
+                return iri
+            head, sep, rest = iri.partition(":")
+            if sep and head in prefix_map and not rest.startswith("//"):
+                return prefix_map[head] + rest
+            return iri
+
         self.defs: dict = {}          # term -> normalized definition
         self.by_iri: dict = {}        # iri -> term (first wins)
         self.prefixes: list = []      # (iri-prefix, term), longest first
         for term, d in context.items():
             if term.startswith("@"):
-                if term == "@vocab":
-                    self.vocab = d
                 continue
             dd = {"@id": d} if isinstance(d, str) else dict(d)
-            iri = dd.get("@id")
+            iri = expand(dd.get("@id"))
             if iri is None and self.vocab:
                 iri = self.vocab + term
+            if iri is not None:
                 dd["@id"] = iri
             self.defs[term] = dd
             if iri and iri not in self.by_iri:
@@ -708,6 +725,11 @@ class _Compactor:
                     and self.compact_arrays else tv
                 continue
             term = self.iri(key)
+            if term in out:
+                # two distinct predicates compacting to the same key
+                # must not silently merge — keep the full IRI for the
+                # later one (r3 ADVICE)
+                term = key
             term_def = self.defs.get(term, {})
             cv = [self.value(term_def, v) for v in vals]
             keep_array = term_def.get("@container") in ("@set",) \

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import urllib.parse
 from typing import Callable, Dict, List, Optional, Tuple
 
 __all__ = [
@@ -76,8 +77,13 @@ class FsLoader:
             if not url.startswith(prefix):
                 continue
             rel = url[len(prefix):].split("#", 1)[0].split("?", 1)[0]
-            path = os.path.abspath(os.path.join(directory,
-                                                *rel.split("/")))
+            # file names with %-encoded bytes (e.g. %20) must resolve
+            # to the DECODED path; decode per segment so an encoded
+            # '%2F' cannot smuggle a separator past the escape check
+            segs = [urllib.parse.unquote(s) for s in rel.split("/")]
+            if any("/" in s or s == ".." for s in segs):
+                raise LoaderError(f"path escape refused for {url}")
+            path = os.path.abspath(os.path.join(directory, *segs))
             if not path.startswith(directory + os.sep):
                 raise LoaderError(f"path escape refused for {url}")
             try:
@@ -100,6 +106,7 @@ class FileUrlLoader:
         path = url[len("file://"):] if url.startswith("file://") \
             else url[len("file:"):]
         path = path.split("#", 1)[0].split("?", 1)[0]
+        path = urllib.parse.unquote(path)
         try:
             with open(path, encoding="utf-8") as f:
                 return json.load(f)

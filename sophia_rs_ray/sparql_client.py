@@ -19,7 +19,7 @@ from __future__ import annotations
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 __all__ = ["SparqlClient", "Bindings", "SparqlClientError",
-           "static_transport"]
+           "static_transport", "urllib_transport"]
 
 
 class SparqlClientError(Exception):
@@ -142,6 +142,40 @@ class SparqlClient:
                                           headers)
             return body
         return resolver
+
+
+def urllib_transport(timeout: float = 30.0):
+    """Opt-in stdlib HTTP transport (no new dependencies): POSTs the
+    query with the client's headers via ``urllib.request`` and returns
+    ``(content_type, body)`` — the live-network counterpart of the
+    reference client's reqwest execution (sparql_client/src/lib.rs:
+    58-98).  NOT the default: this sandbox has no network, so callers
+    opt in explicitly:
+
+        SparqlClient(endpoint, transport=urllib_transport())
+
+    Non-2xx responses and URL errors surface as SparqlClientError via
+    the client's query() wrapper."""
+    def transport(endpoint: str, query: str, headers: dict):
+        import urllib.error
+        import urllib.request
+
+        req = urllib.request.Request(
+            endpoint, data=query.encode("utf-8"), headers=dict(headers),
+            method="POST")
+        try:
+            with urllib.request.urlopen(req, timeout=timeout) as resp:
+                ctype = resp.headers.get("Content-Type",
+                                         "application/octet-stream")
+                charset = resp.headers.get_content_charset() or "utf-8"
+                return ctype, resp.read().decode(charset)
+        except urllib.error.HTTPError as e:
+            raise SparqlClientError(
+                f"HTTP {e.code} from {endpoint}: {e.reason}") from e
+        except urllib.error.URLError as e:
+            raise SparqlClientError(
+                f"cannot reach {endpoint}: {e.reason}") from e
+    return transport
 
 
 def static_transport(responses: Dict[str, Tuple[str, str]]):

@@ -171,8 +171,20 @@ def test_case_insensitive_eq(tag1, tag2):
     ltag1 = LanguageTag.new_unchecked(tag1)
     ltag2 = LanguageTag.new_unchecked(tag2)
     assert ltag1 == ltag2
-    assert ltag1 == tag2
+    # str comparison is the explicit eq_str (kept off __eq__ so the
+    # hash/eq invariant holds for mixed dict/set keys — r3 ADVICE)
+    assert ltag1.eq_str(tag2)
+    assert not (ltag1 == tag2)  # typed __eq__ rejects plain strings
     assert hash(ltag1) == hash(ltag2)
+
+
+def test_hash_eq_invariant_with_plain_strings():
+    # the exact r3 ADVICE repro: a set mixing tags and
+    # uppercase-containing strings must give consistent membership
+    t = LanguageTag.new_unchecked("EN")
+    s = {t}
+    assert "En" not in s          # typed eq: no cross-type equality
+    assert LanguageTag.new_unchecked("en") in s
 
 
 @pytest.mark.parametrize("tag1,tag2", [

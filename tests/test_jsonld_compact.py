@@ -140,3 +140,42 @@ def test_expanded_default_unchanged():
             literal("Alice"))]
     doc = json.loads(serialize_jsonld(trs))
     assert isinstance(doc, list) and doc[0]["@id"] == "http://e/s"
+
+
+# --- r3 ADVICE regressions -------------------------------------------------
+
+def test_compactor_vocab_after_term_definition():
+    """A term WITHOUT @id defined before '@vocab' in insertion order
+    must still get its vocab-expanded @id (first-pass resolution)."""
+    from sophia_rs_ray.jsonld import _Compactor
+
+    ctx = {"name": {"@type": "http://www.w3.org/2001/XMLSchema#string"},
+           "@vocab": "http://ex.org/"}
+    comp = _Compactor(ctx)
+    assert comp.defs["name"]["@id"] == "http://ex.org/name"
+    assert comp.iri("http://ex.org/name") == "name"
+
+
+def test_compactor_curie_term_id_expands_against_prefix():
+    from sophia_rs_ray.jsonld import _Compactor
+
+    ctx = {"n": {"@id": "ex:n"}, "ex": "http://ex.org/"}
+    comp = _Compactor(ctx)
+    assert comp.defs["n"]["@id"] == "http://ex.org/n"
+    assert comp.iri("http://ex.org/n") == "n"
+
+
+def test_compactor_key_collision_falls_back_to_full_iri():
+    """Two distinct predicates whose compacted keys collide must not
+    merge: the later one keeps its full IRI key."""
+    from sophia_rs_ray.jsonld import _Compactor
+
+    ctx = {"@vocab": "http://a.org/", "p": "http://b.org/"}
+    comp = _Compactor(ctx)
+    node = {"@id": "http://ex.org/s",
+            "http://b.org/q": ["x"],       # CURIE-compacts to 'p:q'
+            "http://a.org/p:q": ["y"]}     # vocab suffix is 'p:q' too
+    out = comp.node(node)
+    assert sorted(out) == ["@id", "http://a.org/p:q", "p:q"]
+    assert out["p:q"] == "x"
+    assert out["http://a.org/p:q"] == "y"

@@ -124,3 +124,33 @@ def test_loaded_graph_matches_static_and_fs():
          json.loads(_read("ctx.jsonld"))}))
     g2 = _parse_file4(FsLoader().mount("http://example.org/ns/", FIX))
     assert isomorphic(g1, g2)
+
+
+def test_fsloader_percent_encoded_path(tmp_path):
+    from sophia_rs_ray.jsonld_loaders import FsLoader
+
+    (tmp_path / "my ctx.jsonld").write_text('{"@context": {"n": "x:n"}}')
+    ld = FsLoader().mount("http://ex.org/ctx/", str(tmp_path))
+    doc = ld("http://ex.org/ctx/my%20ctx.jsonld")
+    assert doc["@context"]["n"] == "x:n"
+
+
+def test_fsloader_encoded_escape_refused(tmp_path):
+    import pytest as _pytest
+
+    from sophia_rs_ray.jsonld_loaders import FsLoader, LoaderError
+
+    ld = FsLoader().mount("http://ex.org/ctx/", str(tmp_path))
+    for bad in ("http://ex.org/ctx/%2E%2E/etc.jsonld",
+                "http://ex.org/ctx/a%2F..%2Fb.jsonld",
+                "http://ex.org/ctx/../pw.jsonld"):
+        with _pytest.raises(LoaderError):
+            ld(bad)
+
+
+def test_file_url_loader_percent_encoded(tmp_path):
+    from sophia_rs_ray.jsonld_loaders import FileUrlLoader
+
+    (tmp_path / "a b.jsonld").write_text('{"@context": {}}')
+    url = "file://" + str(tmp_path).replace(" ", "%20") + "/a%20b.jsonld"
+    assert FileUrlLoader()(url) == {"@context": {}}

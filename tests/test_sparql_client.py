@@ -143,3 +143,100 @@ def test_service_clause_runs_through_client(ray_session):
         assert {r["s"] for r in rows} == {"<http://e/a>", "<http://e/b>"}
     finally:
         set_service_resolver(None)
+
+
+# ---------------------------------------------------------------------------
+# round-4: opt-in stdlib urllib transport against a loopback server
+# (closes the live-HTTP parity gap vs the reference's reqwest client)
+# ---------------------------------------------------------------------------
+
+import json as _json
+import threading
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+from sophia_rs_ray.sparql_client import urllib_transport
+
+
+class _Handler(BaseHTTPRequestHandler):
+    def do_POST(self):
+        n = int(self.headers.get("Content-Length", 0))
+        query = self.rfile.read(n).decode("utf-8")
+        accept = self.headers.get("Accept", "")
+        assert self.headers.get("Content-type") == \
+            "application/sparql-query"
+        if self.path == "/boom":
+            self.send_response(500)
+            self.end_headers()
+            return
+        if "ASK" in query:
+            body = '{"head": {}, "boolean": true}'
+            ctype = "application/sparql-results+json"
+        elif "CONSTRUCT" in query:
+            body = "<http://e/s> <http://e/p> <http://e/o> ."
+            ctype = "text/turtle"
+        else:
+            # conneg: answer in the client's preferred format
+            assert accept.startswith("application/sparql-results+json")
+            body = _json.dumps({
+                "head": {"vars": ["s"]},
+                "results": {"bindings": [
+                    {"s": {"type": "uri", "value": "http://e/a"}},
+                    {"s": {"type": "uri", "value": "http://e/b"}},
+                ]}})
+            ctype = "application/sparql-results+json"
+        payload = body.encode("utf-8")
+        self.send_response(200)
+        self.send_header("Content-Type", ctype + "; charset=utf-8")
+        self.send_header("Content-Length", str(len(payload)))
+        self.end_headers()
+        self.wfile.write(payload)
+
+    def log_message(self, *a):  # quiet
+        pass
+
+
+@pytest.fixture(scope="module")
+def loopback():
+    srv = HTTPServer(("127.0.0.1", 0), _Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_port}"
+    srv.shutdown()
+
+
+def test_urllib_transport_select_conneg(loopback):
+    cli = SparqlClient(f"{loopback}/sparql",
+                       transport=urllib_transport(timeout=5))
+    out = cli.query("SELECT ?s WHERE { ?s ?p ?o }")
+    assert isinstance(out, Bindings)
+    assert out.variables() == ["s"]
+    assert [r["s"] for r in out] == ["<http://e/a>", "<http://e/b>"]
+
+
+def test_urllib_transport_ask(loopback):
+    cli = SparqlClient(f"{loopback}/sparql",
+                       transport=urllib_transport(timeout=5))
+    assert cli.query("ASK { ?s ?p ?o }") is True
+
+
+def test_urllib_transport_construct_turtle(loopback):
+    cli = SparqlClient(f"{loopback}/sparql",
+                       transport=urllib_transport(timeout=5))
+    triples = list(cli.query("CONSTRUCT WHERE { ?s ?p ?o }"))
+    assert len(triples) == 1
+    s, p, o = triples[0]
+    assert (s[1], p[1], o[1]) == ("http://e/s", "http://e/p", "http://e/o")
+
+
+def test_urllib_transport_http_error(loopback):
+    cli = SparqlClient(f"{loopback}/boom",
+                       transport=urllib_transport(timeout=5))
+    with pytest.raises(SparqlClientError, match="HTTP 500"):
+        cli.query("SELECT ?s WHERE { ?s ?p ?o }")
+
+
+def test_urllib_transport_unreachable():
+    cli = SparqlClient("http://127.0.0.1:9/sparql",
+                       transport=urllib_transport(timeout=0.5))
+    with pytest.raises(SparqlClientError):
+        cli.query("SELECT ?s WHERE { ?s ?p ?o }")
