@@ -34,6 +34,31 @@ _MASK64 = (1 << 64) - 1
 _FIB = 0x9E3779B97F4A7C15
 
 
+def auto_partitions(ds, *, bytes_per_partition: int = 32 << 20,
+                    lo: int = 2, hi: int = 1024,
+                    default: int = 8) -> int:
+    """Derive an exchange partition count from the upstream INPUT size
+    (VERDICT r3 #5) instead of a hard-coded literal: one partition per
+    ~32 MB of source bytes, clamped to [lo, hi].
+
+    Lazy Datasets expose no block count before execution, so the
+    estimate comes from ``input_files()`` on-disk sizes — conservative
+    for aggregate exchanges because the per-block combiner shrinks
+    partials well below input size.  Falls back to ``default`` when the
+    input is not file-backed (from_arrow/from_items pipelines)."""
+    total = 0
+    try:
+        for f in ds.input_files():
+            if os.path.exists(f):
+                total += os.path.getsize(f)
+    except Exception:
+        total = 0
+    if total <= 0:
+        return default
+    est = -(-total // bytes_per_partition)  # ceil
+    return int(max(lo, min(hi, est)))
+
+
 def intern_threshold() -> int:
     """Minimum partition-piece rows before exchange payloads are
     dictionary-encoded (SURVEY §1.5 interned terms).
@@ -241,8 +266,12 @@ def _reduce_side(finalize, fallback, *parts):
 def hash_aggregate(ds, key_cols: Sequence[str],
                    combine: Optional[Callable[[pa.Table], pa.Table]],
                    finalize: Optional[Callable[[pa.Table], pa.Table]],
-                   *, num_partitions: int = 16, fanin: int = 256):
+                   *, num_partitions: Optional[int] = None,
+                   fanin: int = 256):
     """Exact per-key aggregation via the raw-task hash exchange.
+
+    ``num_partitions=None`` (default) sizes the exchange from the
+    input via :func:`auto_partitions`; pass an explicit int to pin it.
 
     ``combine`` runs once per input block (partial aggregate — MUST
     keep the key columns); ``finalize`` runs once per hash partition
@@ -261,6 +290,8 @@ def hash_aggregate(ds, key_cols: Sequence[str],
     import ray
     import ray.data as rd
 
+    if num_partitions is None:
+        num_partitions = auto_partitions(ds)
     split = ray.remote(num_returns=num_partitions)(_map_side) \
         if num_partitions > 1 else ray.remote(_map_side)
     reduce = ray.remote(_reduce_side)
@@ -329,7 +360,7 @@ def hash_aggregate(ds, key_cols: Sequence[str],
 
 
 def grouped_sum(ds, keys: Sequence[str], cols: Sequence[str], *,
-                num_partitions: int = 2):
+                num_partitions: Optional[int] = None):
     """Per-key SUM of ``cols`` via the hash exchange — the drop-in
     replacement for ``groupby(keys).aggregate(Sum(...))`` tails over
     per-batch partials (Ray's sort-based groupby costs ~1 s fixed

@@ -83,7 +83,7 @@ def _predicate_count(sf_dir: str):
         return _gsum(t).rename_columns(["p", "n"])
 
     return hash_aggregate(ds.map_batches(partial, batch_format="pyarrow"),
-                          ["p"], _gsum, _final, num_partitions=2)
+                          ["p"], _gsum, _final)
 
 
 PREDICATE_COUNT_SQL = f"""
@@ -102,7 +102,7 @@ def _subjects_distinct(sf_dir: str):
 
     proj = ds.map_batches(lambda b: b.select(["s"]),
                           batch_format="pyarrow")
-    return hash_aggregate(proj, ["s"], dedup, dedup, num_partitions=8)
+    return hash_aggregate(proj, ["s"], dedup, dedup)
 
 
 SUBJECTS_DISTINCT_SQL = f"SELECT DISTINCT s FROM ({DOC_TRIPLES_SQL})"
@@ -334,7 +334,7 @@ def _dedup_exact_docs(sf_dir: str):
             .select(["rep_id", "n_dups"])
 
     return hash_aggregate(ds.map_batches(keyed, batch_format="pyarrow"),
-                          ["k"], _merge, _final, num_partitions=4)
+                          ["k"], _merge, _final)
 
 
 DEDUP_EXACT_SQL = """
@@ -647,8 +647,7 @@ def _novel_bigrams(sf_dir: str):
         return pa.table({"doc_id": f["only_doc"],
                          "novel": pa.array([1] * f.num_rows, pa.int64())})
 
-    singles = hash_aggregate(pairs, ["bigram"], cap_pairs, per_bigram,
-                             num_partitions=8)
+    singles = hash_aggregate(pairs, ["bigram"], cap_pairs, per_bigram)
 
     zeros = docs.map_batches(
         lambda b: pa.table({"doc_id": b["doc_id"],
@@ -663,7 +662,7 @@ def _novel_bigrams(sf_dir: str):
         return sum_doc(t).rename_columns(["doc_id", "novel_bigrams"])
 
     return hash_aggregate(singles.union(zeros), ["doc_id"],
-                          sum_doc, final_doc, num_partitions=4)
+                          sum_doc, final_doc)
 
 
 NOVEL_BIGRAMS_SQL = r"""
@@ -719,8 +718,7 @@ def _source_stats(sf_dir: str):
             .rename_columns(["source", "n_docs", "total_chars",
                              "total_tokens"])
 
-    return hash_aggregate(ds, ["source"], partial, _merge_sources,
-                          num_partitions=2)
+    return hash_aggregate(ds, ["source"], partial, _merge_sources)
 
 
 SOURCE_STATS_SQL = r"""
@@ -773,8 +771,7 @@ def _segment_dedup(sf_dir: str):
         mask = pc.is_in(t["seg"], value_set=singles.combine_chunks())
         return t.filter(mask)
 
-    kept = hash_aggregate(segs, ["seg"], cap_dups, keep_unique,
-                          num_partitions=8)
+    kept = hash_aggregate(segs, ["seg"], cap_dups, keep_unique)
     kept = kept.map_batches(
         lambda b: b.append_column(
             "n_segments", pa.array([-1] * len(b), pa.int64())),
@@ -802,7 +799,7 @@ def _segment_dedup(sf_dir: str):
                            "n_dup_segments"]).to_arrow()
 
     return hash_aggregate(kept.union(sentinels), ["doc_id"],
-                          None, assemble, num_partitions=4)
+                          None, assemble)
 
 
 SEGMENT_DEDUP_SQL = r"""
@@ -937,8 +934,7 @@ def _vocab_top_terms(sf_dir: str, k: int = 100):
         return t.group_by(["token"]).aggregate([("n", "sum")]) \
             .rename_columns(["token", "n"])
 
-    counts = hash_aggregate(ds, ["token"], partial, final,
-                            num_partitions=8)
+    counts = hash_aggregate(ds, ["token"], partial, final)
 
     # exact top-k: per-partition truncation is safe because k is global
     # over the FULL aggregated counts — take per-block top-k then merge
@@ -1424,7 +1420,7 @@ def _gazetteer_mentions(sf_dir: str):
     from ..functions.exchange import hash_aggregate
 
     return hash_aggregate(mentions, ["doc_id", "surface"],
-                          partial, final, num_partitions=8)
+                          partial, final)
 
 
 GAZETTEER_SQL = r"""
@@ -1500,7 +1496,7 @@ def _entity_links_docs(sf_dir: str):
     from ..functions.exchange import hash_aggregate
 
     return hash_aggregate(links, ["doc_id", "surface", "entity"],
-                          partial, final, num_partitions=8)
+                          partial, final)
 
 
 ENTITY_LINKS_DOCS_SQL = r"""
@@ -1543,8 +1539,7 @@ def _mention_triples_docs(sf_dir: str):
         return t.group_by(["s", "p", "o"]).aggregate([]) \
             .select(["s", "p", "o"])
 
-    return hash_aggregate(triples, ["s", "p", "o"], first, first,
-                          num_partitions=8)
+    return hash_aggregate(triples, ["s", "p", "o"], first, first)
 
 
 MENTION_TRIPLES_DOCS_SQL = r"""
@@ -1622,8 +1617,7 @@ def _url_dedup(sf_dir: str):
             [("n_variants", "sum")]).rename_columns(
             ["url_norm", "n_variants"])
 
-    return hash_aggregate(ds, ["url_norm"], partial, final,
-                          num_partitions=8)
+    return hash_aggregate(ds, ["url_norm"], partial, final)
 
 
 def _video_frame_sample(sf_dir: str):

@@ -225,7 +225,7 @@ def customers_per_region(sf_dir: str):
         return _gsum(t).rename_columns(["r_name", "n_customers"])
 
     return hash_aggregate(ds.map_batches(partial, batch_format="pyarrow"),
-                          ["r_name"], _gsum, _final, num_partitions=2)
+                          ["r_name"], _gsum, _final)
 
 
 CUSTOMERS_PER_REGION_SQL = """
@@ -252,8 +252,7 @@ def orders_per_segment(sf_dir: str):
         lambda b: b.group_by("o_custkey").aggregate([([], "count_all")])
         .rename_columns(["o_custkey", "cnt"]),
         lambda t: t.group_by("o_custkey").aggregate([("cnt", "sum")])
-        .rename_columns(["o_custkey", "cnt"]),
-        num_partitions=16)
+        .rename_columns(["o_custkey", "cnt"]))
     joined = safe_join(cust, per_cust, "left_outer", 8,
                        on=("c_custkey",), right_on=("o_custkey",))
 
@@ -275,8 +274,7 @@ def orders_per_segment(sf_dir: str):
 
     return hash_aggregate(joined.map_batches(partial,
                                              batch_format="pyarrow"),
-                          ["c_mktsegment"], _gsum, _final,
-                          num_partitions=2)
+                          ["c_mktsegment"], _gsum, _final)
 
 
 ORDERS_PER_SEGMENT_SQL = """
@@ -374,7 +372,7 @@ def customers_without_orders(sf_dir: str, *, force_distributed: bool = False):
 
         return hash_aggregate(
             left.map_batches(partial, batch_format="pyarrow"),
-            ["n_name"], _gsum, _final, num_partitions=2)
+            ["n_name"], _gsum, _final)
 
     return _semi_anti_counted(cust, big, "c_custkey", "o_custkey",
                               True, group_fn,
@@ -426,7 +424,7 @@ def large_parts_in_lineitem(sf_dir: str, *, force_distributed: bool = False):
 
         return hash_aggregate(
             left.map_batches(partial, batch_format="pyarrow"),
-            ["p_brand"], _gsum, _final, num_partitions=2)
+            ["p_brand"], _gsum, _final)
 
     return _semi_anti_counted(part, li, "p_partkey", "l_partkey",
                               False, group_fn,
@@ -472,8 +470,7 @@ def top_orders_by_revenue(sf_dir: str, k: int = 10):
             _int_round2(g["revenue"].to_numpy(zero_copy_only=False)) / 1e2))
         return g
 
-    agg = hash_aggregate(li, ["l_orderkey"], combine, finalize,
-                         num_partitions=16)
+    agg = hash_aggregate(li, ["l_orderkey"], combine, finalize)
     return topk(agg, ["revenue", "l_orderkey"], k,
                 descending=[True, False])
 
@@ -652,8 +649,7 @@ def clicks_asof_view(sf_dir: str):
         out = t.group_by(["user_id", "ts"]).aggregate([("event_id", "max")])
         return out.rename_columns(["user_id", "ts", "event_id"])
 
-    views = hash_aggregate(views, ["user_id"], dmax, dmax,
-                           num_partitions=4)
+    views = hash_aggregate(views, ["user_id"], dmax, dmax)
     joined = asof_join(clicks, views, on="user_id", ts="ts",
                        right_cols=["event_id", "ts"], suffix="_view")
 
@@ -754,8 +750,7 @@ def events_props_k(sf_dir: str):
             [("n", "sum"), ("sum_k", "sum")]).rename_columns(
             ["event_type", "n", "sum_k"])
 
-    return hash_aggregate(ds, ["event_type"], partial, final,
-                          num_partitions=4)
+    return hash_aggregate(ds, ["event_type"], partial, final)
 
 
 EVENTS_PROPS_K_SQL = """
@@ -811,8 +806,7 @@ def price_median_by_flag(sf_dir: str):
         return pa.table({"l_returnflag": pa.array(out_f, pa.string()),
                          "median_price": pa.array(out_m, pa.float64())})
 
-    return hash_aggregate(ds, ["l_returnflag"], partial, final,
-                          num_partitions=4)
+    return hash_aggregate(ds, ["l_returnflag"], partial, final)
 
 
 PRICE_MEDIAN_SQL = """

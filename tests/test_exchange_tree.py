@@ -172,3 +172,50 @@ def test_exchange_join_many_blocks_small_fanin(ray_session):
     out = exchange_join(left, right, "inner", 2, on=["k"]).to_pandas()
     assert len(out) == 64
     assert (out["r"] == out["k"].str.slice(1).astype(int) * 100).all()
+
+
+def test_auto_partitions_sizing(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from sophia_rs_ray.functions.exchange import auto_partitions
+
+    t = pa.table({"k": pa.array(["a", "b"] * 500),
+                  "v": pa.array(range(1000), pa.int64())})
+    pq.write_table(t, tmp_path / "t.parquet")
+    ds = rd.read_parquet(str(tmp_path / "t.parquet"))
+    # tiny file -> clamped at lo
+    assert auto_partitions(ds) == 2
+    # one partition per 1 KB -> scales with file size, clamped at hi
+    sz = (tmp_path / "t.parquet").stat().st_size
+    assert auto_partitions(ds, bytes_per_partition=1024) == min(
+        1024, max(2, -(-sz // 1024)))
+    # non-file-backed input -> default
+    assert auto_partitions(rd.from_arrow(t), default=8) == 8
+
+
+def test_hash_aggregate_auto_equals_explicit(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from sophia_rs_ray.functions.exchange import hash_aggregate
+
+    t = pa.table({"k": pa.array([f"k{i % 23}" for i in range(2000)]),
+                  "v": pa.array(range(2000), pa.int64())})
+    pq.write_table(t, tmp_path / "t.parquet")
+
+    def gsum(tt: pa.Table) -> pa.Table:
+        return tt.group_by("k").aggregate([("v", "sum")]) \
+            .rename_columns(["k", "v"])
+
+    def run(np_):
+        ds = rd.read_parquet(str(tmp_path / "t.parquet")) \
+            .map_batches(lambda b: b, batch_format="pyarrow",
+                         batch_size=16)  # many small blocks
+        out = hash_aggregate(ds, ["k"], gsum, gsum, num_partitions=np_)
+        return out.to_pandas().sort_values("k").reset_index(drop=True)
+
+    auto = run(None)
+    for np_ in (1, 3, 16):
+        explicit = run(np_)
+        assert auto.equals(explicit), np_
