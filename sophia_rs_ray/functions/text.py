@@ -13,7 +13,16 @@ from typing import Dict, List
 import numpy as np
 import pyarrow as pa
 
-_TOKEN_SPLIT = re.compile(r"\s+")
+# RE2 parity (memory: the tokenizer trap): DuckDB's string_split_regex
+# '\s+' is RE2, whose \s is exactly [\t\n\f\r ] — NOT Python's
+# unicode-aware \s (U+00A0, \v, …).  The engine tokenizer uses the
+# explicit 5-char class so Python re, pyarrow/RE2 kernels, and polars'
+# Rust regex all agree byte-for-byte with the SQL oracle.
+_RE2_WS = " \t\n\f\r"
+_TOKEN_SPLIT = re.compile(f"[{_RE2_WS}]+")
+#: RE2-\S+ as an explicit class — safe in pyarrow (RE2), polars (Rust
+#: regex) and Python re alike
+TOKEN_RE2 = f"[^{_RE2_WS}]+"
 _WORD = re.compile(r"[a-zA-Z']+")
 
 #: tiny per-language stopword profiles for the n-gram/stopword heuristic
@@ -29,55 +38,93 @@ def tokens_of(text: str) -> List[str]:
     return [t for t in _TOKEN_SPLIT.split(text) if t]
 
 
+def _coalesced_text(b: pa.Table):
+    import pyarrow.compute as pc
+
+    return pc.coalesce(b["text"], pa.scalar("", type=b["text"].type))
+
+
+def _pl_docs(b: pa.Table):
+    """(doc_id, text) Arrow batch → polars frame with nulls coalesced
+    to '' — the shared front end of the polars-vectorized kernels."""
+    import polars as pl
+
+    df = pl.from_arrow(b.select(["doc_id", "text"]))
+    return df.with_columns(pl.col("text").fill_null(""))
+
+
 def token_count_batch(b: pa.Table) -> pa.Table:
     """(doc_id, text) → (doc_id, n_tokens). Whitespace tokenization,
     empty tokens dropped — mirrored exactly by the DuckDB oracle
-    (``string_split_regex`` + filter)."""
-    texts = b["text"].to_pylist()
-    counts = [len(tokens_of(t or "")) for t in texts]
+    (``string_split_regex`` + filter).  Vectorized: one RE2 kernel
+    counting \\S+ runs (≡ len(tokens_of(t)), differential-pinned in
+    tests/test_text_vectorized.py)."""
+    import pyarrow.compute as pc
+
+    t = _coalesced_text(b)
+    counts = pc.count_substring_regex(t, pattern=TOKEN_RE2)
     return pa.table({"doc_id": b["doc_id"],
-                     "n_tokens": pa.array(counts, pa.int64())})
+                     "n_tokens": pc.cast(counts, pa.int64())})
 
 
 def quality_batch(b: pa.Table) -> pa.Table:
     """(doc_id, text) → quality features. All INTEGER-valued on purpose:
     ratios (mean token length, alpha ratio) are left to the consumer so
     the oracle comparison is hash-exact (no float rounding-mode traps).
-    alpha counts [A-Za-z] only (ASCII), mirroring the SQL regexp."""
-    texts = [t or "" for t in b["text"].to_pylist()]
-    n_chars = np.array([len(t) for t in texts], np.int64)
-    tok_lists = [tokens_of(t) for t in texts]
-    n_tokens = np.array([len(ts) for ts in tok_lists], np.int64)
-    tok_chars = np.array([sum(len(w) for w in ts) for ts in tok_lists], np.int64)
-    alpha = np.array(
-        [sum(("a" <= c <= "z") or ("A" <= c <= "Z") for c in t) for t in texts],
-        np.int64)
+    alpha counts [A-Za-z] only (ASCII), mirroring the SQL regexp.
+    Fully vectorized RE2/Arrow kernels: token_chars = chars that are
+    not RE2-whitespace (every char is one or the other, so this equals
+    the sum of token lengths)."""
+    import pyarrow.compute as pc
+
+    t = _coalesced_text(b)
+    n_chars = pc.utf8_length(t)
+    n_tokens = pc.count_substring_regex(t, pattern=TOKEN_RE2)
+    tok_chars = pc.count_substring_regex(t, pattern=f"[^{_RE2_WS}]")
+    alpha = pc.count_substring_regex(t, pattern="[A-Za-z]")
     return pa.table({
         "doc_id": b["doc_id"],
-        "n_chars": pa.array(n_chars),
-        "n_tokens": pa.array(n_tokens),
-        "token_chars": pa.array(tok_chars),
-        "alpha_chars": pa.array(alpha),
+        "n_chars": pc.cast(n_chars, pa.int64()),
+        "n_tokens": pc.cast(n_tokens, pa.int64()),
+        "token_chars": pc.cast(tok_chars, pa.int64()),
+        "alpha_chars": pc.cast(alpha, pa.int64()),
     })
 
 
 def lang_id_batch(b: pa.Table) -> pa.Table:
     """(doc_id, text) → (doc_id, pred_lang, score). Stopword-profile
-    heuristic; deterministic tie-break by language code."""
-    texts = [t or "" for t in b["text"].to_pylist()]
-    preds, scores = [], []
-    for t in texts:
-        words = set(w.lower() for w in _WORD.findall(t[:2000]))
-        best_lang, best = "und", 0.0
-        for lang in sorted(_LANG_PROFILES):
-            prof = _LANG_PROFILES[lang]
-            hit = len(words & prof) / len(prof)
-            if hit > best:
-                best_lang, best = lang, hit
-        preds.append(best_lang)
-        scores.append(round(best, 4))
+    heuristic; deterministic tie-break by language code (first max in
+    sorted lang order; 'und' when no profile hits at all).
+
+    Vectorized: polars extract_all/lowercase/unique builds the word
+    sets in Rust, per-language hit counts via ``list.eval(is_in)``;
+    only the tiny (n_docs × n_langs) score matrix touches numpy.
+    Differential-pinned to the original per-row form in
+    tests/test_text_vectorized.py."""
+    import polars as pl
+
+    langs = sorted(_LANG_PROFILES)
+    df = _pl_docs(b)
+    words = (pl.col("text").str.slice(0, 2000)
+             .str.extract_all(r"[a-zA-Z']+")
+             .list.eval(pl.element().str.to_lowercase())
+             .list.unique())
+    hits = df.select([
+        words.list.eval(
+            pl.element().is_in(sorted(_LANG_PROFILES[lg])))
+        .list.sum().fill_null(0).alias(lg)
+        for lg in langs
+    ])
+    mat = hits.to_numpy().astype(np.float64)
+    mat /= np.array([len(_LANG_PROFILES[lg]) for lg in langs])
+    best = mat.max(axis=1)
+    idx = mat.argmax(axis=1)
+    preds = np.where(best > 0.0, np.array(langs, object)[idx], "und")
+    # python round (correctly-rounded decimal), not np.round (scale/
+    # divide) — they differ on decimal near-ties; O(docs) so cheap
+    scores = [round(float(x), 4) for x in best]
     return pa.table({"doc_id": b["doc_id"],
-                     "pred_lang": pa.array(preds, pa.string()),
+                     "pred_lang": pa.array(list(preds), pa.string()),
                      "score": pa.array(scores, pa.float64())})
 
 
@@ -86,26 +133,28 @@ def repetition_batch(b: pa.Table) -> pa.Table:
     (Rae et al. 2021 §A1.1: filter docs dominated by repeated lines /
     n-grams). INTEGER-valued counts on purpose (hash-exact oracle):
     consumers derive the fractions dup = 1 - n_distinct/n_tokens and
-    top_{1,2}gram_count/n_tokens themselves."""
-    from collections import Counter
+    top_{1,2}gram_count/n_tokens themselves.
 
-    texts = [t or "" for t in b["text"].to_pylist()]
-    n_tok, n_dist, top1, top2 = [], [], [], []
-    for t in texts:
-        ts = tokens_of(t)
-        c1 = Counter(ts)
-        c2 = Counter(f"{a} {bb}" for a, bb in zip(ts, ts[1:]))
-        n_tok.append(len(ts))
-        n_dist.append(len(c1))
-        top1.append(max(c1.values()) if c1 else 0)
-        top2.append(max(c2.values()) if c2 else 0)
-    return pa.table({
-        "doc_id": b["doc_id"],
-        "n_tokens": pa.array(n_tok, pa.int64()),
-        "n_distinct": pa.array(n_dist, pa.int64()),
-        "top_token_count": pa.array(top1, pa.int64()),
-        "top_bigram_count": pa.array(top2, pa.int64()),
-    })
+    Vectorized via polars list kernels (tokenize, unique_counts, and
+    adjacent-shift bigrams all run in Rust); differential-pinned to
+    the original Counter form in tests/test_text_vectorized.py."""
+    import polars as pl
+
+    toks = pl.col("text").str.extract_all(TOKEN_RE2)
+    bigram = (pl.element() + " " + pl.element().shift(-1)).drop_nulls()
+    out = _pl_docs(b).select(
+        pl.col("doc_id"),
+        toks.list.len().cast(pl.Int64).alias("n_tokens"),
+        toks.list.n_unique().cast(pl.Int64).alias("n_distinct"),
+        toks.list.eval(pl.element().unique_counts().max())
+            .list.first().cast(pl.Int64).fill_null(0)
+            .alias("top_token_count"),
+        toks.list.eval(bigram.unique_counts().max())
+            .list.first().cast(pl.Int64).fill_null(0)
+            .alias("top_bigram_count"),
+    ).to_arrow()
+    return out.set_column(0, "doc_id", out["doc_id"].cast(
+        b["doc_id"].type))
 
 
 _FP_BASE = np.uint64(1099511628211)
@@ -230,18 +279,21 @@ def pii_redact_batch(b: pa.Table) -> pa.Table:
 def bigram_pairs_batch(b: pa.Table) -> pa.Table:
     """Per-document DISTINCT token bigrams as (doc_id, bigram) pairs —
     the map side of corpus-level bigram-rarity aggregation.  Pairs are
-    globally distinct because a doc lives in exactly one batch."""
-    ids: List = []
-    bgs: List[str] = []
-    for doc_id, text in zip(b["doc_id"].to_pylist(),
-                            b["text"].to_pylist()):
-        toks = tokens_of(text or "")
-        seen = set(
-            toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1))
-        ids.extend([doc_id] * len(seen))
-        bgs.extend(seen)
-    return pa.table({"doc_id": pa.array(ids, b["doc_id"].type),
-                     "bigram": pa.array(bgs, pa.string())})
+    globally distinct because a doc lives in exactly one batch.
+    Vectorized polars (tokenize → adjacent-shift concat → list.unique
+    → explode), differential-pinned in tests/test_text_vectorized.py."""
+    import polars as pl
+
+    bigram = (pl.element() + " " + pl.element().shift(-1)).drop_nulls()
+    out = (_pl_docs(b)
+           .select(pl.col("doc_id"),
+                   pl.col("text").str.extract_all(TOKEN_RE2)
+                   .list.eval(bigram).list.unique().alias("bigram"))
+           .explode("bigram", empty_as_null=False)
+           .drop_nulls("bigram")
+           .to_arrow())
+    return pa.table({"doc_id": out["doc_id"].cast(b["doc_id"].type),
+                     "bigram": out["bigram"].cast(pa.string())})
 
 
 #: fixed token-window size standing in for paragraph boundaries — the
@@ -254,34 +306,45 @@ def segments_batch(b: pa.Table) -> pa.Table:
     """(doc_id, text) → exploded (doc_id, seg_idx, seg): CCNet-style
     paragraph segmentation as fixed ``SEGMENT_TOKENS``-token windows.
     Mirrored exactly by the DuckDB oracle's list-comprehension slice
-    (``ts[i*10+1:i*10+10]``, 1-based inclusive)."""
-    ids: List = []
-    idxs: List[int] = []
-    segs: List[str] = []
-    for doc_id, text in zip(b["doc_id"].to_pylist(),
-                            b["text"].to_pylist()):
-        toks = tokens_of(text or "")
-        n = (len(toks) + SEGMENT_TOKENS - 1) // SEGMENT_TOKENS
-        for i in range(n):
-            ids.append(doc_id)
-            idxs.append(i)
-            segs.append(" ".join(
-                toks[i * SEGMENT_TOKENS:(i + 1) * SEGMENT_TOKENS]))
-    return pa.table({"doc_id": pa.array(ids, b["doc_id"].type),
-                     "seg_idx": pa.array(idxs, pa.int64()),
-                     "seg": pa.array(segs, pa.large_string())})
+    (``ts[i*10+1:i*10+10]``, 1-based inclusive).
+
+    Vectorized polars: explode tokens, window index = position //
+    SEGMENT_TOKENS, group-join with order preserved (polars agg lists
+    keep row order within each group); differential-pinned in
+    tests/test_text_vectorized.py."""
+    import polars as pl
+
+    ex = (_pl_docs(b)
+          .select(pl.col("doc_id"),
+                  pl.col("text").str.extract_all(TOKEN_RE2).alias("tok"))
+          .with_row_index("rid")
+          .explode("tok", empty_as_null=False)
+          .drop_nulls("tok"))
+    out = (ex.with_columns(
+               seg_idx=(pl.int_range(pl.len()).over("rid")
+                        // SEGMENT_TOKENS))
+           .group_by(["rid", "doc_id", "seg_idx"], maintain_order=True)
+           .agg(pl.col("tok").str.join(" ").alias("seg"))
+           .to_arrow())
+    return pa.table({"doc_id": out["doc_id"].cast(b["doc_id"].type),
+                     "seg_idx": out["seg_idx"].cast(pa.int64()),
+                     "seg": out["seg"].cast(pa.large_string())})
 
 
 def doc_segment_totals_batch(b: pa.Table) -> pa.Table:
     """(doc_id, text) → one sentinel row per document carrying the
     total segment count (seg_idx = -1, seg = '').  Unioned with the
     kept-segment stream so every doc_id survives reassembly even when
-    all of its segments were corpus-duplicated (or the text is empty)."""
-    totals = [
-        (len(tokens_of(t or "")) + SEGMENT_TOKENS - 1) // SEGMENT_TOKENS
-        for t in b["text"].to_pylist()]
+    all of its segments were corpus-duplicated (or the text is empty).
+    Vectorized: one RE2 token-count kernel + integer ceil-div."""
+    import pyarrow.compute as pc
+
+    n_tok = pc.cast(pc.count_substring_regex(
+        _coalesced_text(b), pattern=TOKEN_RE2), pa.int64())
+    totals = pc.divide(pc.add(n_tok, pa.scalar(SEGMENT_TOKENS - 1)),
+                       pa.scalar(SEGMENT_TOKENS))
     n = len(b)
     return pa.table({"doc_id": b["doc_id"],
                      "seg_idx": pa.array([-1] * n, pa.int64()),
                      "seg": pa.array([""] * n, pa.large_string()),
-                     "n_segments": pa.array(totals, pa.int64())})
+                     "n_segments": totals})

@@ -697,14 +697,15 @@ def _source_stats(sf_dir: str):
     import ray.data as rd
 
     from ..functions.exchange import hash_aggregate
-    from ..functions.text import tokens_of
+    from ..functions.text import TOKEN_RE2
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["source", "n_chars", "text"])
 
     def partial(b: pa.Table) -> pa.Table:
-        ntok = pa.array([len(tokens_of(t or ""))
-                         for t in b["text"].to_pylist()], pa.int64())
+        txt = pc.coalesce(b["text"], pa.scalar("", type=b["text"].type))
+        ntok = pc.cast(pc.count_substring_regex(txt, pattern=TOKEN_RE2),
+                       pa.int64())
         t = pa.table({"source": b["source"],
                       "n_docs": pa.array([1] * len(b), pa.int64()),
                       "total_chars": b["n_chars"],
@@ -917,18 +918,23 @@ def _vocab_top_terms(sf_dir: str, k: int = 100):
     import ray.data as rd
 
     from ..functions.exchange import hash_aggregate
-    from ..functions.text import tokens_of
+    from ..functions.text import TOKEN_RE2
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
 
     def partial(b: pa.Table) -> pa.Table:
-        from collections import Counter
+        # vectorized token histogram: polars tokenize/explode/count in
+        # Rust (was a per-token Python Counter loop)
+        import polars as pl
 
-        c: "Counter[str]" = Counter()
-        for t in b["text"].to_pylist():
-            c.update(tokens_of(t or ""))
-        return pa.table({"token": pa.array(list(c.keys()), pa.string()),
-                         "n": pa.array(list(c.values()), pa.int64())})
+        out = (pl.from_arrow(b.select(["text"]))
+               .select(pl.col("text").fill_null("")
+                       .str.extract_all(TOKEN_RE2).alias("token"))
+               .explode("token", empty_as_null=False).drop_nulls("token")
+               .group_by("token").len()
+               .to_arrow())
+        return pa.table({"token": out["token"].cast(pa.string()),
+                         "n": out["len"].cast(pa.int64())})
 
     def final(t: pa.Table) -> pa.Table:
         return t.group_by(["token"]).aggregate([("n", "sum")]) \
