@@ -233,29 +233,35 @@ def parse_document(
 
 
 def serialize_triple(
-    s: Term, p: Term, o: Term, g: Optional[Term] = None, canonical: bool = True
+    s: Term, p: Term, o: Term, g: Optional[Term] = None,
+    canonical: bool = True, as_quad: bool = False
 ) -> str:
     """One NT/NQ line (without trailing newline). Canonical mode uses
     space separators + lowercased lang tags; the reference's default mode
-    uses tab separators (``nt.rs:110-127``)."""
+    uses tab separators (``nt.rs:110-127``).  ``as_quad`` forces N-Quads
+    field layout: a default-graph row keeps its (empty) graph slot, so
+    non-canonical output ends ``\\t\\t.`` exactly like the reference
+    (``nq.rs:200-218``); canonical mode collapses the empty slot."""
     sep = " " if canonical else "\t"
     parts = [format_term(s, canonical), format_term(p, canonical),
              format_term(o, canonical)]
     if g is not None:
         parts.append(format_term(g, canonical))
+    elif as_quad and not canonical:
+        parts.append("")
     if canonical:
         return sep.join(parts) + " ."
     return sep.join(parts) + sep + "."
 
 
 def serialize_document(
-    quads, canonical: bool = True
+    quads, canonical: bool = True, as_quad: bool = False
 ) -> str:
     lines = []
     for q in quads:
         s, p, o = q[0], q[1], q[2]
         g = q[3] if len(q) > 3 else None
-        lines.append(serialize_triple(s, p, o, g, canonical))
+        lines.append(serialize_triple(s, p, o, g, canonical, as_quad))
     return "\n".join(lines) + ("\n" if lines else "")
 
 

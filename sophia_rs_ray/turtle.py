@@ -626,6 +626,21 @@ def format_term_turtle(t: Term, prefixes: Dict[str, str],
             if ab:
                 from .terms import escape_literal
                 return f'"{escape_literal(lex)}"^^{ab}'
+    if kind == 3:  # KIND_TRIPLE — compact inside the triple term too,
+        # like the reference pretty engine (_pretty.rs triple-term arm)
+        from .ntriples import _LineParser
+
+        try:
+            lp = _LineParser(lex)
+            lp.pos = 3
+            inner = []
+            for _ in range(3):
+                lp.skip_ws()
+                inner.append(format_term_turtle(
+                    lp.parse_term(), prefixes, relativizer))
+            return "<<( " + " ".join(inner) + " )>>"
+        except Exception:
+            return format_term(t)
     return format_term(t)
 
 
