@@ -8,9 +8,10 @@ promotion tower NativeInt→…→Double of ``sparql/src/value/_number.rs``).
 Evaluation is per batch over binding columns of canonical-NT term text;
 an evaluation *error* is ``None`` (SPARQL's unbound/error propagation:
 errors make FILTER drop the row and Extend bind nothing —
-``sparql/src/value.rs:98-105``).  ``NOW``/``RAND``/``UUID`` are omitted
-on purpose (SURVEY §4.1 determinism hazards — ``NOW`` is a pinned
-constant the caller injects with ``Const``).
+``sparql/src/value.rs:98-105``).  ``NOW`` is pinned per run
+(``set_pinned_now``); ``RAND``/``UUID``/``STRUUID`` draw from a seeded
+blake2b counter stream (``set_pinned_seed``) — per-invocation fresh
+like the reference, reproducible unlike it (SURVEY §4.1).
 
 Deliberately row-wise inside a batch (terms are parsed once per distinct
 text via an LRU cache — hub terms repeat massively); the hot relational
@@ -755,6 +756,18 @@ def _apply(fn: str, v: List[Term], row) -> Optional[Term]:  # noqa: C901
         # it globally for run-to-run determinism (SURVEY §7.0) —
         # override with set_pinned_now()
         return (KIND_LITERAL, _PINNED_NOW[0], XSD + "dateTime", "", 0)
+    if fn == "RAND":
+        # function.rs:113 — xsd:double in [0,1); seeded counter stream
+        # (set_pinned_seed), so strictly MORE deterministic than the
+        # reference's thread_rng while keeping per-invocation freshness
+        x = int.from_bytes(_draw16()[:8], "big") / 2.0 ** 64
+        return (KIND_LITERAL, _fmt_double(x), XSD + "double", "", 0)
+    if fn == "UUID":
+        # function.rs:296 — urn:uuid: IRI, RFC 4122 v4 layout
+        return (KIND_IRI, "urn:uuid:" + _uuid4_hex(), "", "", 0)
+    if fn == "STRUUID":
+        # function.rs:302 — the bare UUID string as a simple literal
+        return (KIND_LITERAL, _uuid4_hex(), XSD_STRING, "", 0)
 
     # constructor casts (function.rs:434-440); wrong arity = error
     if fn.startswith("XSD:"):
@@ -794,6 +807,45 @@ def set_pinned_now(iso: str):
     """Pin the NOW() timestamp for subsequent query evaluations (the
     distributed analogue of ExecState's per-query now, exec.rs:68-84)."""
     _PINNED_NOW[0] = iso
+
+
+# --- seeded nondeterministic-function stream (RAND/UUID/STRUUID) -----------
+#
+# The reference draws from a real RNG (function.rs:113,296,302), so ANY
+# value is spec-conformant; this engine derives each invocation from
+# blake2b(seed ‖ counter) instead — per-invocation fresh (rand()=rand()
+# is false, uuid()!=uuid() is true) yet reproducible for a pinned seed
+# and evaluation order.  NOTE: across a distributed run the per-worker
+# counters make values partition-dependent — exactly as "random" as the
+# reference, but single-process evaluations (tests, driver-side exprs)
+# are fully repeatable.
+
+_PINNED_SEED = [0x5EED]
+_DRAW_CTR = [0]
+
+
+def set_pinned_seed(seed: int):
+    """Pin the RAND/UUID/STRUUID stream (resets the invocation
+    counter) — the seeded analogue of set_pinned_now()."""
+    _PINNED_SEED[0] = int(seed)
+    _DRAW_CTR[0] = 0
+
+
+def _draw16() -> bytes:
+    import hashlib
+
+    c = _DRAW_CTR[0]
+    _DRAW_CTR[0] = c + 1
+    return hashlib.blake2b(f"{_PINNED_SEED[0]}:{c}".encode(),
+                           digest_size=16).digest()
+
+
+def _uuid4_hex() -> str:
+    b = bytearray(_draw16())
+    b[6] = (b[6] & 0x0F) | 0x40          # version 4
+    b[8] = (b[8] & 0x3F) | 0x80          # RFC 4122 variant
+    h = b.hex()
+    return f"{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:]}"
 
 
 def _xpath_rep(rep: str) -> str:

@@ -143,12 +143,8 @@ _BUILTINS = {
     "HOURS", "MINUTES", "SECONDS", "TIMEZONE", "TZ", "MD5", "SHA1",
     "SHA256", "SHA384", "SHA512", "SUBJECT", "PREDICATE", "OBJECT",
     "LANGDIR", "HASLANG", "HASLANGDIR", "STRLANGDIR",
-    "TRIPLE", "BNODE", "NOW",
+    "TRIPLE", "BNODE", "NOW", "RAND", "UUID", "STRUUID",
 }
-
-#: advertised-but-nondeterministic builtins: explicit parse-time error
-#: (previously these parsed fine and crashed inside Ray workers)
-_NONDET_FNS = {"UUID", "STRUUID", "RAND"}
 
 
 class _Parser:
@@ -408,12 +404,6 @@ class _Parser:
             return e
         if k == "KEYWORD":
             up = v.upper()
-            if up in _NONDET_FNS:
-                # omitted by design (SURVEY §4.1 determinism): fail at
-                # parse time, not inside a Ray worker
-                raise SparqlParseError(
-                    f"{up}() is non-deterministic and not supported by this "
-                    f"engine (use BNODE()/pinned NOW() instead)")
             if up in _BUILTINS:
                 self.next()
                 args = self._expr_list() if self.at_op("(") else []

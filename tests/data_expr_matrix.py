@@ -3224,14 +3224,4 @@ CASES = [
 #: engine-deviation skips, each with its documented reason
 SKIP = {
  "bnode() = bnode()": "BNODE() is deterministic per solution by design (SURVEY \u00a77.0)",
- "datatype(rand())": "RAND/UUID/STRUUID omitted by design (determinism, SURVEY \u00a74.1)",
- "0 <= rand()": "RAND/UUID/STRUUID omitted by design (determinism, SURVEY \u00a74.1)",
- "rand() < 1": "RAND/UUID/STRUUID omitted by design (determinism, SURVEY \u00a74.1)",
- "rand() = rand()": "RAND/UUID/STRUUID omitted by design (determinism, SURVEY \u00a74.1)",
- "isIri(uuid())": "RAND/UUID/STRUUID omitted by design (determinism, SURVEY \u00a74.1)",
- "regex(str(uuid()), \"^urn:uuid:[0-9a-f-]+$\", \"i\")": "RAND/UUID/STRUUID omitted by design (determinism, SURVEY \u00a74.1)",
- "uuid() != uuid()": "RAND/UUID/STRUUID omitted by design (determinism, SURVEY \u00a74.1)",
- "datatype(strUuid()) = xsd:string": "RAND/UUID/STRUUID omitted by design (determinism, SURVEY \u00a74.1)",
- "regex(strUuid(), \"^[0-9a-f-]+$\", \"i\")": "RAND/UUID/STRUUID omitted by design (determinism, SURVEY \u00a74.1)",
- "strUuid() != strUuid()": "RAND/UUID/STRUUID omitted by design (determinism, SURVEY \u00a74.1)"
 }

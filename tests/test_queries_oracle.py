@@ -73,3 +73,21 @@ def test_rows_only_queries_run(name, sf_dir, ray_session):
     assert len(got) > 0
     # determinism: stable schema
     assert len(got.columns) > 0
+
+
+def test_checked_in_preflight_is_green():
+    """Smoke gate on the round artifact (VERDICT r03 item 10): the
+    checked-in PREFLIGHT.json must report 0 failures and cover the
+    CURRENT registry — a red or stale preflight cannot ship silently.
+    Regenerate with `python preflight.py` after registry changes."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "PREFLIGHT.json")
+    with open(path) as f:
+        report = json.load(f)
+    assert report["summary"]["failed"] == 0
+    missing = set(_registry()) - set(report["results"])
+    assert not missing, (
+        f"registry keys missing from PREFLIGHT.json (regenerate it): "
+        f"{sorted(missing)}")

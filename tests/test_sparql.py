@@ -316,13 +316,35 @@ def test_triple_term_fns():
     assert E(FnCall("SUBJECT", t), t='"notatriple"') is None
 
 
-def test_nondeterministic_fns_parse_error():
-    from sophia_rs_ray.sparql.parser import SparqlParseError, parse_query
-    for fn in ("UUID()", "STRUUID()", "RAND()"):
-        with pytest.raises(SparqlParseError):
-            parse_query(
-                "SELECT ?x WHERE { ?x <http://p> ?y . "
-                f"FILTER({fn} = ?y) }}")
+def test_nondeterministic_fns_seeded():
+    """RAND/UUID/STRUUID (function.rs:113,296,302): per-invocation
+    fresh values from a seeded counter stream — reproducible for a
+    pinned seed, distinct across invocations."""
+    import re
+
+    from sophia_rs_ray.sparql.expr import (FnCall, eval_expr,
+                                           set_pinned_seed)
+
+    set_pinned_seed(42)
+    r1, r2 = eval_expr(FnCall("RAND"), {}), eval_expr(FnCall("RAND"), {})
+    u1, u2 = eval_expr(FnCall("UUID"), {}), eval_expr(FnCall("UUID"), {})
+    s1 = eval_expr(FnCall("STRUUID"), {})
+    # value domains
+    assert r1[2].endswith("double") and 0.0 <= float(r1[1]) < 1.0
+    assert u1[0] == 1 and re.fullmatch(  # KIND_IRI
+        r"urn:uuid:[0-9a-f]{8}(-[0-9a-f]{4}){3}-[0-9a-f]{12}", u1[1])
+    assert u1[1][23] == "4"                      # RFC 4122 version
+    assert s1[0] == 2 and s1[2].endswith("string") and re.fullmatch(
+        r"[0-9a-f]{8}(-[0-9a-f]{4}){3}-[0-9a-f]{12}", s1[1])
+    # per-invocation freshness
+    assert r1 != r2 and u1 != u2
+    # seed reproducibility (same seed → same draw sequence)
+    set_pinned_seed(42)
+    assert eval_expr(FnCall("RAND"), {}) == r1
+    assert eval_expr(FnCall("RAND"), {}) == r2
+    assert eval_expr(FnCall("UUID"), {}) == u1
+    set_pinned_seed(43)
+    assert eval_expr(FnCall("RAND"), {}) != r1
 
 
 def test_compat_join_unbound_shared_var(graph):
