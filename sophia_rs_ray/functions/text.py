@@ -170,10 +170,29 @@ def fingerprint64(text: str) -> int:
 
 
 def fingerprint_batch(b: pa.Table) -> pa.Table:
-    fps = [fingerprint64(t or "") for t in b["text"].to_pylist()]
+    """FNV-1a is sequential per byte, so it can't vectorize along the
+    string — but it CAN vectorize across documents: pad the utf-8
+    bytes into a (docs × maxlen) matrix and run the recurrence
+    column-wise (maxlen numpy steps over all docs at once, wrapping
+    uint64 arithmetic).  Differential-pinned to ``fingerprint64`` in
+    tests/test_text_vectorized.py."""
+    texts = [(t or "").encode("utf-8") for t in b["text"].to_pylist()]
+    n = len(texts)
+    lens = np.fromiter((len(t) for t in texts), np.int64, n)
+    maxlen = int(lens.max()) if n else 0
+    h = np.full(n, _FP_OFF, np.uint64)
+    if maxlen:
+        mat = np.zeros((n, maxlen), np.uint8)
+        for i, t in enumerate(texts):
+            mat[i, :len(t)] = np.frombuffer(t, np.uint8)
+        with np.errstate(over="ignore"):
+            for j in range(maxlen):
+                active = lens > j
+                h[active] = (h[active] ^ mat[active, j]) * _FP_BASE
+    # uint64 → signed shift (f - 2^63): xor the sign bit, reinterpret
+    fps = (h ^ np.uint64(1 << 63)).view(np.int64)
     return pa.table({"doc_id": b["doc_id"],
-                     "fingerprint": pa.array([f - (1 << 63) for f in fps],
-                                             pa.int64())})
+                     "fingerprint": pa.array(fps, pa.int64())})
 
 
 def winnow_fingerprints_batch(b: pa.Table, *, k: int = 16,

@@ -218,3 +218,13 @@ def test_randomized_differential(seed):
     li = lang_id_batch(b)
     assert list(zip(li["pred_lang"].to_pylist(),
                     li["score"].to_pylist())) == _ref_lang_id(b)
+
+
+def test_fingerprint_matches_scalar_fnv():
+    from sophia_rs_ray.functions.text import (fingerprint64,
+                                              fingerprint_batch)
+
+    out = fingerprint_batch(B)
+    exp = [fingerprint64(t or "") - (1 << 63) for t in CORPUS]
+    assert out["fingerprint"].to_pylist() == exp
+    assert out["fingerprint"].type == pa.int64()
