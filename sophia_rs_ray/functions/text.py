@@ -72,23 +72,30 @@ def quality_batch(b: pa.Table) -> pa.Table:
     ratios (mean token length, alpha ratio) are left to the consumer so
     the oracle comparison is hash-exact (no float rounding-mode traps).
     alpha counts [A-Za-z] only (ASCII), mirroring the SQL regexp.
-    Fully vectorized RE2/Arrow kernels: token_chars = chars that are
-    not RE2-whitespace (every char is one or the other, so this equals
-    the sum of token lengths)."""
-    import pyarrow.compute as pc
 
-    t = _coalesced_text(b)
-    n_chars = pc.utf8_length(t)
-    n_tokens = pc.count_substring_regex(t, pattern=TOKEN_RE2)
-    tok_chars = pc.count_substring_regex(t, pattern=f"[^{_RE2_WS}]")
-    alpha = pc.count_substring_regex(t, pattern="[A-Za-z]")
-    return pa.table({
-        "doc_id": b["doc_id"],
-        "n_chars": pc.cast(n_chars, pa.int64()),
-        "n_tokens": pc.cast(n_tokens, pa.int64()),
-        "token_chars": pc.cast(tok_chars, pa.int64()),
-        "alpha_chars": pc.cast(alpha, pa.int64()),
-    })
+    Vectorized as RUN-based polars str kernels.  Measured on the sf0.1
+    corpus (tests/test_text_vectorized.py pins equality): per-char
+    regex counts (``[^ws]`` one match per char) were SLOWER than the
+    original Python loop (0.27 s vs 0.16 s / 5k docs) because regex
+    pays per MATCH — counting runs and diffing lengths is 0.06 s.
+    token_chars = chars left after deleting whitespace runs ≡ Σ token
+    lengths; alpha = n_chars - chars left after deleting [A-Za-z]+."""
+    import polars as pl
+
+    df = _pl_docs(b)
+    n_chars = pl.col("text").str.len_chars().cast(pl.Int64)
+    out = df.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        pl.col("text").str.count_matches(TOKEN_RE2).cast(pl.Int64)
+          .alias("n_tokens"),
+        pl.col("text").str.replace_all(f"[{_RE2_WS}]+", "")
+          .str.len_chars().cast(pl.Int64).alias("token_chars"),
+        (n_chars - pl.col("text").str.replace_all("[A-Za-z]+", "")
+         .str.len_chars().cast(pl.Int64)).alias("alpha_chars"),
+    ).to_arrow()
+    return out.set_column(0, "doc_id", out["doc_id"].cast(
+        b["doc_id"].type))
 
 
 def lang_id_batch(b: pa.Table) -> pa.Table:
@@ -96,35 +103,25 @@ def lang_id_batch(b: pa.Table) -> pa.Table:
     heuristic; deterministic tie-break by language code (first max in
     sorted lang order; 'und' when no profile hits at all).
 
-    Vectorized: polars extract_all/lowercase/unique builds the word
-    sets in Rust, per-language hit counts via ``list.eval(is_in)``;
-    only the tiny (n_docs × n_langs) score matrix touches numpy.
-    Differential-pinned to the original per-row form in
-    tests/test_text_vectorized.py."""
-    import polars as pl
-
-    langs = sorted(_LANG_PROFILES)
-    df = _pl_docs(b)
-    words = (pl.col("text").str.slice(0, 2000)
-             .str.extract_all(r"[a-zA-Z']+")
-             .list.eval(pl.element().str.to_lowercase())
-             .list.unique())
-    hits = df.select([
-        words.list.eval(
-            pl.element().is_in(sorted(_LANG_PROFILES[lg])))
-        .list.sum().fill_null(0).alias(lg)
-        for lg in langs
-    ])
-    mat = hits.to_numpy().astype(np.float64)
-    mat /= np.array([len(_LANG_PROFILES[lg]) for lg in langs])
-    best = mat.max(axis=1)
-    idx = mat.argmax(axis=1)
-    preds = np.where(best > 0.0, np.array(langs, object)[idx], "und")
-    # python round (correctly-rounded decimal), not np.round (scale/
-    # divide) — they differ on decimal near-ties; O(docs) so cheap
-    scores = [round(float(x), 4) for x in best]
+    Deliberately the per-row set-intersection loop: a polars
+    ``list.eval(is_in)`` rewrite was tried and measured 3× SLOWER on
+    the sf0.1 corpus (0.37 s vs 0.12 s / 5k docs — per-list expression
+    dispatch dominates when the profiles are this small); equality of
+    the two forms is pinned in tests/test_text_vectorized.py."""
+    texts = [t or "" for t in b["text"].to_pylist()]
+    preds, scores = [], []
+    for t in texts:
+        words = set(w.lower() for w in _WORD.findall(t[:2000]))
+        best_lang, best = "und", 0.0
+        for lang in sorted(_LANG_PROFILES):
+            prof = _LANG_PROFILES[lang]
+            hit = len(words & prof) / len(prof)
+            if hit > best:
+                best_lang, best = lang, hit
+        preds.append(best_lang)
+        scores.append(round(best, 4))
     return pa.table({"doc_id": b["doc_id"],
-                     "pred_lang": pa.array(list(preds), pa.string()),
+                     "pred_lang": pa.array(preds, pa.string()),
                      "score": pa.array(scores, pa.float64())})
 
 
@@ -135,26 +132,31 @@ def repetition_batch(b: pa.Table) -> pa.Table:
     consumers derive the fractions dup = 1 - n_distinct/n_tokens and
     top_{1,2}gram_count/n_tokens themselves.
 
-    Vectorized via polars list kernels (tokenize, unique_counts, and
-    adjacent-shift bigrams all run in Rust); differential-pinned to
-    the original Counter form in tests/test_text_vectorized.py."""
-    import polars as pl
+    Deliberately the per-doc Counter loop: two polars rewrites were
+    tried and both measured SLOWER on the sf0.1 corpus (list.eval
+    unique_counts 0.40 s, explode + double group_by 0.26 s, Counter
+    0.15–0.18 s / 5k docs — per-doc histograms are too small for
+    columnar group-by overhead to amortize); equality is pinned in
+    tests/test_text_vectorized.py."""
+    from collections import Counter
 
-    toks = pl.col("text").str.extract_all(TOKEN_RE2)
-    bigram = (pl.element() + " " + pl.element().shift(-1)).drop_nulls()
-    out = _pl_docs(b).select(
-        pl.col("doc_id"),
-        toks.list.len().cast(pl.Int64).alias("n_tokens"),
-        toks.list.n_unique().cast(pl.Int64).alias("n_distinct"),
-        toks.list.eval(pl.element().unique_counts().max())
-            .list.first().cast(pl.Int64).fill_null(0)
-            .alias("top_token_count"),
-        toks.list.eval(bigram.unique_counts().max())
-            .list.first().cast(pl.Int64).fill_null(0)
-            .alias("top_bigram_count"),
-    ).to_arrow()
-    return out.set_column(0, "doc_id", out["doc_id"].cast(
-        b["doc_id"].type))
+    texts = [t or "" for t in b["text"].to_pylist()]
+    n_tok, n_dist, top1, top2 = [], [], [], []
+    for t in texts:
+        ts = tokens_of(t)
+        c1 = Counter(ts)
+        c2 = Counter(f"{a} {bb}" for a, bb in zip(ts, ts[1:]))
+        n_tok.append(len(ts))
+        n_dist.append(len(c1))
+        top1.append(max(c1.values()) if c1 else 0)
+        top2.append(max(c2.values()) if c2 else 0)
+    return pa.table({
+        "doc_id": b["doc_id"],
+        "n_tokens": pa.array(n_tok, pa.int64()),
+        "n_distinct": pa.array(n_dist, pa.int64()),
+        "top_token_count": pa.array(top1, pa.int64()),
+        "top_bigram_count": pa.array(top2, pa.int64()),
+    })
 
 
 _FP_BASE = np.uint64(1099511628211)
