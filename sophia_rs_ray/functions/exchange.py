@@ -237,6 +237,21 @@ class _MergeTree:
         return [r for lv in self.levels[j] for r in lv]
 
 
+def _iter_block_refs(ds):
+    """Yield the Dataset's block ObjectRefs as they materialize
+    (streaming — the driver never pins the full block list; each ref
+    is dropped once its split task holds it).  Falls back to the
+    barrier ``to_arrow_refs()`` on Ray versions without the streaming
+    ref API."""
+    try:
+        bundles = ds.iter_internal_ref_bundles()
+    except AttributeError:  # older Ray
+        yield from ds.to_arrow_refs()
+        return
+    for bundle in bundles:
+        yield from bundle.block_refs
+
+
 def _reduce_side(finalize, fallback, *parts):
     parts = [p for p in parts if p is not None]
     if not parts:
@@ -318,13 +333,8 @@ def hash_aggregate(ds, key_cols: Sequence[str],
     # launch each block's map-side split the moment the block
     # materializes: the exchange overlaps the producing stage instead
     # of waiting behind a full-dataset to_arrow_refs() barrier
-    try:
-        for bundle in ds.iter_internal_ref_bundles():
-            for r in bundle.block_refs:
-                feed(r)
-    except AttributeError:  # older Ray: no streaming ref API
-        for r in ds.to_arrow_refs():
-            feed(r)
+    for r in _iter_block_refs(ds):
+        feed(r)
 
     if not n_blocks:
         # zero-block input: derive the output schema from the fns on an
@@ -404,25 +414,6 @@ def exchange_join(left_ds, right_ds, join_type: str, num_partitions: int,
 
     on = list(on)
     right_on = list(right_on) if right_on else on
-    l_refs = left_ds.to_arrow_refs()
-    r_refs = right_ds.to_arrow_refs()
-
-    def _schema_of(ds, refs):
-        sch = ds.schema()
-        return pa.schema([(n, t) for n, t in zip(sch.names, sch.types)])
-
-    if not l_refs or not r_refs:
-        # empty side: synthesize the join result schema locally
-        lt = _schema_of(left_ds, l_refs).empty_table() if not l_refs else None
-        rt = _schema_of(right_ds, r_refs).empty_table() if not r_refs else None
-        if lt is None:
-            lt = pa.concat_tables(ray.get(l_refs), promote_options="default")
-        if rt is None:
-            rt = pa.concat_tables(ray.get(r_refs), promote_options="default")
-        return rd.from_arrow(lt.join(
-            rt, keys=on, right_keys=right_on, join_type=join_type,
-            left_suffix=left_suffix, right_suffix=right_suffix,
-            use_threads=False))
 
     split = ray.remote(num_returns=num_partitions)(_map_side) \
         if num_partitions > 1 else ray.remote(_map_side)
@@ -430,22 +421,50 @@ def exchange_join(left_ds, right_ds, join_type: str, num_partitions: int,
     merge = ray.remote(_merge_pieces)
     unwrap = ray.remote(lambda t: t[0]) if num_partitions == 1 else None
 
-    def _exchange(refs, key_cols, fanin=256):
+    def _exchange(side_ds, key_cols, fanin=256):
         # per-partition merge tree (see hash_aggregate) so join-reduce
-        # arg counts stay bounded at 100-TB block counts
+        # arg counts stay bounded at 100-TB block counts; blocks feed
+        # the splits as they materialize (streaming — no to_arrow_refs
+        # barrier, no driver-pinned block list)
         tree = _MergeTree(num_partitions, fanin,
                           lambda *rs: merge.remote(*rs))
-        for r in refs:
+        n = 0
+        for r in _iter_block_refs(side_ds):
+            n += 1
             parts = split.remote(r, tuple(key_cols), num_partitions, None)
             if num_partitions == 1:
                 tree.push(0, unwrap.remote(parts))
             else:
                 for j, p in enumerate(parts):
                     tree.push(j, p)
-        return [tree.remaining(j) for j in range(num_partitions)]
+        return [tree.remaining(j) for j in range(num_partitions)], n
 
-    l_cols = _exchange(l_refs, on)
-    r_cols = _exchange(r_refs, right_on)
+    l_cols, n_l = _exchange(left_ds, on)
+    r_cols, n_r = _exchange(right_ds, right_on)
+
+    if not n_l or not n_r:
+        # empty side (zero blocks): synthesize the join result locally.
+        # The non-empty side's rows are its exchanged pieces — bounded
+        # here because only degenerate (mostly test) inputs take this
+        # path.
+        def _whole(ds_side, cols, n_blocks):
+            parts = [] if not n_blocks else \
+                [p for p in ray.get([r for js in cols for r in js])
+                 if p is not None]
+            if not parts:
+                sch = ds_side.schema()
+                return pa.schema(
+                    [(n, t) for n, t in
+                     zip(sch.names, sch.types)]).empty_table()
+            return _concat_mixed(parts)
+
+        lt = _whole(left_ds, l_cols, n_l)
+        rt = _whole(right_ds, r_cols, n_r)
+        return rd.from_arrow(lt.join(
+            rt, keys=on, right_keys=right_on, join_type=join_type,
+            left_suffix=left_suffix, right_suffix=right_suffix,
+            use_threads=False))
+
     out = [reduce.remote(join_type, tuple(on), tuple(right_on),
                          left_suffix, right_suffix, len(l_cols[j]),
                          *l_cols[j], *r_cols[j])

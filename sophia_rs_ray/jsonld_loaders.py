@@ -9,8 +9,11 @@ raises :class:`LoaderError` when it cannot serve the URL.
 ``JsonLdOptions.context_loader`` slot, whose protocol is
 "return None for unknown contexts" (the pipeline's NoLoader default —
 unknown remote contexts are ignored rather than failing the document).
-No loader here performs network I/O: HTTP stays a user-supplied
-closure (``ClosureLoader``), by design (SURVEY §2.1 no-network rule).
+Network I/O is OPT-IN only: :class:`HttpLoader` (the reference's
+feature-gated ``HttpLoader`` = ``json_ld::ReqwestLoader``,
+``jsonld/src/loader.rs:38-40``) must be constructed explicitly — the
+pipeline default stays :class:`NoLoader`, mirroring the reference's
+``http_client`` feature flag being off by default (SURVEY §2.1).
 """
 
 from __future__ import annotations
@@ -22,7 +25,8 @@ from typing import Callable, Dict, List, Optional, Tuple
 
 __all__ = [
     "LoaderError", "NoLoader", "StaticLoader", "FsLoader",
-    "FileUrlLoader", "ChainLoader", "ClosureLoader", "as_context_loader",
+    "FileUrlLoader", "ChainLoader", "ClosureLoader", "HttpLoader",
+    "as_context_loader",
 ]
 
 
@@ -114,6 +118,56 @@ class FileUrlLoader:
             raise LoaderError(f"no file for {url}") from None
         except ValueError as e:
             raise LoaderError(f"invalid JSON at {url}: {e}") from None
+
+
+class HttpLoader:
+    """Loads documents from the web over stdlib ``urllib`` — the
+    reference's feature-gated ``HttpLoader``
+    (``jsonld/src/loader.rs:38-40``, ``json_ld::ReqwestLoader``).
+
+    OPT-IN: never a default (this sandbox has no network; the
+    reference likewise ships it behind the ``http_client`` feature).
+    Sends the JSON-LD profile-aware Accept header, follows the
+    redirects urllib handles natively, caches by final URL, and
+    surfaces HTTP/URL errors as :class:`LoaderError` so ChainLoader
+    fallthrough and ``as_context_loader`` tolerance keep working."""
+
+    ACCEPT = "application/ld+json, application/json;q=0.9"
+
+    def __init__(self, timeout: float = 30.0, max_bytes: int = 16 << 20):
+        self.timeout = timeout
+        self.max_bytes = max_bytes
+        self._cache: Dict[str, object] = {}
+
+    def __call__(self, url: str):
+        if not url.startswith(("http://", "https://")):
+            raise LoaderError(f"not an http(s) URL: {url}")
+        if url in self._cache:
+            return self._cache[url]
+        import urllib.error
+        import urllib.request
+
+        req = urllib.request.Request(
+            url, headers={"Accept": self.ACCEPT,
+                          "User-Agent": "sophia_rs_ray JSON-LD loader"})
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as r:
+                raw = r.read(self.max_bytes + 1)
+                if len(raw) > self.max_bytes:
+                    raise LoaderError(
+                        f"document at {url} exceeds {self.max_bytes} bytes")
+                charset = r.headers.get_content_charset() or "utf-8"
+        except urllib.error.HTTPError as e:
+            raise LoaderError(f"HTTP {e.code} for {url}: {e.reason}") \
+                from None
+        except urllib.error.URLError as e:
+            raise LoaderError(f"cannot reach {url}: {e.reason}") from None
+        try:
+            doc = json.loads(raw.decode(charset))
+        except ValueError as e:
+            raise LoaderError(f"invalid JSON at {url}: {e}") from None
+        self._cache[url] = doc
+        return doc
 
 
 class ChainLoader:

@@ -203,15 +203,20 @@ def customers_per_region(sf_dir: str):
     region = _read(sf_dir, "region").to_pandas()
     n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
     r2name = dict(zip(region["r_regionkey"], region["r_name"]))
-    lookup_ref = ray.put({k: r2name[v] for k, v in n2r.items()})
+    # broadcast as parallel Arrow arrays: the per-batch lookup is then
+    # vectorized index_in/take (missing key → null, like dict.get)
+    lut = {k: r2name[v] for k, v in n2r.items()}
+    lookup_ref = ray.put((pa.array(list(lut.keys()), pa.int64()),
+                          pa.array(list(lut.values()))))
 
     ds = _read(sf_dir, "customer", ["c_nationkey"])
 
     def partial(b: pa.Table) -> pa.Table:
         import ray as _ray
-        lut = _ray.get(lookup_ref)
-        names = [lut.get(k) for k in b["c_nationkey"].to_pylist()]
-        t = pa.table({"r_name": names,
+        keys_arr, names_arr = _ray.get(lookup_ref)
+        idx = pc.index_in(pc.cast(b["c_nationkey"], pa.int64()),
+                          value_set=keys_arr)
+        t = pa.table({"r_name": pc.take(names_arr, idx),
                       "one": pa.array([1] * len(b), pa.int64())})
         return t.group_by("r_name").aggregate([("one", "sum")])
 

@@ -154,3 +154,106 @@ def test_file_url_loader_percent_encoded(tmp_path):
     (tmp_path / "a b.jsonld").write_text('{"@context": {}}')
     url = "file://" + str(tmp_path).replace(" ", "%20") + "/a%20b.jsonld"
     assert FileUrlLoader()(url) == {"@context": {}}
+
+
+# ---------------------------------------------------------------------------
+# round-4: opt-in HttpLoader (reference jsonld/src/loader.rs:38-40,
+# feature-gated json_ld::ReqwestLoader) against a loopback server
+# ---------------------------------------------------------------------------
+
+import threading
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+
+class _CtxHandler(BaseHTTPRequestHandler):
+    hits = {}
+
+    def do_GET(self):
+        _CtxHandler.hits[self.path] = _CtxHandler.hits.get(self.path, 0) + 1
+        if self.path == "/ctx.jsonld":
+            body = json.dumps({"@context": {
+                "name": "http://xmlns.com/foaf/0.1/name"}}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type",
+                             "application/ld+json; charset=utf-8")
+        elif self.path == "/bad.json":
+            body = b"{not json"
+            self.send_response(200)
+            self.send_header("Content-Type", "application/ld+json")
+        else:
+            self.send_response(404)
+            self.end_headers()
+            return
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, *a):
+        pass
+
+
+@pytest.fixture(scope="module")
+def ctx_server():
+    srv = HTTPServer(("127.0.0.1", 0), _CtxHandler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_port}"
+    srv.shutdown()
+
+
+def test_http_loader_fetches_and_caches(ctx_server):
+    from sophia_rs_ray.jsonld_loaders import HttpLoader
+
+    ld = HttpLoader(timeout=5)
+    url = f"{ctx_server}/ctx.jsonld"
+    doc = ld(url)
+    assert doc["@context"]["name"] == "http://xmlns.com/foaf/0.1/name"
+    before = _CtxHandler.hits["/ctx.jsonld"]
+    assert ld(url) == doc           # served from cache
+    assert _CtxHandler.hits["/ctx.jsonld"] == before
+
+
+def test_http_loader_errors_are_loader_errors(ctx_server):
+    from sophia_rs_ray.jsonld_loaders import HttpLoader, LoaderError
+
+    ld = HttpLoader(timeout=5)
+    with pytest.raises(LoaderError, match="HTTP 404"):
+        ld(f"{ctx_server}/missing.jsonld")
+    with pytest.raises(LoaderError, match="invalid JSON"):
+        ld(f"{ctx_server}/bad.json")
+    with pytest.raises(LoaderError, match="not an http"):
+        ld("file:///etc/hosts")
+    with pytest.raises(LoaderError, match="cannot reach"):
+        HttpLoader(timeout=0.5)("http://127.0.0.1:9/x.jsonld")
+
+
+def test_http_loader_resolves_remote_context_end_to_end(ctx_server):
+    """A JSON-LD document whose @context is a live http URL parses to
+    the vocab-expanded triple through HttpLoader — the reference's
+    `JsonLdParser<HttpLoader>` path (jsonld/src/parser/test.rs:61-69)
+    with stdlib urllib as the wire."""
+    from sophia_rs_ray.jsonld import JsonLdOptions, jsonld_to_triples
+    from sophia_rs_ray.jsonld_loaders import HttpLoader, as_context_loader
+
+    doc = json.dumps({"@context": f"{ctx_server}/ctx.jsonld",
+                      "@id": "http://e/x", "name": "Alice"})
+    trs, err = jsonld_to_triples(
+        doc, "http://e/",
+        options=JsonLdOptions(
+            context_loader=as_context_loader(HttpLoader(timeout=5))))
+    assert err is None, err
+    assert len(trs) == 1
+    p = trs[0][1]
+    assert p[1] == "http://xmlns.com/foaf/0.1/name"
+
+
+def test_http_loader_in_chain_falls_through(ctx_server):
+    from sophia_rs_ray.jsonld_loaders import (ChainLoader, HttpLoader,
+                                              LoaderError, StaticLoader)
+
+    chain = ChainLoader(StaticLoader().with_("urn:x", {"a": 1}),
+                        HttpLoader(timeout=5))
+    assert chain("urn:x") == {"a": 1}
+    assert "@context" in chain(f"{ctx_server}/ctx.jsonld")
+    with pytest.raises(LoaderError):
+        chain(f"{ctx_server}/missing.jsonld")

@@ -240,3 +240,32 @@ def test_urllib_transport_unreachable():
                        transport=urllib_transport(timeout=0.5))
     with pytest.raises(SparqlClientError):
         cli.query("SELECT ?s WHERE { ?s ?p ?o }")
+
+
+def test_service_clause_over_live_http(ray_session, loopback):
+    """End-to-end federation: a SPARQL SERVICE clause resolved through
+    the opt-in urllib transport against a real (loopback) HTTP server —
+    the full reference execution path (sparql/src/exec.rs SERVICE →
+    sparql_client reqwest) with stdlib urllib as the wire."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sophia_rs_ray.sparql.algebra import set_service_resolver
+    from sophia_rs_ray.sparql.run import sparql
+
+    cli = SparqlClient(f"{loopback}/sparql",
+                       transport=urllib_transport(timeout=5))
+    set_service_resolver(cli.as_service_resolver())
+    try:
+        tbl = pa.table({
+            "s": pa.array(["<http://e/a>"], pa.large_string()),
+            "p": pa.array(["<http://e/p>"], pa.large_string()),
+            "o": pa.array(["<http://e/o>"], pa.large_string()),
+            "g": pa.array([""], pa.large_string()),
+        })
+        q = ("SELECT ?s WHERE { SERVICE <%s/sparql> { ?s ?x ?n } }"
+             % loopback)
+        rows = sparql(q, rd.from_arrow(tbl)).take_all()
+        assert {r["s"] for r in rows} == {"<http://e/a>", "<http://e/b>"}
+    finally:
+        set_service_resolver(None)
