@@ -1584,32 +1584,33 @@ def _mention_triples(sf_dir: str):
 
 
 def _url_dedup(sf_dir: str):
-    """URL-level dedup of a messy crawl frontier: each synthetic page
-    URL appears in three deterministic 'messy' spellings (scheme/host
-    case + default port, dot segments + unsorted query, fragment);
-    RFC-3986 normalization collapses them and an exchange dedup counts
-    variants per canonical URL.  Rows-only (inputs are synthesized
-    in-pipeline); invariants (3 variants each, one row per page)
-    asserted in tests/test_url.py-adjacent pipeline test."""
+    """URL-level dedup of a messy crawl frontier: every document id
+    yields three deterministic 'messy' spellings of one URL
+    (scheme/host case + explicit default port + unsorted query, dot
+    segments + fragment, already-canonical); RFC-3986 normalization
+    collapses them and an exchange dedup counts variants per canonical
+    URL.  DuckDB-oracled (URL_DEDUP_SQL): the oracle constructs the
+    expected canonical form per doc_id in SQL, so a regression in
+    ``normalize_url`` (case, port, dot segments, query sort, fragment)
+    hash-mismatches."""
+    import ray.data as rd
+
     from ..functions.exchange import hash_aggregate
     from ..functions.url import normalize_url_batch
-    from ..sources.pages import SF_PAGE_COUNTS, pages_dataset
 
-    n = SF_PAGE_COUNTS.get(_sf_of(sf_dir), 5000)
-    pages = pages_dataset(n)
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
 
     def messy(b: pa.Table) -> pa.Table:
-        urls = b["url"].to_pylist()
         out = []
-        for u in urls:
-            host_end = u.index("/", len("https://"))
-            host, path = u[len("https://"):host_end], u[host_end:]
+        for i in b["doc_id"].to_pylist():
+            host, path = f"site{int(i) % 97}.example", f"/d/{int(i)}"
             out.append(f"HTTPS://{host.upper()}:443{path}?b=2&a=1")
             out.append(f"https://{host}/x/..{path}?b=2&a=1#frag")
             out.append(f"https://{host}{path}?a=1&b=2")
         return pa.table({"url": pa.array(out, pa.string())})
 
-    ds = pages.map_batches(messy, batch_format="pyarrow") \
+    ds = docs.map_batches(messy, batch_format="pyarrow") \
         .map_batches(normalize_url_batch, batch_format="pyarrow")
 
     def partial(b: pa.Table) -> pa.Table:
@@ -1624,6 +1625,14 @@ def _url_dedup(sf_dir: str):
             ["url_norm", "n_variants"])
 
     return hash_aggregate(ds, ["url_norm"], partial, final)
+
+
+URL_DEDUP_SQL = """
+SELECT 'https://site' || (doc_id % 97) || '.example/d/' || doc_id
+           || '?a=1&b=2' AS url_norm,
+       CAST(3 AS BIGINT) AS n_variants
+FROM documents
+"""
 
 
 def _video_frame_sample(sf_dir: str):
@@ -2149,7 +2158,7 @@ def registry() -> Registry:
         "video_frame_sample": (_video_frame_sample,
                                VIDEO_FRAME_SAMPLE_SQL),
         "audio_features": (_audio_features, AUDIO_FEATURES_SQL),
-        "url_dedup": (_url_dedup, None),
+        "url_dedup": (_url_dedup, URL_DEDUP_SQL),
         # rows-only
         "kg_pipeline": (_kg_pipeline, None),
         "extract_text": (_extract_text, None),
