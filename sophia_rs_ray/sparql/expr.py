@@ -713,20 +713,24 @@ def _apply(fn: str, v: List[Term], row) -> Optional[Term]:  # noqa: C901
         return (KIND_LITERAL, str(x), XSD_INTEGER, "", 0)
 
     if fn == "BNODE":
-        # deterministic analogue of function.rs:109 (fresh bnode per
-        # solution): label = hash of the binding row (+ the optional
-        # string arg, giving BNODE("x") the same node for the same
-        # label within one solution) — SURVEY §7.0 determinism
+        # function.rs:109/583: the no-arg form is fresh PER CALL
+        # (spec 17.4.2.9: "every call results in a distinct blank
+        # node", so BNODE() = BNODE() is false) — drawn from the same
+        # seeded counter stream as RAND/UUID for reproducibility; the
+        # one-arg form returns the SAME node for the same simple
+        # literal within one solution mapping: label = hash of the
+        # binding row + the string arg (SURVEY §7.0 determinism)
+        if not v:
+            return (KIND_BNODE, "b" + _draw16().hex()[:16], "", "", 0)
         import zlib as _z
 
         seed = "\x1f".join(f"{k}={row.get(k)}" for k in sorted(row)) \
             if isinstance(row, dict) else ""
-        tag = _simple_str(v[0]) if v else ""
-        if v and tag is None:
+        tag = _simple_str(v[0])
+        if tag is None:
             return None
         h = _z.crc32(f"{tag}\x1e{seed}".encode())
-        return (KIND_BNODE, f"b{h:08x}" + (f"_{tag}" if tag else ""),
-                "", "", 0)
+        return (KIND_BNODE, f"b{h:08x}_{tag}", "", "", 0)
     if fn in ("MD5", "SHA1", "SHA256", "SHA384", "SHA512"):
         # hash fns require SIMPLE literals (function.rs hash family —
         # a language-tagged argument is an error)

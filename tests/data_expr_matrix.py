@@ -3222,6 +3222,4 @@ CASES = [
 ]
 
 #: engine-deviation skips, each with its documented reason
-SKIP = {
- "bnode() = bnode()": "BNODE() is deterministic per solution by design (SURVEY \u00a77.0)",
-}
+SKIP = {}
