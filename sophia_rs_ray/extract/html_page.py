@@ -31,6 +31,7 @@ task in the pipeline.
 from __future__ import annotations
 
 import re
+from html import unescape
 from html.parser import HTMLParser
 from typing import Dict, List, Optional, Tuple
 
@@ -104,7 +105,7 @@ class PageExtractor(HTMLParser):
         if tag in VOID_TAGS:
             self.handle_startendtag(tag, attrs)
             return
-        a = dict(attrs)
+        a = attrs if type(attrs) is dict else dict(attrs)
         self._tags.append(tag)
         depth = len(self._tags)
         if tag in SKIP_TAGS:
@@ -119,7 +120,7 @@ class PageExtractor(HTMLParser):
         self._start_rdfa(depth, tag, a)
 
     def handle_startendtag(self, tag: str, attrs) -> None:
-        a = dict(attrs)
+        a = attrs if type(attrs) is dict else dict(attrs)
         if tag == "br":
             self._flush_block()
             return
@@ -316,8 +317,6 @@ def _raw_end(tag: str):
 
 
 def _parse_attrs(src: str):
-    from html import unescape
-
     out = []
     for m in _ATTR_RE.finditer(src):
         name = m.group(1).lower()
@@ -335,12 +334,33 @@ def _parse_attrs(src: str):
     return out
 
 
+#: extraction only consults these attribute names (script's ``type``,
+#: microdata item*, RDFa Lite, and the literal-bearing value attrs) —
+#: an attr soup with no marker substring cannot change the output, so
+#: the tokenizer may skip parsing it entirely (values that merely
+#: contain a marker false-positive into the slow path, which is safe)
+_RELEVANT_ATTRS = re.compile(
+    r"item|prop|typ|vocab|about|resour|content|href|src|datetime", re.I)
+_NO_ATTRS: dict = {}
+_ATTR_CACHE: Dict[str, dict] = {}
+
+
+def _attrs_of(soup: str) -> dict:
+    """Parsed attrs as a dict (last occurrence wins, same as the
+    handlers' own ``dict(attrs)`` over the stdlib event list)."""
+    v = _ATTR_CACHE.get(soup)
+    if v is None:
+        v = dict(_parse_attrs(soup)) if _RELEVANT_ATTRS.search(soup) \
+            else _NO_ATTRS
+        if len(_ATTR_CACHE) < 65536:   # templated pages repeat soups
+            _ATTR_CACHE[soup] = v
+    return v
+
+
 def _fast_feed(h: PageExtractor, text: str) -> None:
     """Emit handle_starttag/startendtag/endtag/data events like
     ``HTMLParser(convert_charrefs=True).feed`` (charrefs decoded in
     text and attribute values, NOT inside raw-text elements)."""
-    from html import unescape
-
     pos, n = 0, len(text)
     find = text.find
     while pos < n:
@@ -368,7 +388,8 @@ def _fast_feed(h: PageExtractor, text: str) -> None:
                 pos = lt + 1
                 continue
             tag = m.group(1).lower()
-            attrs = _parse_attrs(m.group(2)) if m.group(2) else []
+            soup = m.group(2)
+            attrs = _attrs_of(soup) if soup else _NO_ATTRS
             pos = m.end()
             if m.group(3):
                 h.handle_startendtag(tag, attrs)

@@ -15,6 +15,7 @@ coordination.
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 from typing import Optional, Tuple
 
 # RFC 3986 appendix B
@@ -36,7 +37,9 @@ def split_iri(iri: str) -> Tuple[Optional[str], Optional[str], str, Optional[str
     return m.group(1), m.group(2), m.group(3) or "", m.group(4), m.group(5)
 
 
+@lru_cache(maxsize=8192)
 def is_absolute_iri(text: str) -> bool:
+    # cached: extraction re-checks the same predicate/type IRIs constantly
     scheme, _a, _p, _q, _f = split_iri(text)
     return scheme is not None and not _FORBIDDEN.search(text)
 

@@ -20,6 +20,7 @@ The heavy ``html`` column is consumed here and MUST NOT propagate further
 
 from __future__ import annotations
 
+import json
 from typing import List, Optional, Tuple
 
 import pyarrow as pa
@@ -61,19 +62,22 @@ def extract_triples_batch(batch: pa.Table) -> pa.Table:
     out_ext: List[str] = []
     out_err: List[str] = []
     cols: dict = {c: [] for c in _TERM_COLS}
+    # bound locals: the closure appends ~15 values per triple, so dict
+    # lookups + string concat per field dominate push() otherwise
+    appends = tuple(cols[c].append for c in _TERM_COLS)
 
     def push(url: str, extractor: str,
              s: Term, p: Term, o: Term) -> None:
         out_url.append(url)
         out_ext.append(extractor)
         out_err.append("")
-        for prefix, t in (("s", s), ("p", p), ("o", o)):
-            t = _skolemize(t, url, extractor)
-            cols[prefix + "_kind"].append(t[0])
-            cols[prefix + "_lex"].append(t[1])
-            cols[prefix + "_dt"].append(t[2])
-            cols[prefix + "_lang"].append(t[3])
-            cols[prefix + "_dir"].append(t[4])
+        i = 0
+        for t in (s, p, o):
+            if t[0] == KIND_BNODE:
+                t = (t[0], skolem(t[1], url, extractor), t[2], t[3], t[4])
+            appends[i](t[0]); appends[i + 1](t[1]); appends[i + 2](t[2])
+            appends[i + 3](t[3]); appends[i + 4](t[4])
+            i += 5
 
     def push_error(url: str, extractor: str, msg: str) -> None:
         out_url.append(url)
@@ -93,7 +97,6 @@ def extract_triples_batch(batch: pa.Table) -> pa.Table:
 
         counter = 0
         for blk in ld_blocks:
-            import json
             exp = JsonLdExpander(url)
             exp.counter = counter  # labels stay unique across blocks of one page
             try:
