@@ -317,6 +317,35 @@ def bigram_pairs_batch(b: pa.Table) -> pa.Table:
                      "bigram": out["bigram"].cast(pa.string())})
 
 
+#: shingle width for benchmark decontamination — 8 consecutive tokens,
+#: the usual "13-gram-ish" contamination test scaled to the short bench
+#: docs; mirrored by the DuckDB oracle's list-comprehension slice
+SHINGLE_K = 8
+
+
+def shingle_pairs_batch(b: pa.Table) -> pa.Table:
+    """(doc_id, text) → per-document DISTINCT ``SHINGLE_K``-token
+    shingles as (doc_id, sh) pairs — the map side of benchmark
+    decontamination.  Pairs are globally distinct because a doc lives
+    in exactly one batch.  Vectorized polars: tokenize → k adjacent
+    shifts concatenated inside ``list.eval`` → list.unique → explode
+    (the SHINGLE_K-wide generalization of ``bigram_pairs_batch``)."""
+    import polars as pl
+
+    sh = pl.element()
+    for j in range(1, SHINGLE_K):
+        sh = sh + " " + pl.element().shift(-j)
+    out = (_pl_docs(b)
+           .select(pl.col("doc_id"),
+                   pl.col("text").str.extract_all(TOKEN_RE2)
+                   .list.eval(sh.drop_nulls()).list.unique().alias("sh"))
+           .explode("sh", empty_as_null=False)
+           .drop_nulls("sh")
+           .to_arrow())
+    return pa.table({"doc_id": out["doc_id"].cast(b["doc_id"].type),
+                     "sh": out["sh"].cast(pa.string())})
+
+
 #: fixed token-window size standing in for paragraph boundaries — the
 #: bench corpus has no newlines, so segmentation is deterministic token
 #: windows; swap the splitter for '\n\n' chunks on real crawl text.

@@ -689,6 +689,270 @@ LEFT JOIN (SELECT doc_id, count(*) AS c FROM singles GROUP BY 1) n
 """
 
 
+#: benchmark = the fixed first docs of the corpus (doc_id < this) —
+#: fixed SIZE regardless of corpus scale, like a real eval set (small
+#: enough that the fuzz harness's 20-doc corpora keep non-bench docs)
+DECONTAM_BENCH_MAX_ID = 10
+#: broadcast gate: above this many benchmark shingles, fall back to the
+#: distributed semi-join (real benchmarks are ≤ a few M shingles, so
+#: the broadcast path is the expected one at any corpus scale)
+_DECONTAM_BROADCAST_LIMIT = 5_000_000
+
+_BENCH_SET_CACHE: dict = {}
+
+
+def _cached_bench_array(ref):
+    """Per-worker cache of the broadcast benchmark-shingle Arrow array
+    (the task-pool analogue of actor ``__init__``, same idiom as
+    stages/ner._cached_detector)."""
+    import ray
+
+    key = ref.binary() if isinstance(ref, ray.ObjectRef) else id(ref)
+    arr = _BENCH_SET_CACHE.get(key)
+    if arr is None:
+        if len(_BENCH_SET_CACHE) > 4:
+            _BENCH_SET_CACHE.clear()
+        vals = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        arr = pa.array(vals, pa.string())
+        _BENCH_SET_CACHE[key] = arr
+    return arr
+
+
+def _decontam_pairs(sf_dir: str):
+    import ray.data as rd
+
+    from ..functions.text import shingle_pairs_batch
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return docs.map_batches(shingle_pairs_batch, batch_format="pyarrow")
+
+
+def _decontam_zeros(sf_dir: str):
+    """One (doc_id, 0) row per non-benchmark document — unioned with
+    the hit counts so every corpus doc appears in the result (the
+    novel_bigrams zeros pattern; also sidesteps Ray's schema loss on
+    all-empty datasets when nothing is contaminated)."""
+    import ray.data as rd
+
+    import pyarrow.compute as pc
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"],
+        filter=pc.field("doc_id") >= DECONTAM_BENCH_MAX_ID)
+    return docs.map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"],
+                            "n": pa.array([0] * len(b), pa.int64())}),
+        batch_format="pyarrow")
+
+
+def _decontaminate_broadcast(pairs, bench_pairs, zeros):
+    """Benchmark decontamination, broadcast plan: the benchmark's
+    shingle set is collected once (it is fixed-size by construction),
+    ``ray.put`` once, and every task filters its own shingles against
+    the node-local copy — no shuffle of the corpus side at all."""
+    import ray
+
+    import pyarrow.compute as pc
+
+    bench = sorted({r["sh"] for r in bench_pairs.take_all()})
+    if len(bench) > _DECONTAM_BROADCAST_LIMIT:
+        raise ValueError("benchmark shingle set exceeds broadcast gate "
+                         "— use _decontaminate_exchange")
+    ref = ray.put(bench)
+
+    def score(t: pa.Table) -> pa.Table:
+        arr = _cached_bench_array(ref)
+        rest = t.filter(pc.greater_equal(
+            t["doc_id"], pa.scalar(DECONTAM_BENCH_MAX_ID,
+                                   t["doc_id"].type)))
+        hit = rest.filter(pc.is_in(rest["sh"], value_set=arr))
+        g = hit.group_by(["doc_id"]).aggregate([("sh", "count")])
+        return g.rename_columns(["doc_id", "n"])
+
+    from ..functions.exchange import hash_aggregate
+
+    def sum_doc(t: pa.Table) -> pa.Table:
+        # zero-hit corpora: Ray strips the schema off empty blocks, so
+        # synthesize the output columns (hash_aggregate's documented
+        # combine contract)
+        if "n" not in t.column_names or "doc_id" not in t.column_names:
+            return _empty_decontam()
+        return t.group_by(["doc_id"]).aggregate([("n", "sum")]) \
+            .rename_columns(["doc_id", "n"])
+
+    def final(t: pa.Table) -> pa.Table:
+        return sum_doc(t).rename_columns(["doc_id", "n_contaminated"])
+
+    scored = pairs.map_batches(score, batch_format="pyarrow")
+    # per-doc shingles are distinct, but one doc's shingles may span
+    # batches after upstream re-blocking — the tiny exchange re-sums
+    return hash_aggregate(scored.union(zeros), ["doc_id"],
+                          sum_doc, final)
+
+
+def _empty_decontam() -> pa.Table:
+    return pa.table({"doc_id": pa.array([], pa.int64()),
+                     "n": pa.array([], pa.int64())})
+
+
+def _decontaminate_exchange(pairs, zeros):
+    """Distributed fallback for an over-gate benchmark: semi-join by
+    shingle hash partition (bench membership resolved per partition),
+    then a per-doc count exchange.  Equality with the broadcast plan is
+    pinned in tests/test_r4_ops.py."""
+    import pyarrow.compute as pc
+
+    from ..functions.exchange import hash_aggregate
+
+    def per_sh(t: pa.Table) -> pa.Table:
+        if "sh" not in t.column_names or "doc_id" not in t.column_names:
+            return _empty_decontam()
+        lim = pa.scalar(DECONTAM_BENCH_MAX_ID, t["doc_id"].type)
+        bench = pc.unique(t.filter(pc.less(t["doc_id"], lim))["sh"])
+        rest = t.filter(pc.greater_equal(t["doc_id"], lim))
+        hit = rest.filter(pc.is_in(rest["sh"], value_set=bench))
+        g = hit.group_by(["doc_id"]).aggregate([("sh", "count")])
+        return g.rename_columns(["doc_id", "n"])
+
+    def sum_doc(t: pa.Table) -> pa.Table:
+        if "n" not in t.column_names or "doc_id" not in t.column_names:
+            return _empty_decontam()
+        return t.group_by(["doc_id"]).aggregate([("n", "sum")]) \
+            .rename_columns(["doc_id", "n"])
+
+    def final(t: pa.Table) -> pa.Table:
+        return sum_doc(t).rename_columns(["doc_id", "n_contaminated"])
+
+    hits = hash_aggregate(pairs, ["sh"], None, per_sh)
+    return hash_aggregate(hits.union(zeros), ["doc_id"],
+                          sum_doc, final)
+
+
+def _decontaminate(sf_dir: str):
+    """Benchmark decontamination: count, per corpus document, the
+    DISTINCT ``SHINGLE_K``-token shingles it shares with a fixed
+    benchmark/eval set (here: the corpus's first
+    ``DECONTAM_BENCH_MAX_ID`` doc_ids, a deterministic stand-in for an
+    external eval suite).  Docs with ≥1 shared shingle are the
+    contamination-removal candidates every LLM training pipeline
+    filters before training.  The benchmark side is a separate pruned
+    read (row-group filter pushdown on doc_id)."""
+    import ray.data as rd
+
+    import pyarrow.compute as pc
+
+    from ..functions.text import shingle_pairs_batch
+
+    bench_docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        filter=pc.field("doc_id") < DECONTAM_BENCH_MAX_ID)
+    bench_pairs = bench_docs.map_batches(shingle_pairs_batch,
+                                         batch_format="pyarrow")
+    return _decontaminate_broadcast(_decontam_pairs(sf_dir), bench_pairs,
+                                    _decontam_zeros(sf_dir))
+
+
+def _decontaminate_sql() -> str:
+    from ..functions.text import SHINGLE_K
+
+    k1, k2 = SHINGLE_K - 1, SHINGLE_K - 2
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                     x -> x <> '') AS tk
+  FROM documents
+), shingles AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id,
+           unnest([array_to_string(tk[i:i+{k1}], ' ')
+                   for i in range(1, len(tk) - {k2})]) AS sh
+    FROM toks)
+), bench AS (
+  SELECT DISTINCT sh FROM shingles WHERE doc_id < {DECONTAM_BENCH_MAX_ID}
+), hits AS (
+  SELECT s.doc_id, count(*) AS c
+  FROM shingles s JOIN bench b USING (sh)
+  WHERE s.doc_id >= {DECONTAM_BENCH_MAX_ID}
+  GROUP BY s.doc_id
+)
+SELECT d.doc_id, CAST(coalesce(h.c, 0) AS BIGINT) AS n_contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id >= {DECONTAM_BENCH_MAX_ID}
+"""
+
+
+#: tokens per packed training sequence — small enough that the sf0.001
+#: corpus already spans several bins per source (threshold-straddling:
+#: a budget the test tier never crosses would pin seq_id ≡ 0 and the
+#: oracle could not catch binning regressions)
+SEQ_PACK_BUDGET = 256
+
+
+def _pack_sequences(sf_dir: str):
+    """Concat-and-chunk sequence packing (GPT-style pretraining): per
+    source, documents in doc_id order form one token stream chunked
+    into ``SEQ_PACK_BUDGET``-token sequences; a doc's seq_id is the
+    chunk its first token lands in (exclusive running sum // budget).
+    One exchange on source; the cumsum is a vectorized polars window
+    inside the partition — same partitioning assumption as
+    sessionization (one source's docs fit one partition)."""
+    import ray.data as rd
+
+    import pyarrow.compute as pc
+
+    from ..functions.exchange import hash_aggregate
+    from ..functions.text import TOKEN_RE2
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source", "text"])
+
+    def counted(b: pa.Table) -> pa.Table:
+        n = pc.cast(pc.count_substring_regex(
+            pc.coalesce(b["text"], pa.scalar("", type=b["text"].type)),
+            pattern=TOKEN_RE2), pa.int64())
+        return pa.table({"doc_id": b["doc_id"], "source": b["source"],
+                         "n_tokens": n})
+
+    def finalize(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        if "doc_id" not in t.column_names:   # schema-stripped empty
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "source": pa.array([], pa.large_string()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "seq_id": pa.array([], pa.int64())})
+        df = pl.from_arrow(t).sort(["source", "doc_id"])
+        df = df.with_columns(
+            ((pl.col("n_tokens").cum_sum().over("source")
+              - pl.col("n_tokens")) // SEQ_PACK_BUDGET).alias("seq_id"))
+        out = df.to_arrow()
+        return pa.table({
+            "doc_id": out["doc_id"].cast(t["doc_id"].type),
+            "source": out["source"].cast(t["source"].type),
+            "n_tokens": out["n_tokens"].cast(pa.int64()),
+            "seq_id": out["seq_id"].cast(pa.int64())})
+
+    return hash_aggregate(
+        docs.map_batches(counted, batch_format="pyarrow"),
+        ["source"], None, finalize)
+
+
+PACK_SEQUENCES_SQL = rf"""
+WITH nt AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                         x -> x <> '')) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+             - n_tokens) // {SEQ_PACK_BUDGET} AS BIGINT) AS seq_id
+FROM nt
+"""
+
+
 def _source_stats(sf_dir: str):
     """Per-source corpus stats (doc count, chars, tokens): the
     domain-level aggregation every crawl-curation pipeline starts
@@ -2137,6 +2401,8 @@ def registry() -> Registry:
         "normalize_docs": (_normalize_docs, NORMALIZE_DOCS_SQL),
         "pii_redact": (_pii_redact, _pii_sql()),
         "novel_bigrams": (_novel_bigrams, NOVEL_BIGRAMS_SQL),
+        "decontaminate_docs": (_decontaminate, _decontaminate_sql()),
+        "pack_sequences": (_pack_sequences, PACK_SEQUENCES_SQL),
         "source_stats": (_source_stats, SOURCE_STATS_SQL),
         "segment_dedup": (_segment_dedup, SEGMENT_DEDUP_SQL),
         "stratified_sample": (_stratified_sample, STRATIFIED_SAMPLE_SQL),
