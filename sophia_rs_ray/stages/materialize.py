@@ -184,7 +184,14 @@ def _write_one_partition(tbl: pa.Table, out_dir: str, order: str,
     keep = [c for c in ("g", "s", "p", "o") if c in cols]
     tbl = _decode_terms(tbl.select(keep))
     td = time.perf_counter()
+    # defragment before sorting: exchanged partitions arrive as many
+    # small concat chunks and sort_by's chunked take degrades badly
+    tbl = tbl.combine_chunks()
+    tc = time.perf_counter()
+    c0 = time.process_time()
     tbl = tbl.sort_by([(c, "ascending") for c in cols])
+    cso = time.process_time() - c0
+    tso = time.perf_counter()
     if distinct and tbl.num_rows > 1:
         # dedup rides the sort we already pay for: duplicates are
         # adjacent, so a vectorized neighbour compare replaces the
@@ -213,6 +220,9 @@ def _write_one_partition(tbl: pa.Table, out_dir: str, order: str,
     row = {
         "t_dedup_ms": round(1000 * (td - t0), 1),
         "t_sort_ms": round(1000 * (ts - td), 1),
+        "t_combine_ms": round(1000 * (tc - td), 1),
+        "t_sortonly_ms": round(1000 * (tso - tc), 1),
+        "t_sortcpu_ms": round(1000 * cso, 1),
         "t_write_ms": round(1000 * (tw - ts), 1),
         "order": order, "shard": shard, "salt": salt, "rows": tbl.num_rows,
         "min_key": tbl[cols[0]][0].as_py(),
