@@ -517,3 +517,114 @@ def knn_self_join(emb_ds, *, k: int = 3, batch_size: int = 4096,
                           lambda t: _topk_per_id(t, k),
                           lambda t: _topk_per_id(t, k),
                           num_partitions=num_partitions)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-scoped semantic dedup (Abbas et al. 2023 shape)
+# ---------------------------------------------------------------------------
+
+#: deterministic centroid count — at real scale K grows with the corpus
+#: (the paper uses ~1e5 k-means clusters at 1e9 docs) so cluster sizes
+#: stay bounded; here the centroids are the first K corpus vectors,
+#: which keeps the op fully deterministic and SQL-mirrorable
+SEMDEDUP_K = 8
+SEMDEDUP_THR = 0.4
+#: hard cap on one cluster's rows inside a partition — the per-cluster
+#: verify is O(size²) flops, so an oversized cluster means K is too
+#: small for the corpus; fail loudly instead of thrashing
+SEMDEDUP_CLUSTER_CAP = 200_000
+
+
+def _semdedup_empty() -> pa.Table:
+    return pa.table({"vec_id": pa.array([], pa.int64()),
+                     "cluster": pa.array([], pa.int64()),
+                     "is_dup": pa.array([], pa.int64())})
+
+
+def semdedup(emb_ds, cent_ds, *, k: int = SEMDEDUP_K,
+             threshold: float = SEMDEDUP_THR,
+             num_partitions=None):
+    """Cluster-then-dedup over an embedding column: assign every vector
+    to its max-cosine centroid (tie → smaller centroid id), then inside
+    each cluster mark a vector as duplicate when an EARLIER vector
+    (smaller vec_id) of the same cluster has cosine ≥ ``threshold``.
+    Returns (vec_id, cluster, is_dup).
+
+    Plan: centroids are a fixed-size pruned read, broadcast once
+    (``ray.put``); assignment is one vectorized matmul per batch; the
+    dedup is one exchange on the cluster id with a per-cluster
+    triangular matmul in the partition — the SemDeDup shape, where K
+    bounds cluster sizes and the exchange is the only shuffle.
+    Cosines are rounded to 4 dp before compare/argmax on BOTH the
+    engine and oracle sides (the ANN float-parity convention)."""
+    import ray
+
+    from .exchange import hash_aggregate
+
+    # fixed-size centroid side: driver pull bounded at k rows
+    parts = list(cent_ds.iter_batches(batch_size=max(k, 1),
+                                      batch_format="pyarrow"))
+    cent = pa.concat_tables(parts) if parts else pa.table(
+        {"vec_id": pa.array([], pa.int64()),
+         "embedding": pa.array([], pa.list_(pa.float32()))})
+    cent = cent.filter(pa.compute.is_valid(cent["embedding"]))
+    cids = np.asarray(cent["vec_id"].to_pylist(), dtype=np.int64)
+    craw = np.array(cent["embedding"].to_pylist(), dtype=np.float64) \
+        if len(cids) else np.zeros((0, 1))
+    # exclude zero-norm centroids (cosine undefined; the oracle's
+    # sum-of-squares predicate mirrors this)
+    nz = np.linalg.norm(craw, axis=1) > 0 if len(cids) else \
+        np.zeros(0, bool)
+    cids, craw = cids[nz], craw[nz]
+    order = np.argsort(cids, kind="stable")
+    cids = cids[order]
+    cmat = _normalize(craw[order]) if len(cids) else craw
+    cent_ref = ray.put((cids, cmat))
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids, mat = _mat_of(t)
+        cds_, cm = ray.get(cent_ref) if isinstance(
+            cent_ref, ray.ObjectRef) else cent_ref
+        if len(ids) == 0 or len(cds_) == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64()),
+                             "embedding": pa.array(
+                                 [], pa.list_(pa.float32()))})
+        sims = np.round(mat @ cm.T, 4)
+        best = np.argmax(sims, axis=1)     # first max ⇒ smallest cid
+        keep = t.filter(pa.compute.is_valid(t["embedding"]))
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "cluster": pa.array(cds_[best], pa.int64()),
+                         "embedding": keep["embedding"]})
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if "cluster" not in t.column_names or t.num_rows == 0:
+            return _semdedup_empty()
+        ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+        cl = np.asarray(t["cluster"].to_pylist(), dtype=np.int64)
+        mat = _normalize(np.array(t["embedding"].to_pylist(),
+                                  dtype=np.float64))
+        order = np.lexsort((ids, cl))
+        ids, cl, mat = ids[order], cl[order], mat[order]
+        dup = np.zeros(len(ids), bool)
+        start = 0
+        for end in np.append(np.nonzero(np.diff(cl))[0] + 1, len(cl)):
+            m = int(end - start)
+            if m > SEMDEDUP_CLUSTER_CAP:
+                raise ValueError(
+                    f"semdedup cluster of {m} rows exceeds cap "
+                    f"{SEMDEDUP_CLUSTER_CAP}; increase k")
+            if m > 1:
+                sub = mat[start:end]
+                s = np.round(sub @ sub.T, 4)
+                hit = np.tril(s >= threshold, -1)
+                dup[start:end] = hit.any(axis=1)
+            start = int(end)
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "cluster": pa.array(cl, pa.int64()),
+                         "is_dup": pa.array(dup.astype(np.int64),
+                                            pa.int64())})
+
+    assigned = emb_ds.map_batches(assign, batch_format="pyarrow")
+    return hash_aggregate(assigned, ["cluster"], None, finalize,
+                          num_partitions=num_partitions)

@@ -1322,6 +1322,59 @@ WHERE a.embedding IS NOT NULL AND b.embedding IS NOT NULL
 """
 
 
+def _semdedup_docs(sf_dir: str):
+    """SemDeDup-style semantic dedup over the embeddings table: assign
+    every vector to its max-cosine centroid (the corpus's first
+    ``SEMDEDUP_K`` vectors — deterministic, SQL-mirrorable), then mark
+    within-cluster duplicates against earlier vec_ids at cosine ≥
+    ``SEMDEDUP_THR``.  One broadcast (fixed-size centroid matrix), one
+    exchange on the cluster id; per-cluster verify is a triangular
+    matmul bounded by ``SEMDEDUP_CLUSTER_CAP``."""
+    import ray.data as rd
+
+    from ..functions.ann import SEMDEDUP_K, semdedup
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    cent = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"],
+                           filter=pc.field("vec_id") < SEMDEDUP_K)
+    return semdedup(ds, cent)
+
+
+def _semdedup_sql() -> str:
+    from ..functions.ann import SEMDEDUP_K, SEMDEDUP_THR
+
+    return f"""
+WITH v AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding::DOUBLE[] AS e
+  FROM embeddings
+  WHERE embedding IS NOT NULL
+), cent AS (
+  SELECT vec_id AS cid, e FROM v
+  WHERE vec_id < {SEMDEDUP_K}
+    AND list_aggregate(list_transform(e, x -> x * x), 'sum') > 0
+), assign AS (
+  SELECT v.vec_id, c.cid,
+         row_number() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY round(list_cosine_similarity(v.e, c.e), 4) DESC,
+                    c.cid) AS rk
+  FROM v, cent c
+), a AS (SELECT vec_id, cid FROM assign WHERE rk = 1)
+SELECT a1.vec_id, CAST(a1.cid AS BIGINT) AS cluster,
+       CAST(EXISTS (
+         SELECT 1 FROM a a2
+         JOIN v v2 ON v2.vec_id = a2.vec_id
+         JOIN v v1 ON v1.vec_id = a1.vec_id
+         WHERE a2.cid = a1.cid AND a2.vec_id < a1.vec_id
+           AND round(list_cosine_similarity(v1.e, v2.e), 4)
+               >= {SEMDEDUP_THR}
+       ) AS BIGINT) AS is_dup
+FROM a a1
+"""
+
+
 def _ivf_knn(sf_dir: str):
     """IVF-bucketed approximate top-10 for vec_id 0 over the PERSISTED
     bucket layout — the query reads only the probed bucket files
@@ -2410,6 +2463,7 @@ def registry() -> Registry:
         "knn_self_join": (_knn_self_join, KNN_SELF_JOIN_SQL),
         "gazetteer_mentions": (_gazetteer_mentions, GAZETTEER_SQL),
         "embedding_near_dup": (_embedding_near_dup, EMBEDDING_NEAR_DUP_SQL),
+        "semdedup_docs": (_semdedup_docs, _semdedup_sql()),
         "entity_dedup": (_entity_dedup_exact, ENTITY_DEDUP_EXACT_SQL),
         "graph_literals": (_graph_literals, GRAPH_LITERALS_SQL),
         "graph_remove_matching": (_graph_remove_matching,

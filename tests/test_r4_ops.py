@@ -65,6 +65,26 @@ def test_pack_sequences_invariants(sf_dir, ray_session):
         cum[source] = start + n_tok
 
 
+def test_semdedup_straddles_and_clusters(sf_dir, ray_session):
+    """SemDeDup output must be non-trivial at the test tier: every
+    non-null vector appears exactly once, more than one cluster is
+    used, and both dup and non-dup rows exist (a threshold the corpus
+    never crosses could not catch a broken verify stage)."""
+    import ray.data as rd
+
+    from sophia_rs_ray.pipelines.queries import _semdedup_docs
+
+    rows = {r["vec_id"]: (r["cluster"], r["is_dup"])
+            for r in _semdedup_docs(sf_dir).take_all()}
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    n_valid = emb.filter(lambda r: r["embedding"] is not None).count()
+    assert len(rows) == n_valid
+    assert len({c for c, _ in rows.values()}) > 1
+    dups = [d for _, d in rows.values()]
+    assert 0 in dups and 1 in dups
+
+
 def test_shingle_kernel_matches_python_reference():
     from sophia_rs_ray.functions.text import (
         SHINGLE_K, shingle_pairs_batch, tokens_of)

@@ -193,7 +193,8 @@ def test_doc_query_matches_oracle_on_skew_corpus(
 
 EVENT_QUERIES = ["events_hourly", "user_sessions", "clicks_asof_view",
                  "events_rolling_1h", "events_props_k"]
-EMB_QUERIES = ["knn_cosine", "knn_self_join", "embedding_near_dup"]
+EMB_QUERIES = ["knn_cosine", "knn_self_join", "embedding_near_dup",
+               "semdedup_docs"]
 _TYPES = ["click", "view", "purchase", "signup", "error"]
 
 
