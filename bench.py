@@ -110,7 +110,8 @@ def run_bench() -> dict:
                  "vocab_top_terms", "price_median_by_flag",
                  "events_props_k", "repetition_features",
                  "novel_bigrams", "source_stats", "segment_dedup",
-                 "stratified_sample"):
+                 "stratified_sample", "decontaminate_docs",
+                 "pack_sequences", "semdedup_docs"):
         fn, _sql = reg[name]
         t0 = time.perf_counter()
         res = fn(SF_DIR)
