@@ -313,12 +313,44 @@ def cmd_materialize(argv: List[str]) -> int:
     return 0
 
 
+def cmd_convert(argv: List[str]) -> int:
+    """convert IN_PATH OUT_DIR FORMAT — distributed dir→dir conversion
+    over the RDF file source/sink (formats inferred per input file)."""
+    if len(argv) < 3:
+        raise SystemExit("usage: convert IN_PATH OUT_DIR FORMAT")
+    in_path, out_dir, fmt = argv[0], argv[1], argv[2].lower()
+
+    with _RaySession():
+        from .sources.rdf_files import read_rdf_files, write_rdf_files
+
+        import pyarrow.compute as pc
+
+        # parse once; both the error count and the write read the
+        # materialized blocks (object store spills if the dump is big)
+        ds = read_rdf_files(in_path).materialize()
+        ok = ds.map_batches(lambda b: b.filter(pc.equal(b["error"], "")),
+                            batch_format="pyarrow")
+        n_err = ds.map_batches(
+            lambda b: b.filter(pc.not_equal(b["error"], "")).select(
+                ["src"]), batch_format="pyarrow").count()
+        recs = write_rdf_files(
+            ok.map_batches(lambda b: b.select(
+                ["s", "p", "o"] + (["g"] if fmt in ("nq", "trig")
+                                   else [])), batch_format="pyarrow"),
+            out_dir, fmt)
+        rows = sum(r["rows"] for r in recs)
+        sys.stdout.write(f"{rows} triples → {len(recs)} {fmt} shards"
+                         f" ({n_err} files failed to parse)\n")
+    return 0
+
+
 _COMMANDS = {
     "parse": cmd_parse,
     "serialize": cmd_serialize,
     "canonicalize": cmd_canonicalize,
     "sparql": cmd_sparql,
     "materialize": cmd_materialize,
+    "convert": cmd_convert,
 }
 
 
