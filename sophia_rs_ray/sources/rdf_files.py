@@ -49,6 +49,8 @@ TRIPLE_FILE_SCHEMA = pa.schema([
 
 
 def fmt_of(path: str) -> Optional[str]:
+    if path.lower().endswith(".gz"):
+        path = path[:-3]
     return _EXT_FMT.get(os.path.splitext(path)[1].lower())
 
 
@@ -56,7 +58,12 @@ def _parse_one(path: str, fmt: str, base: Optional[str]):
     """→ list of (s,p,o,g Term tuples) for one file."""
     from .. import jsonld, ntriples, rdfxml, turtle
 
-    text = open(path, "rb").read().decode("utf-8")
+    raw = open(path, "rb").read()
+    if path.lower().endswith(".gz"):       # crawl dumps ship gzipped
+        import gzip
+
+        raw = gzip.decompress(raw)
+    text = raw.decode("utf-8")
     b = base or ("file://" + os.path.abspath(path))
     if fmt == "nt":
         return ntriples.parse_document(text)
@@ -189,10 +196,17 @@ def _serialize_block(batch: pa.Table, fmt: str) -> str:
     raise ValueError(f"unknown RDF sink format {fmt!r}")
 
 
-def _write_block(batch: pa.Table, out_dir: str, fmt: str) -> pa.Table:
+def _write_block(batch: pa.Table, out_dir: str, fmt: str,
+                 gz: bool) -> pa.Table:
     text = _serialize_block(batch, fmt)
     data = text.encode("utf-8")
-    name = f"part-{hashlib.sha256(data).hexdigest()[:16]}.{_SINK_EXT[fmt]}"
+    if gz:
+        import gzip
+
+        # mtime=0 keeps the bytes (and the content-hash name) deterministic
+        data = gzip.compress(data, mtime=0)
+    ext = _SINK_EXT[fmt] + (".gz" if gz else "")
+    name = f"part-{hashlib.sha256(data).hexdigest()[:16]}.{ext}"
     final = os.path.join(out_dir, name)
     if not os.path.exists(final):       # content-hash name ⇒ idempotent
         tmp = final + ".tmp"
@@ -204,7 +218,8 @@ def _write_block(batch: pa.Table, out_dir: str, fmt: str) -> pa.Table:
                      "bytes": pa.array([len(data)], pa.int64())})
 
 
-def write_rdf_files(ds, out_dir: str, fmt: str = "nt"):
+def write_rdf_files(ds, out_dir: str, fmt: str = "nt", *,
+                    gz: bool = False):
     """Triple Dataset (NT-text columns ``s,p,o``[, ``g``]) → sharded
     RDF text files under ``out_dir`` — one file per block, content-hash
     names, atomic writes.  Returns the written-file records as a list
@@ -219,6 +234,6 @@ def write_rdf_files(ds, out_dir: str, fmt: str = "nt"):
         raise ValueError(f"unknown RDF sink format {fmt!r}")
     os.makedirs(out_dir, exist_ok=True)
     recs = ds.map_batches(
-        lambda b: _write_block(b, out_dir, fmt),
+        lambda b: _write_block(b, out_dir, fmt, gz),
         batch_format="pyarrow", batch_size=None).take_all()
     return recs

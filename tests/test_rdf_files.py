@@ -98,6 +98,28 @@ def test_write_idempotent_content_hash(tmp_path, ray_session):
     assert len(list(out.iterdir())) == 1      # no .tmp leftovers, one part
 
 
+def test_gzip_roundtrip_and_determinism(tmp_path, ray_session):
+    """.nt.gz write→read roundtrip; gzip bytes are mtime-free so the
+    content-hash shard name is stable across runs."""
+    import gzip
+
+    import ray.data as rd
+
+    src = [{"s": f"<http://ex.org/s{i}>", "p": "<http://ex.org/p>",
+            "o": f'"v{i}"'} for i in range(10)]
+    out = tmp_path / "out"
+    r1 = write_rdf_files(rd.from_items(src, override_num_blocks=1),
+                         str(out), "nt", gz=True)
+    r2 = write_rdf_files(rd.from_items(src, override_num_blocks=1),
+                         str(out), "nt", gz=True)
+    assert [r["path"] for r in r1] == [r["path"] for r in r2]
+    assert r1[0]["path"].endswith(".nt.gz")
+    assert gzip.decompress(open(r1[0]["path"], "rb").read())
+    got = sorted((r["s"], r["p"], r["o"])
+                 for r in read_rdf_files(str(out)).take_all())
+    assert got == sorted((r["s"], r["p"], r["o"]) for r in src)
+
+
 def test_quads_roundtrip_named_graph(tmp_path, ray_session):
     import ray.data as rd
 
