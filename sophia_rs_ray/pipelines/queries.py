@@ -1375,6 +1375,27 @@ FROM a a1
 """
 
 
+def _nt_file_roundtrip(sf_dir: str):
+    """End-to-end gate of the RDF FILE sink + source: the flagship doc
+    triples are written to gzipped NT shards (content-hash names,
+    atomic renames) and read back through the distributed file source —
+    the result must equal ``doc_triples`` exactly, so the same SQL
+    oracles the whole file-plumbing cycle (serializer, gz determinism,
+    directory scan, parser)."""
+    import hashlib
+    import shutil
+
+    from ..sources.rdf_files import read_rdf_files, write_rdf_files
+    from .doc_triples import doc_triples
+
+    out = ("/tmp/sophia_nt_roundtrip_"
+           + hashlib.md5(sf_dir.encode()).hexdigest()[:8])
+    shutil.rmtree(out, ignore_errors=True)   # stale shards would pollute
+    write_rdf_files(doc_triples(sf_dir), out, "nt", gz=True)
+    return read_rdf_files(out).map_batches(
+        lambda b: b.select(["s", "p", "o"]), batch_format="pyarrow")
+
+
 def _ivf_knn(sf_dir: str):
     """IVF-bucketed approximate top-10 for vec_id 0 over the PERSISTED
     bucket layout — the query reads only the probed bucket files
@@ -2464,6 +2485,7 @@ def registry() -> Registry:
         "gazetteer_mentions": (_gazetteer_mentions, GAZETTEER_SQL),
         "embedding_near_dup": (_embedding_near_dup, EMBEDDING_NEAR_DUP_SQL),
         "semdedup_docs": (_semdedup_docs, _semdedup_sql()),
+        "nt_file_roundtrip": (_nt_file_roundtrip, DOC_TRIPLES_SQL),
         "entity_dedup": (_entity_dedup_exact, ENTITY_DEDUP_EXACT_SQL),
         "graph_literals": (_graph_literals, GRAPH_LITERALS_SQL),
         "graph_remove_matching": (_graph_remove_matching,

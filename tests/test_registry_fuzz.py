@@ -18,7 +18,7 @@ DOC_QUERIES = [
     "source_stats", "segment_dedup", "stratified_sample", "simhash_docs",
     "lang_id", "vocab_top_terms", "quality_filter", "winnow_fingerprints",
     "minhash_bands", "near_dup_clusters", "ngram_jaccard",
-    "decontaminate_docs", "pack_sequences",
+    "decontaminate_docs", "pack_sequences", "nt_file_roundtrip",
 ]
 
 _WORDS = ("the of and to a in is that it for le la les de et un une "
