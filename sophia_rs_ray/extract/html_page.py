@@ -91,6 +91,8 @@ class PageExtractor(HTMLParser):
     # -- visible text ---------------------------------------------------
 
     def _flush_block(self) -> None:
+        if not self._cur:
+            return
         text = _WS_RUN.sub(" ", "".join(self._cur)).strip()
         if text:
             self._blocks.append(text)
@@ -363,28 +365,33 @@ def _fast_feed(h: PageExtractor, text: str) -> None:
     text and attribute values, NOT inside raw-text elements)."""
     pos, n = 0, len(text)
     find = text.find
+    handle_data = h.handle_data
+    handle_starttag = h.handle_starttag
+    handle_endtag = h.handle_endtag
+    start_match = _START_RE.match
+    end_match = _END_RE.match
     while pos < n:
         lt = find("<", pos)
         if lt < 0:
             data = text[pos:]
-            h.handle_data(unescape(data) if "&" in data else data)
+            handle_data(unescape(data) if "&" in data else data)
             break
         if lt > pos:
             data = text[pos:lt]
-            h.handle_data(unescape(data) if "&" in data else data)
+            handle_data(unescape(data) if "&" in data else data)
         nxt = text[lt + 1:lt + 2]
         if nxt == "/":
-            m = _END_RE.match(text, lt)
+            m = end_match(text, lt)
             if m:
-                h.handle_endtag(m.group(1).lower())
+                handle_endtag(m.group(1).lower())
                 pos = m.end()
             else:
                 gt = find(">", lt)
                 pos = n if gt < 0 else gt + 1
         elif nxt.isalpha():
-            m = _START_RE.match(text, lt)
+            m = start_match(text, lt)
             if not m:
-                h.handle_data("<")
+                handle_data("<")
                 pos = lt + 1
                 continue
             tag = m.group(1).lower()
@@ -394,14 +401,14 @@ def _fast_feed(h: PageExtractor, text: str) -> None:
             if m.group(3):
                 h.handle_startendtag(tag, attrs)
                 continue
-            h.handle_starttag(tag, attrs)
+            handle_starttag(tag, attrs)
             if tag in _RAWTEXT_TAGS and tag not in VOID_TAGS:
                 m2 = _raw_end(tag).search(text, pos)
                 if m2:
                     raw = text[pos:m2.start()]
                     if raw:
-                        h.handle_data(raw)       # CDATA: no unescape
-                    h.handle_endtag(tag)
+                        handle_data(raw)         # CDATA: no unescape
+                    handle_endtag(tag)
                     pos = m2.end()
                 else:
                     # unterminated raw-text element: stdlib swallows
@@ -418,7 +425,7 @@ def _fast_feed(h: PageExtractor, text: str) -> None:
             gt = find(">", lt)
             pos = n if gt < 0 else gt + 1
         else:                                     # lone '<' is text
-            h.handle_data("<")
+            handle_data("<")
             pos = lt + 1
 
 

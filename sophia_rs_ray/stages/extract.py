@@ -64,20 +64,23 @@ def extract_triples_batch(batch: pa.Table) -> pa.Table:
     cols: dict = {c: [] for c in _TERM_COLS}
     # bound locals: the closure appends ~15 values per triple, so dict
     # lookups + string concat per field dominate push() otherwise
-    appends = tuple(cols[c].append for c in _TERM_COLS)
+    (sk, sl, sd, sg, sr, pk, pl, pd, pg, pr,
+     ok, ol, od, og, orr) = (cols[c].append for c in _TERM_COLS)
 
     def push(url: str, extractor: str,
              s: Term, p: Term, o: Term) -> None:
         out_url.append(url)
         out_ext.append(extractor)
         out_err.append("")
-        i = 0
-        for t in (s, p, o):
-            if t[0] == KIND_BNODE:
-                t = (t[0], skolem(t[1], url, extractor), t[2], t[3], t[4])
-            appends[i](t[0]); appends[i + 1](t[1]); appends[i + 2](t[2])
-            appends[i + 3](t[3]); appends[i + 4](t[4])
-            i += 5
+        if s[0] == KIND_BNODE:
+            s = (s[0], skolem(s[1], url, extractor), s[2], s[3], s[4])
+        if p[0] == KIND_BNODE:
+            p = (p[0], skolem(p[1], url, extractor), p[2], p[3], p[4])
+        if o[0] == KIND_BNODE:
+            o = (o[0], skolem(o[1], url, extractor), o[2], o[3], o[4])
+        sk(s[0]); sl(s[1]); sd(s[2]); sg(s[3]); sr(s[4])
+        pk(p[0]); pl(p[1]); pd(p[2]); pg(p[3]); pr(p[4])
+        ok(o[0]); ol(o[1]); od(o[2]); og(o[3]); orr(o[4])
 
     def push_error(url: str, extractor: str, msg: str) -> None:
         out_url.append(url)
