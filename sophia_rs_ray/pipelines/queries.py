@@ -1139,6 +1139,100 @@ WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT)
       < CAST('0x' || substr(md5(source), 1, 8) AS UBIGINT) % 81 + 10
 """
 
+_MIX_CACHE: dict = {}
+
+
+def _cached_mix_thresholds(ref):
+    import ray
+
+    key = ref.binary() if isinstance(ref, ray.ObjectRef) else id(ref)
+    t = _MIX_CACHE.get(key)
+    if t is None:
+        if len(_MIX_CACHE) > 4:
+            _MIX_CACHE.clear()
+        t = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        _MIX_CACHE[key] = t
+    return t
+
+
+def _source_mixture(sf_dir: str):
+    """Deterministic data MIXING to target source proportions — the
+    trainer's mixture-weights op: each source gets an integer target
+    weight w (md5-derived 1–5, standing in for a recipe's mixture
+    table), the bottleneck source (min n/w) is kept in full, and every
+    other source is down-sampled so the sample's proportions match the
+    target weights exactly in expectation.  All arithmetic is INTEGER
+    (keep iff md5-bucket < (1e6·n*·w) // (w*·n)), so the DuckDB oracle
+    is bit-exact — no float thresholds.  Two passes: a tiny per-source
+    count exchange (|sources| rows pulled, same bound as
+    ``source_stats``), then a stateless broadcast filter."""
+    import hashlib
+
+    import ray
+    import ray.data as rd
+
+    from ..functions.exchange import hash_aggregate
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source"])
+
+    def part_counts(t: pa.Table) -> pa.Table:
+        if "source" not in t.column_names:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        g = t.group_by(["source"]).aggregate([("doc_id", "count")])
+        return g.rename_columns(["source", "n"])
+
+    def merge_counts(t: pa.Table) -> pa.Table:
+        if "n" not in t.column_names:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        return t.group_by(["source"]).aggregate([("n", "sum")]) \
+            .rename_columns(["source", "n"])
+
+    counts = {r["source"]: r["n"] for r in hash_aggregate(
+        docs.map_batches(part_counts, batch_format="pyarrow"),
+        ["source"], merge_counts, merge_counts).take_all()}
+
+    def w_of(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % 5 + 1
+
+    # bottleneck source: min n/w, integer-exact via n·(60/w), tie by name
+    star = min(counts, key=lambda s: (counts[s] * (60 // w_of(s)), s))
+    n_star, w_star = counts[star], w_of(star)
+    thresholds = {s: (10**6 * n_star * w_of(s)) // (w_star * counts[s])
+                  for s in counts}
+    ref = ray.put(thresholds)
+
+    def keep(b: pa.Table) -> pa.Table:
+        th = _cached_mix_thresholds(ref)
+        mask = []
+        for d, s in zip(b["doc_id"].to_pylist(), b["source"].to_pylist()):
+            h = int(hashlib.md5(
+                str(d).encode()).hexdigest()[:8], 16) % 1000000
+            mask.append(h < th.get(s, 0))
+        return b.filter(pa.array(mask, pa.bool_()))
+
+    return docs.map_batches(keep, batch_format="pyarrow")
+
+
+SOURCE_MIXTURE_SQL = """
+WITH counts AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         CAST(CAST('0x' || substr(md5(source), 1, 8) AS UBIGINT) % 5
+              + 1 AS BIGINT) AS w
+  FROM documents GROUP BY source
+), star AS (
+  SELECT n AS n_star, w AS w_star FROM counts
+  ORDER BY n * (60 // w), source LIMIT 1
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN counts c ON d.source = c.source CROSS JOIN star
+WHERE CAST(CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+                AS UBIGINT) % 1000000 AS BIGINT)
+      < (1000000 * star.n_star * c.w) // (star.w_star * c.n)
+"""
+
 
 def _rdf_entailment(sf_dir: str):
     """RDF-only ruleset saturation (reference ``Rdf`` struct) over the
@@ -2480,6 +2574,7 @@ def registry() -> Registry:
         "source_stats": (_source_stats, SOURCE_STATS_SQL),
         "segment_dedup": (_segment_dedup, SEGMENT_DEDUP_SQL),
         "stratified_sample": (_stratified_sample, STRATIFIED_SAMPLE_SQL),
+        "source_mixture": (_source_mixture, SOURCE_MIXTURE_SQL),
         "knn_cosine": (_knn, KNN_SQL),
         "knn_self_join": (_knn_self_join, KNN_SELF_JOIN_SQL),
         "gazetteer_mentions": (_gazetteer_mentions, GAZETTEER_SQL),

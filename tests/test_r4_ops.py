@@ -85,6 +85,42 @@ def test_semdedup_straddles_and_clusters(sf_dir, ray_session):
     assert 0 in dups and 1 in dups
 
 
+def test_source_mixture_hits_target_proportions(sf_dir, ray_session):
+    """The mixture must keep the bottleneck source in full and land
+    every other source within sampling noise of its target weight
+    ratio (the exact keep set is pinned by the DuckDB oracle; this
+    asserts the SEMANTICS — proportions — hold)."""
+    import hashlib
+
+    import ray.data as rd
+
+    from sophia_rs_ray.pipelines.queries import _source_mixture
+
+    kept: dict = {}
+    for r in _source_mixture(sf_dir).take_all():
+        kept[r["source"]] = kept.get(r["source"], 0) + 1
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source"]).take_all()
+    total: dict = {}
+    for r in docs:
+        total[r["source"]] = total.get(r["source"], 0) + 1
+
+    def w_of(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % 5 + 1
+
+    star = min(total, key=lambda s: (total[s] * (60 // w_of(s)), s))
+    assert kept[star] == total[star]          # bottleneck fully kept
+    assert any(kept.get(s, 0) < total[s] for s in total if s != star) \
+        or len(total) == 1                    # someone is down-sampled
+    base = kept[star] / w_of(star)
+    for s in total:
+        # md5 keep decisions are Bernoulli: allow generous noise at
+        # the small test tier, but the RATIO must track the weights
+        expect = base * w_of(s)
+        assert abs(kept.get(s, 0) - expect) <= max(10, 0.25 * expect), \
+            (s, kept.get(s, 0), expect)
+
+
 def test_shingle_kernel_matches_python_reference():
     from sophia_rs_ray.functions.text import (
         SHINGLE_K, shingle_pairs_batch, tokens_of)

@@ -19,6 +19,7 @@ DOC_QUERIES = [
     "lang_id", "vocab_top_terms", "quality_filter", "winnow_fingerprints",
     "minhash_bands", "near_dup_clusters", "ngram_jaccard",
     "decontaminate_docs", "pack_sequences", "nt_file_roundtrip",
+    "source_mixture",
 ]
 
 _WORDS = ("the of and to a in is that it for le la les de et un une "
@@ -128,6 +129,7 @@ SKEW_QUERIES = [
     "novel_bigrams", "segment_dedup", "minhash_bands",
     "near_dup_clusters", "source_stats", "vocab_top_terms",
     "dedup_exact_docs", "token_counts", "stratified_sample",
+    "source_mixture",
 ]
 _SKEW_SEEDS = range(3)
 
