@@ -135,3 +135,38 @@ def test_quads_roundtrip_named_graph(tmp_path, ray_session):
             '<http://ex.org/g>', '') in rows
     assert ('<http://ex.org/s>', '<http://ex.org/p>', '"w"',
             None, '') in rows
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_read_dir_of_mutated_files_never_crashes(seed, tmp_path,
+                                                 ray_session):
+    """A directory of randomly mutated documents (the parser-robustness
+    generators) must stream through read_rdf_files as triple rows plus
+    per-file error rows — one garbage file in a 100-TB dump must never
+    kill the job."""
+    import random
+
+    from tests.test_parser_robustness import (
+        _mutate, _valid_jsonld, _valid_rdfxml, _valid_turtle)
+
+    rng = random.Random(31000 + seed)
+    exts = {"ttl": _valid_turtle, "rdf": _valid_rdfxml,
+            "jsonld": _valid_jsonld}
+    n_files = rng.randint(4, 10)
+    for i in range(n_files):
+        ext, gen = rng.choice(sorted(exts.items()))
+        doc = gen(rng)
+        if rng.random() < 0.7:
+            doc = _mutate(rng, doc)
+        (tmp_path / f"f{i}.{ext}").write_text(doc, errors="replace")
+    rows = read_rdf_files(str(tmp_path)).take_all()
+    files_seen = {r["src"] for r in rows}
+    # every row is either a clean triple or an error marker; at least
+    # one file produced SOMETHING (generators always emit ≥1 statement
+    # when unmutated, and errors are rows too)
+    for r in rows:
+        if r["error"]:
+            assert r["s"] is None
+        else:
+            assert r["s"] and r["p"] and r["o"]
+    assert files_seen  # the directory was not silently skipped
