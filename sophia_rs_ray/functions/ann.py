@@ -239,6 +239,49 @@ def cosine_near_dup_lsh(emb_ds, *, threshold: float = 0.4,
     return j2.map_batches(verify, batch_format="pyarrow")
 
 
+#: rows above which the exact O(N²) tile plans refuse to be the default
+#: plan: the registry entries (pipelines/queries.py) route inputs larger
+#: than this through the near-linear LSH siblings instead (mirrors the
+#: _MAPPING_BROADCAST_LIMIT / _DECONTAM_BROADCAST_LIMIT precedent).
+#: Overridable for tests via SOPHIA_EXACT_SIM_LIMIT.
+EXACT_SIM_LIMIT = 200_000
+
+
+def exact_sim_limit() -> int:
+    return int(os.environ.get("SOPHIA_EXACT_SIM_LIMIT", EXACT_SIM_LIMIT))
+
+
+def knn_self_join_lsh(emb_ds, *, k: int = 3, n_planes: int = 128,
+                      band_bits: int = 4, seed: int = 11,
+                      num_partitions: int = 16, pair_cap: int = 5000):
+    """Approximate KNN self-join — the near-linear 10^12-scale sibling
+    of ``knn_self_join``: SimHash-banded candidate pairs (exact cosine
+    verified), symmetrized, then ONE per-id top-k merge exchange.
+    Recall vs the exact tiles is asserted in tests/test_ann.py."""
+    from .exchange import hash_aggregate
+
+    # threshold=-1.0 keeps every verified candidate pair (cosine ≥ -1
+    # always) so ranking sees all LSH-colliding neighbors
+    pairs = cosine_near_dup_lsh(emb_ds, threshold=-1.0, n_planes=n_planes,
+                                band_bits=band_bits, seed=seed,
+                                num_partitions=num_partitions,
+                                pair_cap=pair_cap)
+
+    def sym(t: pa.Table) -> pa.Table:
+        # each undirected pair feeds both endpoints' candidate lists
+        fwd = pa.table({"id": t["id_a"], "neighbor_id": t["id_b"],
+                        "sim": t["sim"]})
+        rev = pa.table({"id": t["id_b"], "neighbor_id": t["id_a"],
+                        "sim": t["sim"]})
+        return pa.concat_tables([fwd, rev]).combine_chunks()
+
+    cand = pairs.map_batches(sym, batch_format="pyarrow")
+    return hash_aggregate(cand, ["id"],
+                          lambda t: _topk_per_id(t, k),
+                          lambda t: _topk_per_id(t, k),
+                          num_partitions=num_partitions)
+
+
 # ---------------------------------------------------------------------------
 # IVF-bucketed ANN with a persisted, pruned-read layout
 # ---------------------------------------------------------------------------

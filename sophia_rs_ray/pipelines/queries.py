@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import Callable, Dict, Optional, Tuple
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -1107,24 +1108,18 @@ def _stratified_sample(sf_dir: str):
     decision from md5(doc_id), so the sample is reproducible across
     runs, resumable, and shuffle-free (a pure stateless filter; no
     randomness, no driver state).  md5 on both sides keeps the DuckDB
-    oracle byte-exact (crc32 would be the vectorized swap-in where an
-    oracle is not needed)."""
-    import hashlib
-
+    oracle byte-exact; the digests are computed by the vectorized
+    single-block numpy MD5 (functions/md5np.py) — no per-row Python
+    loop (differentially pinned vs hashlib in tests/test_md5np.py)."""
     import ray.data as rd
 
+    from ..functions.md5np import md5_prefix_u32_arrow
+
     def keep(b: pa.Table) -> pa.Table:
-        rates = {}
-        mask = []
-        for d, s in zip(b["doc_id"].to_pylist(), b["source"].to_pylist()):
-            r = rates.get(s)
-            if r is None:
-                r = rates[s] = int(hashlib.md5(
-                    s.encode()).hexdigest()[:8], 16) % 81 + 10
-            h = int(hashlib.md5(
-                str(d).encode()).hexdigest()[:8], 16) % 100
-            mask.append(h < r)
-        return b.filter(pa.array(mask, pa.bool_()))
+        rate = md5_prefix_u32_arrow(b["source"]) % np.uint32(81) \
+            + np.uint32(10)
+        h = md5_prefix_u32_arrow(b["doc_id"]) % np.uint32(100)
+        return b.filter(pa.array(h < rate))
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "source", "n_chars"])
@@ -1205,13 +1200,16 @@ def _source_mixture(sf_dir: str):
     ref = ray.put(thresholds)
 
     def keep(b: pa.Table) -> pa.Table:
+        from ..functions.md5np import md5_prefix_u32_arrow
+
         th = _cached_mix_thresholds(ref)
-        mask = []
-        for d, s in zip(b["doc_id"].to_pylist(), b["source"].to_pylist()):
-            h = int(hashlib.md5(
-                str(d).encode()).hexdigest()[:8], 16) % 1000000
-            mask.append(h < th.get(s, 0))
-        return b.filter(pa.array(mask, pa.bool_()))
+        h = md5_prefix_u32_arrow(b["doc_id"]).astype(np.int64) % 1000000
+        srcs = list(th)
+        idx = pc.fill_null(pc.index_in(b["source"], pa.array(srcs)),
+                           len(srcs))
+        lut = np.array([th[s] for s in srcs] + [0], np.int64)
+        lim = lut[idx.to_numpy(zero_copy_only=False).astype(np.int64)]
+        return b.filter(pa.array(h < lim))
 
     return docs.map_batches(keep, batch_format="pyarrow")
 
@@ -1351,16 +1349,31 @@ def _knn(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _emb_rows(sf_dir: str) -> int:
+    """Row count of the embeddings table from Parquet footer metadata —
+    zero data read; the size gate that routes the exact O(N²) plans to
+    their near-linear LSH siblings above ``exact_sim_limit()`` rows."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+
+
 def _knn_self_join(sf_dir: str):
-    """Exact KNN self-join: top-3 cosine neighbors of EVERY vector via
-    distributed ordered-chunk tiles + one per-id top-k merge exchange
-    (functions/ann.knn_self_join)."""
+    """KNN self-join: top-3 cosine neighbors of EVERY vector.  Exact
+    (distributed ordered-chunk tiles + one per-id top-k merge exchange,
+    functions/ann.knn_self_join) below ``exact_sim_limit()`` rows; above
+    it the plan routes to the near-linear LSH sibling
+    (``knn_self_join_lsh``) so the default is never O(N²) at scale —
+    recall of the gated plan vs exact is pinned in tests/test_ann.py."""
     import ray.data as rd
 
-    from ..functions.ann import knn_self_join
+    from ..functions.ann import (exact_sim_limit, knn_self_join,
+                                 knn_self_join_lsh)
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
+    if _emb_rows(sf_dir) > exact_sim_limit():
+        return knn_self_join_lsh(ds, k=3)
     return knn_self_join(ds, k=3, batch_size=512)
 
 
@@ -1394,16 +1407,22 @@ ORDER BY sim DESC, vec_id LIMIT 10
 # ---------------------------------------------------------------------------
 
 def _embedding_near_dup(sf_dir: str):
-    """Embedding-cosine near-duplicate pairs (sim ≥ 0.4), EXACT, via
-    distributed block×block tile tasks — no driver materialization, no
-    full-matrix broadcast (SURVEY training-data ops; the LSH variant
-    ``embedding_near_dup_lsh`` is the near-linear 10^12-scale path)."""
+    """Embedding-cosine near-duplicate pairs (sim ≥ 0.4).  EXACT via
+    distributed block×block tile tasks (no driver materialization, no
+    full-matrix broadcast) below ``exact_sim_limit()`` rows; above it
+    the plan routes to the SimHash-banded LSH sibling so the default is
+    never O(N²) at scale (recall pinned in tests/test_ann.py; the
+    explicit ``embedding_near_dup_lsh`` entry stays the always-LSH
+    path)."""
     import ray.data as rd
 
-    from ..functions.ann import cosine_near_dup
+    from ..functions.ann import (cosine_near_dup, cosine_near_dup_lsh,
+                                 exact_sim_limit)
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
+    if _emb_rows(sf_dir) > exact_sim_limit():
+        return cosine_near_dup_lsh(ds, threshold=0.4)
     return cosine_near_dup(ds, threshold=0.4)
 
 

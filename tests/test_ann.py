@@ -124,3 +124,45 @@ def test_ivf_persisted_layout_pruned_read(emb_ds, tmp_path):
          ivf_topk(emb_ds, q, k=10, n_buckets=16, n_probe=8,
                   exclude_id=0).take_all()]
     assert a == b
+
+
+def test_knn_self_join_lsh_recall(emb_ds):
+    """The LSH self-join (the >gate plan) recovers most exact top-k
+    edges — the pinned plan-equivalence bound for the size gate."""
+    from sophia_rs_ray.functions.ann import knn_self_join, knn_self_join_lsh
+
+    exact = {(r["id"], r["neighbor_id"])
+             for r in knn_self_join(emb_ds, k=3, batch_size=128).take_all()}
+    approx = {(r["id"], r["neighbor_id"])
+              for r in knn_self_join_lsh(emb_ds, k=3).take_all()}
+    assert exact, "exact plan returned no edges"
+    assert len(exact & approx) >= 0.8 * len(exact)
+
+
+def test_exact_sim_gate_routes_to_lsh(sf_dir, monkeypatch, ray_session):
+    """Above SOPHIA_EXACT_SIM_LIMIT the registry entries route to the
+    LSH plans (never O(N²) by default); below it they stay exact."""
+    from sophia_rs_ray.functions.ann import cosine_near_dup
+    from sophia_rs_ray.pipelines.queries import (_embedding_near_dup,
+                                                 _knn_self_join)
+
+    monkeypatch.setenv("SOPHIA_EXACT_SIM_LIMIT", "1")
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    exact_pairs = {(r["id_a"], r["id_b"])
+                   for r in cosine_near_dup(ds, threshold=0.4).take_all()}
+    gated_pairs = {(r["id_a"], r["id_b"])
+                   for r in _embedding_near_dup(sf_dir).take_all()}
+    # LSH verification is exact → no false positives, recall ≥ 0.9
+    assert gated_pairs <= exact_pairs
+    assert len(gated_pairs) >= 0.9 * len(exact_pairs)
+    gated_knn = _knn_self_join(sf_dir).take_all()
+    assert gated_knn  # the LSH self-join plan ran and produced edges
+    assert all(r["id"] != r["neighbor_id"] for r in gated_knn)
+
+    monkeypatch.setenv("SOPHIA_EXACT_SIM_LIMIT", "10000000")
+    ungated = {(r["id_a"], r["id_b"])
+               for r in _embedding_near_dup(sf_dir).take_all()}
+    assert ungated == exact_pairs
