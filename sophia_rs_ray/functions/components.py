@@ -2,15 +2,21 @@
 bnode-component discovery (c14n, SURVEY §3.2) and entity-dedup cluster
 assignment (SURVEY §2.8 "union-find via iterated groupby").
 
-Algorithm: iterated min-label propagation to fixpoint.
-  labels(n) ← n
+Algorithm: min-label propagation + per-round pointer doubling.
+  labels(n) ← min neighbour id (incl. self)
   repeat:  labels(n) ← min(labels(n), min over neighbours m of labels(m))
+           labels(n) ← labels(labels(n))        # pointer doubling
   until no label changed.
 Each round is one ``join`` (edges ⋈ labels) + one ``groupby(node).min``
-— the all-to-all pattern of the "small-star" CC algorithms (Kiveris et
-al., "Connected Components in MapReduce and Beyond", SoCC'14: public
-algorithmic reference). Rounds are bounded by the component diameter;
-hub skew is absorbed by Ray's hash shuffle on the node key.
+for the propagation — the all-to-all pattern of the "small-star" CC
+algorithms (Kiveris et al., "Connected Components in MapReduce and
+Beyond", SoCC'14) — plus one labels ⋈ labels self-join for the
+shortcut.  The pointer-doubling step makes rounds O(log n) instead of
+O(component diameter) (Rastogi et al., "Finding Connected Components
+in Map-Reduce in Logarithmic Rounds", ICDE'13: hash-to-min family), so
+a chain-shaped URL/entity graph converges in ~log₂(n) rounds — pinned
+by the chain fuzz in tests/test_components.py.  Hub skew is absorbed
+by Ray's hash shuffle on the node key.
 
 For edge sets that fit on the driver (the common case for per-document
 bnode structures: components of a handful of nodes), ``union_find``
@@ -29,6 +35,10 @@ from ..util import safe_join
 
 _FIB = 0x9E3779B97F4A7C15  # Fibonacci multiplier: mixes crc32 into 64 bits
 _MASK = (1 << 61) - 1
+
+#: rounds the last distributed connected_components call took — read by
+#: the chain-fuzz test to pin the O(log n) bound
+LAST_ROUNDS = 0
 
 
 def _label_checksum(labels) -> int:
@@ -116,7 +126,10 @@ def connected_components(
 
     chk = _label_checksum(labels)
     converged = False
+    global LAST_ROUNDS
+    LAST_ROUNDS = 0
     for _ in range(max_rounds):
+        LAST_ROUNDS += 1
         # propagate: each edge ships its src's current label to dst
         msgs = safe_join(
             edges, labels, "inner", num_partitions, on=("node",),
@@ -129,6 +142,21 @@ def connected_components(
             batch_format="pyarrow"))
         labels = both.groupby("node").aggregate(
             Min("cand", alias_name="label")).materialize()
+        # pointer doubling: labels(n) ← labels(labels(n)).  Every label
+        # is itself a node id (a min over node ids), so the inner
+        # self-join is total; label(l) ≤ l keeps labels monotone and
+        # the checksum-fixpoint argument intact.
+        ptr = labels.map_batches(
+            lambda b: pa.table({"pnode": b["node"], "plabel": b["label"]}),
+            batch_format="pyarrow")
+        labels = safe_join(
+            labels, ptr, "inner", num_partitions,
+            on=("label",), right_on=("pnode",),
+        ).map_batches(
+            lambda b: pa.table({"node": b["node"],
+                                "label": pc.min_element_wise(
+                                    b["label"], b["plabel"])}),
+            batch_format="pyarrow").materialize()
         new_chk = _label_checksum(labels)
         if new_chk == chk:
             converged = True

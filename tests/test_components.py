@@ -56,3 +56,28 @@ def test_connected_components_distributed_loop(ray_session):
            for r in connected_components(
                ds, num_partitions=4, local_edge_limit=0).take_all()}
     assert got == union_find(EDGES)
+
+
+def test_chain_converges_in_log_rounds(ray_session):
+    """Pointer-doubling bound (VERDICT r4 item 4): a path graph of
+    2^14 nodes (diameter 16383 — hopeless for pure min-propagation in
+    50 rounds) converges in ≤ ⌈log₂ n⌉ + 3 rounds with labels equal to
+    union_find's."""
+    import math
+
+    import ray.data as rd
+
+    import sophia_rs_ray.functions.components as C
+
+    n = 2 ** 14
+    edges = [(f"n{i:06d}", f"n{i + 1:06d}") for i in range(n - 1)]
+    ds = rd.from_arrow(pa.table({
+        "src": [a for a, _ in edges],
+        "dst": [b for _, b in edges],
+    }))
+    got = {r["node"]: r["component"]
+           for r in C.connected_components(
+               ds, num_partitions=4, local_edge_limit=0,
+               max_rounds=20).take_all()}
+    assert C.LAST_ROUNDS <= math.ceil(math.log2(n)) + 3
+    assert got == C.union_find(edges)
