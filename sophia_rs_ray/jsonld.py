@@ -75,7 +75,8 @@ _KNOWN_REMOTE = {
 _KEYWORDS = frozenset((
     "@context", "@id", "@type", "@value", "@language", "@direction",
     "@graph", "@list", "@set", "@reverse", "@base", "@vocab", "@index",
-    "@nest", "@json", "@none",
+    "@nest", "@json", "@none", "@included", "@protected", "@propagate",
+    "@version",
 ))
 
 
@@ -136,24 +137,46 @@ class JsonLdOptions:
     - ``processing_mode``: ``"json-ld-1.1"`` (default) or
       ``"json-ld-1.0"`` — in 1.0 mode a context carrying
       ``"@version": 1.1`` raises a processing-mode conflict, per the
-      spec."""
+      spec;
+    - ``rdf_direction``: how ``@direction`` on language-tagged values
+      reaches RDF (``options.rs:117-124`` ``RdfDirection``):
+      ``None`` (default) keeps it as the native RDF 1.2 initial text
+      direction on the language literal (sophia's term model),
+      ``"i18n-datatype"`` emits a plain literal typed
+      ``https://www.w3.org/ns/i18n#{lang}_{dir}``, and
+      ``"compound-literal"`` emits a bnode with ``rdf:value`` /
+      ``rdf:language`` / ``rdf:direction`` triples;
+    - ``use_native_types`` / ``use_rdf_type``: fromRdf serializer
+      options (``options.rs:126-142``) — honored by
+      ``serialize_jsonld``: native JSON numbers/booleans for
+      xsd:integer/double/boolean literals, and ``rdf:type`` kept as a
+      plain property instead of ``@type``."""
 
     __slots__ = ("base", "expand_context", "context_loader",
-                 "processing_mode")
+                 "processing_mode", "rdf_direction", "use_native_types",
+                 "use_rdf_type")
 
     def __init__(self, base: Optional[str] = None, expand_context=None,
                  context_loader=None,
-                 processing_mode: str = "json-ld-1.1"):
+                 processing_mode: str = "json-ld-1.1",
+                 rdf_direction: Optional[str] = None,
+                 use_native_types: bool = False,
+                 use_rdf_type: bool = False):
         if processing_mode not in ("json-ld-1.0", "json-ld-1.1"):
             raise ValueError(f"bad processing mode {processing_mode!r}")
+        if rdf_direction not in (None, "i18n-datatype", "compound-literal"):
+            raise ValueError(f"bad rdf_direction {rdf_direction!r}")
         self.base = base
         self.expand_context = expand_context
         self.context_loader = context_loader
         self.processing_mode = processing_mode
+        self.rdf_direction = rdf_direction
+        self.use_native_types = use_native_types
+        self.use_rdf_type = use_rdf_type
 
 
 class _Context:
-    __slots__ = ("terms", "vocab", "base", "options")
+    __slots__ = ("terms", "vocab", "base", "options", "prev")
 
     def __init__(self, base: Optional[str],
                  options: Optional[JsonLdOptions] = None):
@@ -161,11 +184,24 @@ class _Context:
         self.vocab: Optional[str] = None
         self.base = base
         self.options = options
+        #: the context to revert to in NESTED node objects when the
+        #: last applied context carried ``"@propagate": false``
+        #: (JSON-LD 1.1 §4.1.3); None = contexts propagate normally
+        self.prev: Optional["_Context"] = None
 
     def copy(self) -> "_Context":
         c = _Context(self.base, self.options)
         c.terms = dict(self.terms)
         c.vocab = self.vocab
+        c.prev = self.prev
+        return c
+
+    def descend(self) -> "_Context":
+        """The context a NESTED node object starts from: reverts any
+        non-propagating context applications (``@propagate: false``)."""
+        c = self
+        while c.prev is not None:
+            c = c.prev
         return c
 
     def _load_remote(self, url: str) -> Any:
@@ -199,6 +235,13 @@ class _Context:
                 if part is None:
                     continue  # unknown remote context: NoLoader behavior
             if part is None:
+                # nullification drops everything — but protected terms
+                # survive only by erroring (JSON-LD 1.1 §4.1.11 invalid
+                # context nullification)
+                if any(t.get("_protected") for t in out.terms.values()):
+                    raise ValueError(
+                        "invalid context nullification: active context "
+                        "holds protected terms")
                 out = _Context(self.base, self.options)
                 continue
             if not isinstance(part, dict):
@@ -208,28 +251,61 @@ class _Context:
                 raise ValueError(
                     "processing mode conflict: context requires "
                     "JSON-LD 1.1 but options set json-ld-1.0")
+            if "@propagate" in part:
+                # §4.1.3: boolean only, 1.1-only
+                if not isinstance(part["@propagate"], bool):
+                    raise ValueError("invalid @propagate value")
+                if self.options is not None and \
+                        self.options.processing_mode == "json-ld-1.0":
+                    raise ValueError("@propagate requires JSON-LD 1.1")
             if "@vocab" in part:
                 out.vocab = part["@vocab"]
             if "@base" in part and isinstance(part["@base"], str):
                 out.base = (resolve(out.base, part["@base"])
                             if out.base else part["@base"])
+            # context-level @protected makes every term def in THIS
+            # context protected unless the def opts out (§4.1.11)
+            ctx_protected = part.get("@protected", False) is True
             for term, defn in part.items():
                 if term.startswith("@"):
                     continue
                 if isinstance(defn, str):
-                    out.terms[term] = {"@id": defn}
-                elif isinstance(defn, dict) and "@reverse" not in defn:
-                    # term defs without @id expand via @vocab + term;
-                    # @type/@container/@language still apply
-                    out.terms[term] = defn
+                    nd: Optional[dict] = {"@id": defn}
                 elif isinstance(defn, dict) and "@reverse" in defn:
                     # reversed term definition (JSON-LD 1.1 §4.8;
                     # reference jsonld/src/parser.rs handles @reverse
                     # through its expansion library)
-                    out.terms[term] = {"@id": defn["@reverse"],
-                                       "@reverse": True}
+                    nd = {"@id": defn["@reverse"], "@reverse": True}
+                elif isinstance(defn, dict):
+                    # term defs without @id expand via @vocab + term;
+                    # @type/@container/@language still apply
+                    nd = dict(defn)
                 elif defn is None:
+                    nd = None
+                else:
+                    continue
+                prot = (nd.pop("@protected", ctx_protected) is True) \
+                    if nd is not None else False
+                old = out.terms.get(term)
+                if old is not None and old.get("_protected"):
+                    # a protected term may only be redefined IDENTICALLY
+                    # (protected term redefinition, §4.1.11)
+                    old_core = {k: v for k, v in old.items()
+                                if k != "_protected"}
+                    if nd is None or nd != old_core:
+                        raise ValueError(
+                            f"protected term redefinition: {term!r}")
+                if nd is None:
                     out.terms.pop(term, None)
+                    continue
+                # an identical redefinition is a no-op: protection stays
+                if prot or (old is not None and old.get("_protected")):
+                    nd["_protected"] = True
+                out.terms[term] = nd
+            if part.get("@propagate") is False:
+                # nested node objects revert to the PRE-application
+                # context; chains collapse to the oldest ancestor
+                out.prev = self.descend() if self.prev is None else self.prev
         return out
 
     def expand_iri(self, value: str, vocab: bool = False) -> Optional[str]:
@@ -314,7 +390,18 @@ class JsonLdExpander:
 
         if "@graph" in obj:
             g = subject if subject is not None and subject[0] == KIND_IRI else None
-            self._node(obj["@graph"], ctx, g if g is not None else graph)
+            self._node(obj["@graph"], ctx.descend(),
+                       g if g is not None else graph)
+
+        if "@included" in obj:
+            # §4.7 included blocks: node objects expanded as SIBLINGS in
+            # the same graph, unrelated to this node (reference gets
+            # this from the json_ld crate, jsonld/src/parser.rs:42)
+            vals = obj["@included"]
+            child = ctx.descend()
+            for nv in vals if isinstance(vals, list) else [vals]:
+                if isinstance(nv, dict):
+                    self._node(nv, child, graph)
 
         if subject is None:
             return None
@@ -354,6 +441,14 @@ class JsonLdExpander:
                     if isinstance(nv, dict) and "@value" not in nv:
                         self._emit_props(subject, nv, ctx, graph)
                 continue
+            if pred_iri == "@included" and key != "@included":
+                # keyword ALIAS for @included (the direct key is handled
+                # at node level in _node)
+                child = ctx.descend()
+                for nv in value if isinstance(value, list) else [value]:
+                    if isinstance(nv, dict):
+                        self._node(nv, child, graph)
+                continue
             if key.startswith("@"):
                 continue
             if pred_iri is None or not is_absolute_iri(pred_iri):
@@ -386,7 +481,7 @@ class JsonLdExpander:
         if isinstance(v, dict):
             if "@value" in v or "@list" in v:
                 return None
-            return self._node(v, ctx, graph)
+            return self._node(v, ctx.descend(), graph)
         if isinstance(v, str):
             if v.startswith("_:"):
                 return bnode(v[2:])
@@ -406,8 +501,8 @@ class JsonLdExpander:
                 items = items if isinstance(items, list) else [items]
                 return self._make_list(items, ctx, graph, tdef)
             if "@value" in v:
-                return self._value_object(v, ctx)
-            return self._node(v, ctx, graph)
+                return self._value_object(v, ctx, graph)
+            return self._node(v, ctx.descend(), graph)
         if isinstance(v, bool):
             return literal("true" if v else "false", XSD_BOOLEAN)
         if isinstance(v, int):
@@ -433,7 +528,8 @@ class JsonLdExpander:
             return literal(v, XSD_STRING)
         return None
 
-    def _value_object(self, v: dict, ctx: _Context) -> Optional[Term]:
+    def _value_object(self, v: dict, ctx: _Context,
+                      graph: Optional[Term] = None) -> Optional[Term]:
         val = v["@value"]
         if v.get("@type") == "@json":
             return literal(_canonical_json(val), RDF + "JSON")
@@ -455,6 +551,24 @@ class JsonLdExpander:
         lang = v.get("@language")
         if lang:
             d = v.get("@direction")
+            rd = self.options.rdf_direction if self.options else None
+            if d in ("ltr", "rtl") and rd == "i18n-datatype":
+                # toRdf rdfDirection=i18n-datatype (options.rs:117-124)
+                return literal(
+                    val, f"https://www.w3.org/ns/i18n#{lang.lower()}_{d}")
+            if d in ("ltr", "rtl") and rd == "compound-literal":
+                b = self.fresh_bnode()
+                self.triples.append(
+                    (b, iri(RDF + "value"), literal(val, XSD_STRING), graph))
+                self.triples.append(
+                    (b, iri(RDF + "language"),
+                     literal(lang.lower(), XSD_STRING), graph))
+                self.triples.append(
+                    (b, iri(RDF + "direction"),
+                     literal(d, XSD_STRING), graph))
+                return b
+            # default: native RDF 1.2 initial-text-direction literal
+            # (sophia's term model carries direction natively)
             direction = DIR_LTR if d == "ltr" else DIR_RTL if d == "rtl" else 0
             return langlit(val, lang, direction)
         return literal(val, XSD_STRING)
@@ -499,7 +613,12 @@ _RDF_TYPE_IRI = RDF + "type"
 _XSD_STRING_IRI = "http://www.w3.org/2001/XMLSchema#string"
 
 
-def _term_to_jsonld(t: Term):
+_XSD_INTEGER_IRI = "http://www.w3.org/2001/XMLSchema#integer"
+_XSD_BOOLEAN_IRI = "http://www.w3.org/2001/XMLSchema#boolean"
+_XSD_DOUBLE_IRI = "http://www.w3.org/2001/XMLSchema#double"
+
+
+def _term_to_jsonld(t: Term, use_native_types: bool = False):
 
     if t[0] == KIND_IRI:
         return {"@id": t[1]}
@@ -509,6 +628,24 @@ def _term_to_jsonld(t: Term):
         kind, lex, dt, lang, _dir = t
         if lang:
             return {"@value": lex, "@language": lang}
+        if use_native_types:
+            # fromRdf useNativeTypes (reference options.rs:126-133):
+            # convert when the native JSON value round-trips the lexical
+            # form; otherwise keep the typed string form
+            if dt == _XSD_INTEGER_IRI:
+                try:
+                    return {"@value": int(lex)}
+                except ValueError:
+                    pass
+            elif dt == _XSD_BOOLEAN_IRI and lex in ("true", "false"):
+                return {"@value": lex == "true"}
+            elif dt == _XSD_DOUBLE_IRI:
+                try:
+                    f = float(lex)
+                    if canonical_double(f) == lex:
+                        return {"@value": f}
+                except (ValueError, OverflowError):
+                    pass
         if dt and dt != _XSD_STRING_IRI:
             return {"@value": lex, "@type": dt}
         return {"@value": lex}
@@ -520,10 +657,14 @@ _RDF_REST_IRI = "http://www.w3.org/1999/02/22-rdf-syntax-ns#rest"
 _RDF_NIL_IRI = "http://www.w3.org/1999/02/22-rdf-syntax-ns#nil"
 
 
-def _build_nodes(triples, fold_lists: bool = False):
+def _build_nodes(triples, fold_lists: bool = False,
+                 use_native_types: bool = False,
+                 use_rdf_type: bool = False):
     """Triples → (subject order, {id: expanded node}); with
     ``fold_lists``, single-reference rdf:first/rest chains collapse
-    into ``{"@list": […]}`` values and their nodes are dropped."""
+    into ``{"@list": […]}`` values and their nodes are dropped.
+    ``use_rdf_type`` keeps rdf:type as a plain property instead of
+    ``@type`` (fromRdf useRdfType, reference options.rs:135-142)."""
     nodes: dict = {}
     order: list = []
     obj_refs: dict = {}
@@ -533,10 +674,11 @@ def _build_nodes(triples, fold_lists: bool = False):
             nodes[sid] = {"@id": sid}
             order.append(sid)
         node = nodes[sid]
-        if p[1] == _RDF_TYPE_IRI and o[0] == KIND_IRI:
+        if p[1] == _RDF_TYPE_IRI and o[0] == KIND_IRI and not use_rdf_type:
             node.setdefault("@type", []).append(o[1])
         else:
-            node.setdefault(p[1], []).append(_term_to_jsonld(o))
+            node.setdefault(p[1], []).append(
+                _term_to_jsonld(o, use_native_types))
         if o[0] == KIND_BNODE:
             oid = "_:" + o[1]
             obj_refs[oid] = obj_refs.get(oid, 0) + 1
@@ -591,7 +733,9 @@ def _build_nodes(triples, fold_lists: bool = False):
 
 
 def serialize_jsonld(triples, context: Optional[dict] = None,
-                     compact_arrays: bool = True) -> str:
+                     compact_arrays: bool = True,
+                     use_native_types: bool = False,
+                     use_rdf_type: bool = False) -> str:
     """Triples (Term tuples) → JSON-LD text.
 
     Default: flattened expanded form (deterministic: nodes in
@@ -604,11 +748,15 @@ def serialize_jsonld(triples, context: Optional[dict] = None,
     handling (rdf:first/rest chains fold into ``@list``), and
     single-element arrays collapse unless ``compact_arrays=False``."""
     if context is None:
-        order, nodes = _build_nodes(triples)
+        order, nodes = _build_nodes(triples,
+                                    use_native_types=use_native_types,
+                                    use_rdf_type=use_rdf_type)
         out = [dict(sorted(nodes[sid].items())) for sid in order]
         return json.dumps(out, ensure_ascii=False, sort_keys=False)
 
-    order, nodes = _build_nodes(triples, fold_lists=True)
+    order, nodes = _build_nodes(triples, fold_lists=True,
+                                use_native_types=use_native_types,
+                                use_rdf_type=use_rdf_type)
     comp = _Compactor(context, compact_arrays)
     out = [comp.node(dict(sorted(nodes[sid].items()))) for sid in order]
     doc: dict = {"@context": context}

@@ -242,6 +242,59 @@ def _jsonld_roundtrip(sf_dir: str):
 JSONLD_ROUNDTRIP_SQL = f"SELECT s, p, o FROM ({DOC_TRIPLES_SQL})"
 
 
+def _jsonld_included_roundtrip(sf_dir: str):
+    """doc_triples → a JSON-LD 1.1 document whose nodes ride inside an
+    ALIASED ``@included`` block under a ``@protected`` context (with an
+    identical protected redefinition on the wrapper node — the allowed
+    case) → our expander → NT rows.  End-to-end coverage of the 1.1
+    keywords closed in r5 (reference jsonld/src/options.rs:117-142,
+    json_ld-crate expansion via jsonld/src/parser.rs:42); unit matrix
+    in tests/test_jsonld11.py."""
+    import json as _json
+
+    from ..jsonld import jsonld_to_triples, serialize_jsonld
+    from ..ntriples import parse_term_text
+
+    ds = doc_triples(sf_dir)
+
+    def ser(b: pa.Table) -> pa.Table:
+        trs = [(parse_term_text(s), parse_term_text(p),
+                parse_term_text(o))
+               for s, p, o in zip(b["s"].to_pylist(), b["p"].to_pylist(),
+                                  b["o"].to_pylist())]
+        nodes = _json.loads(serialize_jsonld(trs))
+        doc = {
+            "@context": {"@protected": True, "incl": "@included",
+                         "dc": "http://purl.org/dc/terms/"},
+            # identical redefinition of a protected term: legal per
+            # JSON-LD 1.1 §4.1.11, exercised on every document
+            "incl": [{"@context": {"incl": "@included"}, **n}
+                     for n in nodes[:1]] + nodes[1:],
+        }
+        return pa.table({"jsonld": pa.array([_json.dumps(doc)],
+                                            pa.large_string())})
+
+    docs = ds.map_batches(ser, batch_format="pyarrow")
+
+    def parse_chunk(b: pa.Table) -> pa.Table:
+        s_out, p_out, o_out = [], [], []
+        for text in b["jsonld"].to_pylist():
+            trs, err = jsonld_to_triples(text)
+            assert err is None, err
+            for (s, p, o, _g) in trs:
+                s_out.append(format_term(s))
+                p_out.append(format_term(p))
+                o_out.append(format_term(o))
+        return pa.table({"s": pa.array(s_out, pa.large_string()),
+                         "p": pa.array(p_out, pa.large_string()),
+                         "o": pa.array(o_out, pa.large_string())})
+
+    return docs.map_batches(parse_chunk, batch_format="pyarrow")
+
+
+JSONLD_INCLUDED_ROUNDTRIP_SQL = f"SELECT s, p, o FROM ({DOC_TRIPLES_SQL})"
+
+
 def _jsonld_compact_roundtrip(sf_dir: str):
     """doc_triples → COMPACTED JSON-LD per batch (term/CURIE/@vocab +
     typed-value folding against a caller context; reference
@@ -2555,6 +2608,8 @@ def registry() -> Registry:
         "turtle_roundtrip": (_turtle_roundtrip, TURTLE_ROUNDTRIP_SQL),
         "rdfxml_roundtrip": (_rdfxml_roundtrip, RDFXML_ROUNDTRIP_SQL),
         "jsonld_roundtrip": (_jsonld_roundtrip, JSONLD_ROUNDTRIP_SQL),
+        "jsonld_included_roundtrip": (_jsonld_included_roundtrip,
+                                      JSONLD_INCLUDED_ROUNDTRIP_SQL),
         "jsonld_compact_roundtrip": (_jsonld_compact_roundtrip,
                                      JSONLD_COMPACT_ROUNDTRIP_SQL),
         "c14n_normalize": (_c14n_normalize, C14N_NORMALIZE_SQL),
