@@ -70,8 +70,12 @@ class PageExtractor(HTMLParser):
     """One-pass extractor; feed() then read .jsonld_blocks, .micro_items,
     .rdfa_roots, .visible_text()."""
 
-    def __init__(self) -> None:
+    def __init__(self, collect_text: bool = True) -> None:
         super().__init__(convert_charrefs=True)
+        #: the flagship triples path never reads visible_text(); with
+        #: collect_text=False text nodes skip block assembly entirely
+        #: (prop/ld buffers still fill — they feed structured output)
+        self._collect_text = collect_text
         self.jsonld_blocks: List[str] = []
         self.micro_items: List[_MicroItem] = []
         self.rdfa_roots: List[_RdfaNode] = []
@@ -118,8 +122,9 @@ class PageExtractor(HTMLParser):
             return
         if tag in BLOCK_TAGS:
             self._flush_block()
-        self._start_microdata(depth, tag, a)
-        self._start_rdfa(depth, tag, a)
+        if a:  # attr-less tags cannot open microdata/RDFa structure
+            self._start_microdata(depth, tag, a)
+            self._start_rdfa(depth, tag, a)
 
     def handle_startendtag(self, tag: str, attrs) -> None:
         a = attrs if type(attrs) is dict else dict(attrs)
@@ -173,11 +178,14 @@ class PageExtractor(HTMLParser):
             return
         if self._skip_depth:
             return
-        self._cur.append(data)
-        for _, _, buf in self._prop_stack:
-            buf.append(data)
-        for _, _, _, buf in self._rdfa_prop_stack:
-            buf.append(data)
+        if self._collect_text:
+            self._cur.append(data)
+        if self._prop_stack:
+            for _, _, buf in self._prop_stack:
+                buf.append(data)
+        if self._rdfa_prop_stack:
+            for _, _, _, buf in self._rdfa_prop_stack:
+                buf.append(data)
 
     def close(self) -> None:
         super().close()
@@ -349,7 +357,14 @@ _ATTR_CACHE: Dict[str, dict] = {}
 
 def _attrs_of(soup: str) -> dict:
     """Parsed attrs as a dict (last occurrence wins, same as the
-    handlers' own ``dict(attrs)`` over the stdlib event list)."""
+    handlers' own ``dict(attrs)`` over the stdlib event list).
+
+    IMMUTABILITY CONTRACT (ADVICE r4): the returned dict is a shared,
+    cached object (``_ATTR_CACHE`` entry or the module-global
+    ``_NO_ATTRS``) handed to every subsequent document in the worker
+    that repeats the same attr soup.  Handlers must treat it as
+    read-only — no ``pop``/``setdefault``/item assignment; a handler
+    that needs to mutate must ``dict(a)`` first."""
     v = _ATTR_CACHE.get(soup)
     if v is None:
         v = dict(_parse_attrs(soup)) if _RELEVANT_ATTRS.search(soup) \
@@ -429,14 +444,17 @@ def _fast_feed(h: PageExtractor, text: str) -> None:
             pos = lt + 1
 
 
-def extract_page(html: str, *, engine: str = "fast"):
+def extract_page(html: str, *, engine: str = "fast",
+                 want_text: bool = True):
     """Parse one HTML document → (visible_text, jsonld_blocks, micro_items,
     rdfa_roots). Never raises on malformed HTML (best-effort recovery).
     ``engine="stdlib"`` forces the html.parser front end (differential
     testing; the fast tokenizer also falls back to it per document on
-    any tokenizer error)."""
+    any tokenizer error).  ``want_text=False`` skips visible-text block
+    assembly (the triples path never reads it); structured outputs are
+    identical either way (differential-pinned in tests)."""
     if engine == "fast":
-        p = PageExtractor()
+        p = PageExtractor(collect_text=want_text)
         try:
             _fast_feed(p, html)
             p.close()
@@ -444,7 +462,7 @@ def extract_page(html: str, *, engine: str = "fast"):
                     p.rdfa_roots)
         except Exception:  # noqa: BLE001 — fall back to stdlib parsing
             pass
-    p = PageExtractor()
+    p = PageExtractor(collect_text=want_text)
     try:
         p.feed(html)
         p.close()

@@ -80,6 +80,9 @@ _KEYWORDS = frozenset((
 ))
 
 
+_MISS = object()  # vcache sentinel (None is a legal expansion result)
+
+
 def _canonical_json(v: Any) -> str:
     """Canonical JSON for rdf:JSON literals (JSON-LD 1.1 §4.2.2 points
     at RFC 8785 JCS; this covers its common cases: sorted object keys,
@@ -176,7 +179,7 @@ class JsonLdOptions:
 
 
 class _Context:
-    __slots__ = ("terms", "vocab", "base", "options", "prev")
+    __slots__ = ("terms", "vocab", "base", "options", "prev", "vcache")
 
     def __init__(self, base: Optional[str],
                  options: Optional[JsonLdOptions] = None):
@@ -188,12 +191,32 @@ class _Context:
         #: last applied context carried ``"@propagate": false``
         #: (JSON-LD 1.1 §4.1.3); None = contexts propagate normally
         self.prev: Optional["_Context"] = None
+        #: memo for vocab-mode expand_iri results — the vocab path
+        #: never consults ``base``, so cached contexts (shared across
+        #: documents with different bases) may share one dict; only
+        #: set on cache-managed contexts (None = no memoization)
+        self.vcache: Optional[dict] = None
 
     def copy(self) -> "_Context":
         c = _Context(self.base, self.options)
         c.terms = dict(self.terms)
         c.vocab = self.vocab
         c.prev = self.prev
+        # vcache intentionally NOT carried: copy() callers (apply) go
+        # on to mutate terms, which would stale the memo
+        return c
+
+    def copy_for_base(self, base: Optional[str]) -> "_Context":
+        """Cache-hit clone: identical terms (shared — never mutated in
+        place; ``apply`` always re-dicts), new document base."""
+        c = _Context(base, None)
+        c.terms = self.terms
+        c.vocab = self.vocab
+        # a non-propagating cached context reverts to the (empty)
+        # pre-application state — which must carry THIS document's base
+        c.prev = self.prev.copy_for_base(base) if self.prev is not None \
+            else None
+        c.vcache = self.vcache
         return c
 
     def descend(self) -> "_Context":
@@ -315,6 +338,17 @@ class _Context:
             return None
         if value.startswith("_:"):
             return value        # blank node identifier (§5.1.2 step 3)
+        if vocab and self.vcache is not None:
+            hit = self.vcache.get(value, _MISS)
+            if hit is not _MISS:
+                return hit
+            r = self._expand_iri_uncached(value, True)
+            self.vcache[value] = r
+            return r
+        return self._expand_iri_uncached(value, vocab)
+
+    def _expand_iri_uncached(self, value: str,
+                             vocab: bool) -> Optional[str]:
         if vocab and value in self.terms:
             mapped = self.terms[value].get("@id")
             if mapped is None:  # def without @id: expand via @vocab
@@ -336,6 +370,48 @@ class _Context:
         if self.base:
             return resolve(self.base, value)
         return None
+
+
+#: applied-context memo for the extract hot path: web pages repeat a
+#: handful of static @context shapes millions of times, so the full
+#: context-processing pass (term normalization, protection checks) runs
+#: once per distinct shape per worker instead of once per document
+_APPLY_CACHE: Dict[str, _Context] = {}
+_APPLY_CACHE_MAX = 4096
+
+
+def _cacheable_fragment(fragment: Any) -> bool:
+    # remote-context URL strings resolve against the DOCUMENT base
+    # before loading — never cacheable across documents
+    if isinstance(fragment, dict):
+        return True
+    if isinstance(fragment, list):
+        return all(isinstance(p, dict) for p in fragment)
+    return False
+
+
+def _apply_maybe_cached(ctx: _Context, fragment: Any) -> _Context:
+    """``ctx.apply(fragment)`` with memoization for the hot shape: a
+    FRESH context (top of a document, default options) applying a
+    static dict fragment with no ``@base`` (base-dependent results are
+    computed per document)."""
+    if ctx.terms or ctx.vocab is not None or ctx.options is not None \
+            or ctx.prev is not None or not _cacheable_fragment(fragment):
+        return ctx.apply(fragment)
+    try:
+        key = json.dumps(fragment, sort_keys=True)
+    except (TypeError, ValueError):
+        return ctx.apply(fragment)
+    if "@base" in key:
+        return ctx.apply(fragment)
+    hit = _APPLY_CACHE.get(key)
+    if hit is None:
+        if len(_APPLY_CACHE) >= _APPLY_CACHE_MAX:
+            _APPLY_CACHE.clear()
+        hit = _Context(None, None).apply(fragment)
+        hit.vcache = {}
+        _APPLY_CACHE[key] = hit
+    return hit.copy_for_base(ctx.base)
 
 
 class JsonLdExpander:
@@ -374,7 +450,7 @@ class JsonLdExpander:
         if not isinstance(obj, dict):
             return None
         if "@context" in obj:
-            ctx = ctx.apply(obj["@context"])
+            ctx = _apply_maybe_cached(ctx, obj["@context"])
         subject: Optional[Term] = None
         if "@id" in obj and isinstance(obj["@id"], str):
             sid = obj["@id"]

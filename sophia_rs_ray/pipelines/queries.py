@@ -903,6 +903,14 @@ def _decontaminate(sf_dir: str):
         filter=pc.field("doc_id") < DECONTAM_BENCH_MAX_ID)
     bench_pairs = bench_docs.map_batches(shingle_pairs_batch,
                                          batch_format="pyarrow")
+    # Gate BEFORE any driver-side collection: the (doc, shingle) row
+    # count is a cheap distributed upper bound on the distinct shingle
+    # set — over the gate, route to the distributed semi-join instead
+    # of pulling the set to the driver (ADVICE r4; plan equivalence is
+    # pinned in tests/test_r4_ops.py).
+    if bench_pairs.count() > _DECONTAM_BROADCAST_LIMIT:
+        return _decontaminate_exchange(_decontam_pairs(sf_dir),
+                                       _decontam_zeros(sf_dir))
     return _decontaminate_broadcast(_decontam_pairs(sf_dir), bench_pairs,
                                     _decontam_zeros(sf_dir))
 

@@ -180,7 +180,7 @@ def _canon_double(v: float) -> str:
     return canonical_double(v)
 
 
-def _micro_html_and_triples(p: Dict):
+def _micro_html_and_triples(p: Dict, want_triples: bool = True):
     person_iri = entity_iri(p["person"])
     org_iri = entity_iri(p["org"])
     nm = entity_name(p["person"])
@@ -193,6 +193,8 @@ def _micro_html_and_triples(p: Dict):
         f'<span itemprop="name">{on}</span></span></div>'
     )
     text = f"{nm} works at {on}"
+    if not want_triples:  # page_record only reads html+text
+        return html, text, None
     s, o = iri(person_iri), iri(org_iri)
     trs = [
         (s, iri("http://www.w3.org/1999/02/22-rdf-syntax-ns#type"), iri(SCHEMA + "Person")),
@@ -205,7 +207,7 @@ def _micro_html_and_triples(p: Dict):
     return html, text, [(format_term(a), format_term(b), format_term(c)) for a, b, c in trs]
 
 
-def _rdfa_html_and_triples(p: Dict):
+def _rdfa_html_and_triples(p: Dict, want_triples: bool = True):
     ev = entity_iri(p["event"]) + "#event"
     org_iri = entity_iri(p["org"])
     en = f"Conf {p['event']}"
@@ -219,6 +221,8 @@ def _rdfa_html_and_triples(p: Dict):
         f'<a property="organizer" href="{org_iri}">details</a></div>'
     )
     text = f"{en} in {city}details"
+    if not want_triples:
+        return html, text, None
     s = iri(ev)
     trs = [
         (s, iri("http://www.w3.org/1999/02/22-rdf-syntax-ns#type"), iri(SCHEMA + "Event")),
@@ -238,8 +242,8 @@ def page_record(i: int, n_pages: int) -> Dict:
     mentions = " and ".join(entity_name(m) for m in p["mentions"])
     para1 = f"{entity_name(p['person'])} met {mentions} in {p['city']}."
     para2 = f"Report   no. {i}   filed in {p['city']}."  # runs of spaces → 1
-    micro_html, micro_text, _ = _micro_html_and_triples(p)
-    rdfa_html, rdfa_text, _ = _rdfa_html_and_triples(p)
+    micro_html, micro_text, _ = _micro_html_and_triples(p, want_triples=False)
+    rdfa_html, rdfa_text, _ = _rdfa_html_and_triples(p, want_triples=False)
     ld = (f'<script type="application/ld+json">{_jsonld_text(p)}</script>'
           if p["has_jsonld"] else "")
     footer = f"Contact: editor@site{i % N_HOSTS}.example"

@@ -25,6 +25,7 @@ from __future__ import annotations
 import hashlib
 import os
 from typing import List, Optional, Tuple
+from uuid import uuid4
 
 import pyarrow as pa
 
@@ -209,7 +210,10 @@ def _write_block(batch: pa.Table, out_dir: str, fmt: str,
     name = f"part-{hashlib.sha256(data).hexdigest()[:16]}.{ext}"
     final = os.path.join(out_dir, name)
     if not os.path.exists(final):       # content-hash name ⇒ idempotent
-        tmp = final + ".tmp"
+        # tmp name unique per writer: two concurrent tasks (or a
+        # speculative retry) with byte-identical blocks must not race
+        # on one tmp path (ADVICE r4)
+        tmp = f"{final}.tmp.{os.getpid()}.{uuid4().hex}"
         with open(tmp, "wb") as f:
             f.write(data)
         os.replace(tmp, final)
@@ -229,7 +233,16 @@ def write_rdf_files(ds, out_dir: str, fmt: str = "nt", *,
     For the prefix-bearing syntaxes (turtle/trig/rdfxml/jsonld) every
     shard file is a self-contained document with its own prefix block —
     concatenating shards is NOT valid; reading the directory back with
-    :func:`read_rdf_files` is."""
+    :func:`read_rdf_files` is.
+
+    Content-hash naming dedups byte-identical BLOCKS: if two input
+    blocks serialize to the same bytes they share one output file, so a
+    bag dataset whose duplicates happen to fill whole identical blocks
+    round-trips with reduced multiplicity (set semantics at block
+    granularity — correct for RDF graphs, but the returned per-shard
+    ``rows`` counts then double-count the merged file).  Pipelines that
+    need strict bag multiplicity should repartition so no two blocks
+    are identical, or dedup first and carry explicit counts."""
     if fmt not in _SINK_EXT:
         raise ValueError(f"unknown RDF sink format {fmt!r}")
     os.makedirs(out_dir, exist_ok=True)

@@ -144,7 +144,19 @@ class SparqlClient:
         return resolver
 
 
-def urllib_transport(timeout: float = 30.0):
+#: content types the client knows how to dispatch (``_dispatch``) —
+#: the transport rejects anything else BEFORE reading the body
+_TRANSPORT_CTYPES = frozenset((
+    "application/sparql-results+json", "application/sparql-results+xml",
+    "text/tab-separated-values", "text/csv", "text/turtle",
+    "application/n-triples", "application/rdf+xml",
+))
+
+
+def urllib_transport(timeout: float = 30.0,
+                     max_bytes: int = 64 << 20,
+                     max_redirects: int = 5,
+                     allowed_ctypes: Optional[frozenset] = None):
     """Opt-in stdlib HTTP transport (no new dependencies): POSTs the
     query with the client's headers via ``urllib.request`` and returns
     ``(content_type, body)`` — the live-network counterpart of the
@@ -154,21 +166,54 @@ def urllib_transport(timeout: float = 30.0):
 
         SparqlClient(endpoint, transport=urllib_transport())
 
-    Non-2xx responses and URL errors surface as SparqlClientError via
+    Hardened front door (VERDICT r4 item 8): http(s)-only endpoints,
+    redirect count capped at ``max_redirects``, response body capped at
+    ``max_bytes`` (checked against Content-Length before reading and
+    again on the stream), and the response content type must be on the
+    dispatchable allowlist BEFORE the body is read.  All failures —
+    including non-2xx and URL errors — surface as SparqlClientError via
     the client's query() wrapper."""
+    allow = _TRANSPORT_CTYPES if allowed_ctypes is None \
+        else frozenset(allowed_ctypes)
+
     def transport(endpoint: str, query: str, headers: dict):
         import urllib.error
         import urllib.request
 
+        if not endpoint.startswith(("http://", "https://")):
+            raise SparqlClientError(
+                f"endpoint scheme not allowed (http/https only): "
+                f"{endpoint}")
+
+        class _CappedRedirects(urllib.request.HTTPRedirectHandler):
+            max_repeats = max_redirects
+            max_redirections = max_redirects
+
+        opener = urllib.request.build_opener(_CappedRedirects)
         req = urllib.request.Request(
             endpoint, data=query.encode("utf-8"), headers=dict(headers),
             method="POST")
         try:
-            with urllib.request.urlopen(req, timeout=timeout) as resp:
+            with opener.open(req, timeout=timeout) as resp:
                 ctype = resp.headers.get("Content-Type",
                                          "application/octet-stream")
+                base_ctype = ctype.split(";", 1)[0].strip().lower()
+                if base_ctype not in allow:
+                    raise SparqlClientError(
+                        f"response content-type not on the allowlist: "
+                        f"{base_ctype}")
+                clen = resp.headers.get("Content-Length")
+                if clen is not None and clen.isdigit() \
+                        and int(clen) > max_bytes:
+                    raise SparqlClientError(
+                        f"response Content-Length {clen} exceeds the "
+                        f"{max_bytes}-byte cap")
+                raw = resp.read(max_bytes + 1)
+                if len(raw) > max_bytes:
+                    raise SparqlClientError(
+                        f"response body exceeds the {max_bytes}-byte cap")
                 charset = resp.headers.get_content_charset() or "utf-8"
-                return ctype, resp.read().decode(charset)
+                return ctype, raw.decode(charset, errors="replace")
         except urllib.error.HTTPError as e:
             raise SparqlClientError(
                 f"HTTP {e.code} from {endpoint}: {e.reason}") from e

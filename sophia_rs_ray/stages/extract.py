@@ -26,7 +26,7 @@ from typing import List, Optional, Tuple
 import pyarrow as pa
 
 from ..extract.html_page import extract_page
-from ..ntriples import format_nt_batch
+from ..ntriples import format_nt_table
 from ..extract.to_triples import _Alloc, microdata_to_triples, rdfa_to_triples
 from ..iri import BaseIri
 from ..jsonld import JsonLdExpander
@@ -58,41 +58,30 @@ def extract_triples_batch(batch: pa.Table) -> pa.Table:
     urls = batch["url"].to_pylist()
     htmls = batch["html"].to_pylist()
 
-    out_url: List[str] = []
-    out_ext: List[str] = []
-    out_err: List[str] = []
-    cols: dict = {c: [] for c in _TERM_COLS}
-    # bound locals: the closure appends ~15 values per triple, so dict
-    # lookups + string concat per field dominate push() otherwise
-    (sk, sl, sd, sg, sr, pk, pl, pd, pg, pr,
-     ok, ol, od, og, orr) = (cols[c].append for c in _TERM_COLS)
+    # one flat 18-field tuple per output row; the column split happens
+    # once at the end via zip(*rows) (a C-level transpose) instead of
+    # 18 Python list.append calls per triple
+    rows: List[tuple] = []
+    rows_append = rows.append
+    _err_tail = (-1, "", "", "", -1) * 3
 
     def push(url: str, extractor: str,
              s: Term, p: Term, o: Term) -> None:
-        out_url.append(url)
-        out_ext.append(extractor)
-        out_err.append("")
         if s[0] == KIND_BNODE:
             s = (s[0], skolem(s[1], url, extractor), s[2], s[3], s[4])
         if p[0] == KIND_BNODE:
             p = (p[0], skolem(p[1], url, extractor), p[2], p[3], p[4])
         if o[0] == KIND_BNODE:
             o = (o[0], skolem(o[1], url, extractor), o[2], o[3], o[4])
-        sk(s[0]); sl(s[1]); sd(s[2]); sg(s[3]); sr(s[4])
-        pk(p[0]); pl(p[1]); pd(p[2]); pg(p[3]); pr(p[4])
-        ok(o[0]); ol(o[1]); od(o[2]); og(o[3]); orr(o[4])
+        rows_append((url, extractor, "") + s + p + o)
 
     def push_error(url: str, extractor: str, msg: str) -> None:
-        out_url.append(url)
-        out_ext.append(extractor)
-        out_err.append(msg)
-        for c in _TERM_COLS:
-            cols[c].append(-1 if c.endswith(("kind", "dir")) else "")
+        rows_append((url, extractor, msg) + _err_tail)
 
     for url, html in zip(urls, htmls):
         if isinstance(html, (bytes, bytearray, memoryview)):
             html = bytes(html).decode("utf-8", errors="replace")
-        _text, ld_blocks, micro, rdfa = extract_page(html)
+        _text, ld_blocks, micro, rdfa = extract_page(html, want_text=False)
         try:
             base: Optional[BaseIri] = BaseIri(url)
         except ValueError:
@@ -123,12 +112,16 @@ def extract_triples_batch(batch: pa.Table) -> pa.Table:
         for s, p, o in rdfa_to_triples(rdfa, base, alloc2):
             push(url, "rdfa", s, p, o)
 
-    arrays = [pa.array(out_url, pa.large_string()),
-              pa.array(out_ext, pa.string()),
-              pa.array(out_err, pa.string())]
-    for c in _TERM_COLS:
+    if rows:
+        cols = list(zip(*rows))
+    else:
+        cols = [()] * (3 + len(_TERM_COLS))
+    arrays = [pa.array(cols[0], pa.large_string()),
+              pa.array(cols[1], pa.string()),
+              pa.array(cols[2], pa.string())]
+    for i, c in enumerate(_TERM_COLS):
         typ = pa.int8() if c.endswith(("kind", "dir")) else pa.large_string()
-        arrays.append(pa.array(cols[c], typ))
+        arrays.append(pa.array(cols[3 + i], typ))
     return pa.Table.from_arrays(arrays, schema=TRIPLES_SCHEMA)
 
 
@@ -151,11 +144,7 @@ def format_triples_batch(batch: pa.Table, keep: Tuple[str, ...] = ("url",)) -> p
     carried-over columns. Drops error rows."""
     ok = pa.compute.not_equal(batch["s_kind"], pa.scalar(-1, pa.int8()))
     batch = batch.filter(ok)
-    d = {c: batch[c].to_numpy(zero_copy_only=False) for c in batch.column_names
-         if c in _TERM_COLS}
-    txt = format_nt_batch(d)
+    txt = format_nt_table(batch)
     data = {k: batch[k] for k in keep if k in batch.column_names}
-    data.update({"s": pa.array(txt["s"], pa.large_string()),
-                 "p": pa.array(txt["p"], pa.large_string()),
-                 "o": pa.array(txt["o"], pa.large_string())})
+    data.update({"s": txt["s"], "p": txt["p"], "o": txt["o"]})
     return pa.table(data)
