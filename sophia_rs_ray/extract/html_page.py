@@ -385,16 +385,24 @@ def _fast_feed(h: PageExtractor, text: str) -> None:
     handle_endtag = h.handle_endtag
     start_match = _START_RE.match
     end_match = _END_RE.match
+    # a data segment only matters while something consumes it (visible
+    # text collection, an open itemprop/RDFa literal span, or an
+    # ld+json block); otherwise skip the slice + dispatch entirely —
+    # the consumer checks are the same ones handle_data itself makes
+    collect = h._collect_text
     while pos < n:
         lt = find("<", pos)
         if lt < 0:
-            data = text[pos:]
-            handle_data(unescape(data) if "&" in data else data)
+            if collect or h._in_ldjson or h._prop_stack \
+                    or h._rdfa_prop_stack:
+                data = text[pos:]
+                handle_data(unescape(data) if "&" in data else data)
             break
-        if lt > pos:
+        if lt > pos and (collect or h._in_ldjson or h._prop_stack
+                         or h._rdfa_prop_stack):
             data = text[pos:lt]
             handle_data(unescape(data) if "&" in data else data)
-        nxt = text[lt + 1:lt + 2]
+        nxt = text[lt + 1] if lt + 1 < n else ""
         if nxt == "/":
             m = end_match(text, lt)
             if m:

@@ -40,10 +40,28 @@ _SYNTAX_ATTRS = {f"{{{RDF_NS}}}about", f"{{{RDF_NS}}}ID",
                  f"{{{RDF_NS}}}RDF"}
 _OLD_TERMS = {f"{{{RDF_NS}}}aboutEach", f"{{{RDF_NS}}}aboutEachPrefix",
               f"{{{RDF_NS}}}bagID"}
+#: rdf:li is an ELEMENT-only term — forbidden as an attribute
+#: (RDF/XML §7.2.5 propertyAttr excludes li; oxrdfxml rejects it too)
+_LI_ATTR = f"{{{RDF_NS}}}li"
+#: pragmatic XML NCName: letter/underscore start, then letters /
+#: digits / . - _ (no colon) — the rdf:ID production (RDF/XML §7.2.34)
+_NCNAME_RE = re.compile(r"[^\W\d][\w.\-]*\Z")
 
 
 class RdfXmlParseError(ValueError):
     pass
+
+
+def _check_attrs(el) -> None:
+    """Reject the RDF-2004-removed terms (aboutEach/aboutEachPrefix/
+    bagID) and rdf:li used as an attribute — oxrdfxml parity
+    (reference xml/src/parser.rs:15 delegates there)."""
+    for k in el.attrib:
+        if k in _OLD_TERMS:
+            raise RdfXmlParseError(
+                f"removed RDF attribute not allowed: {_split(k)}")
+        if k == _LI_ATTR:
+            raise RdfXmlParseError("rdf:li is not allowed as an attribute")
 
 
 def _split(tag: str) -> str:
@@ -78,11 +96,16 @@ class _Parser:
         xb = el.get(f"{{{XML_NS}}}base")
         if xb:
             base = BaseIri(xb)
+        _check_attrs(el)
         about = el.get(f"{{{RDF_NS}}}about")
         rid = el.get(f"{{{RDF_NS}}}ID")
         nid = el.get(f"{{{RDF_NS}}}nodeID")
         if sum(x is not None for x in (about, rid, nid)) > 1:
             raise RdfXmlParseError("conflicting subject attributes")
+        if rid is not None and not _NCNAME_RE.match(rid):
+            raise RdfXmlParseError(f"rdf:ID is not an NCName: {rid!r}")
+        if nid is not None and not _NCNAME_RE.match(nid):
+            raise RdfXmlParseError(f"rdf:nodeID is not an NCName: {nid!r}")
         if about is not None:
             subj = self.resolve(about, base)
         elif rid is not None:
@@ -124,10 +147,16 @@ class _Parser:
             p_iri = f"{RDF_NS}_{li[0]}"
         pred = iri(p_iri)
 
+        _check_attrs(el)
         ptype = el.get(f"{{{RDF_NS}}}parseType")
         res = el.get(f"{{{RDF_NS}}}resource")
         nid = el.get(f"{{{RDF_NS}}}nodeID")
         dt = el.get(f"{{{RDF_NS}}}datatype")
+        if res is not None and nid is not None:
+            raise RdfXmlParseError(
+                "rdf:resource and rdf:nodeID on one property element")
+        if nid is not None and not _NCNAME_RE.match(nid):
+            raise RdfXmlParseError(f"rdf:nodeID is not an NCName: {nid!r}")
 
         if ptype == "Resource":
             node = self.fresh()
@@ -153,6 +182,10 @@ class _Parser:
                              literal(inner, XMLLITERAL)))
             return
         if res is not None or nid is not None:
+            if (el.text or "").strip() or len(el):
+                raise RdfXmlParseError(
+                    "property element with rdf:resource/rdf:nodeID "
+                    "must be empty")
             obj = self.resolve(res, base) if res is not None else bnode(nid)
             # property attributes on an empty property element apply to obj
             extra = [(k, v) for k, v in el.attrib.items()
@@ -244,6 +277,17 @@ def _xml_escape(s: str, attr: bool = False) -> str:
     return s
 
 
+def _ncname_label(label: str) -> str:
+    """rdf:nodeID values must be NCNames; labels that are not (NT
+    allows digit-start/odd chars) are renamed deterministically and
+    injectively (``b<utf8-hex>``) so co-reference survives the
+    round-trip — the same strategy oxrdfxml's serializer uses for
+    invalid labels."""
+    if _NCNAME_RE.match(label):
+        return label
+    return "b" + label.encode("utf-8").hex()
+
+
 def serialize_rdfxml(triples, *, indent: int = 2) -> str:
     """Triples (Term tuples) → RDF/XML document string.  Subjects are
     grouped; predicates must be splittable into (namespace, XML local
@@ -276,7 +320,8 @@ def serialize_rdfxml(triples, *, indent: int = 2) -> str:
         if s[0] == KIND_IRI:
             open_tag = f'{pad}<rdf:Description rdf:about="{_xml_escape(s[1], True)}">'
         else:
-            open_tag = f'{pad}<rdf:Description rdf:nodeID="{_xml_escape(s[1], True)}">'
+            open_tag = (f'{pad}<rdf:Description '
+                        f'rdf:nodeID="{_xml_escape(_ncname_label(s[1]), True)}">')
         body.append(open_tag)
         for p, o in by_subj[s]:
             ns, local = _split_iri(p[1])
@@ -284,7 +329,8 @@ def serialize_rdfxml(triples, *, indent: int = 2) -> str:
             if o[0] == KIND_IRI:
                 body.append(f'{pad * 2}<{tag} rdf:resource="{_xml_escape(o[1], True)}"/>')
             elif o[0] == KIND_BNODE:
-                body.append(f'{pad * 2}<{tag} rdf:nodeID="{_xml_escape(o[1], True)}"/>')
+                body.append(f'{pad * 2}<{tag} rdf:nodeID='
+                            f'"{_xml_escape(_ncname_label(o[1]), True)}"/>')
             elif o[0] == KIND_LITERAL:
                 lex = _xml_escape(o[1])
                 if o[3]:
