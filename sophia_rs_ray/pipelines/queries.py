@@ -800,19 +800,30 @@ def _decontam_zeros(sf_dir: str):
         batch_format="pyarrow")
 
 
+class _BroadcastGateExceeded(Exception):
+    """Benchmark shingle rows exceed the broadcast gate — the caller
+    must route to the distributed semi-join plan."""
+
+
 def _decontaminate_broadcast(pairs, bench_pairs, zeros):
     """Benchmark decontamination, broadcast plan: the benchmark's
     shingle set is collected once (it is fixed-size by construction),
     ``ray.put`` once, and every task filters its own shingles against
-    the node-local copy — no shuffle of the corpus side at all."""
+    the node-local copy — no shuffle of the corpus side at all.
+
+    Driver memory is bounded BY the gate: the collection is a
+    ``take(limit+1)`` — one row over the limit aborts the plan with
+    :class:`_BroadcastGateExceeded` (caught by ``_decontaminate``,
+    which falls back to ``_decontaminate_exchange``) instead of
+    pulling an unbounded set to the driver (ADVICE r4)."""
     import ray
 
     import pyarrow.compute as pc
 
-    bench = sorted({r["sh"] for r in bench_pairs.take_all()})
-    if len(bench) > _DECONTAM_BROADCAST_LIMIT:
-        raise ValueError("benchmark shingle set exceeds broadcast gate "
-                         "— use _decontaminate_exchange")
+    rows = bench_pairs.take(_DECONTAM_BROADCAST_LIMIT + 1)
+    if len(rows) > _DECONTAM_BROADCAST_LIMIT:
+        raise _BroadcastGateExceeded
+    bench = sorted({r["sh"] for r in rows})
     ref = ray.put(bench)
 
     def score(t: pa.Table) -> pa.Table:
@@ -903,16 +914,16 @@ def _decontaminate(sf_dir: str):
         filter=pc.field("doc_id") < DECONTAM_BENCH_MAX_ID)
     bench_pairs = bench_docs.map_batches(shingle_pairs_batch,
                                          batch_format="pyarrow")
-    # Gate BEFORE any driver-side collection: the (doc, shingle) row
-    # count is a cheap distributed upper bound on the distinct shingle
-    # set — over the gate, route to the distributed semi-join instead
-    # of pulling the set to the driver (ADVICE r4; plan equivalence is
-    # pinned in tests/test_r4_ops.py).
-    if bench_pairs.count() > _DECONTAM_BROADCAST_LIMIT:
+    # Over-gate benchmarks auto-route to the distributed semi-join; the
+    # broadcast plan's take(limit+1) bounds driver memory AT the gate,
+    # so the common case costs one bench-side execution (plan
+    # equivalence pinned in tests/test_r4_ops.py).
+    try:
+        return _decontaminate_broadcast(
+            _decontam_pairs(sf_dir), bench_pairs, _decontam_zeros(sf_dir))
+    except _BroadcastGateExceeded:
         return _decontaminate_exchange(_decontam_pairs(sf_dir),
                                        _decontam_zeros(sf_dir))
-    return _decontaminate_broadcast(_decontam_pairs(sf_dir), bench_pairs,
-                                    _decontam_zeros(sf_dir))
 
 
 def _decontaminate_sql() -> str:
