@@ -346,6 +346,33 @@ def shingle_pairs_batch(b: pa.Table) -> pa.Table:
                      "sh": out["sh"].cast(pa.string())})
 
 
+def shingle_pos_batch(b: pa.Table) -> pa.Table:
+    """(doc_id, text) → EVERY ``SHINGLE_K``-token shingle occurrence as
+    (doc_id, pos, sh) rows, pos = 0-based token index of the shingle's
+    first token — the map side of exact-substring duplicate-span
+    detection (keeps multiplicity AND position, unlike
+    ``shingle_pairs_batch``'s per-doc distinct set).  Vectorized
+    polars: tokenize → k adjacent shifts inside ``list.eval`` →
+    parallel 0..n-1 position lists → aligned two-column explode."""
+    import polars as pl
+
+    sh = pl.element()
+    for j in range(1, SHINGLE_K):
+        sh = sh + " " + pl.element().shift(-j)
+    out = (_pl_docs(b)
+           .select(pl.col("doc_id"),
+                   pl.col("text").str.extract_all(TOKEN_RE2)
+                   .list.eval(sh.drop_nulls()).alias("sh"))
+           .with_columns(pl.int_ranges(pl.col("sh").list.len())
+                         .alias("pos"))
+           .explode(["sh", "pos"])
+           .drop_nulls("sh")
+           .to_arrow())
+    return pa.table({"doc_id": out["doc_id"].cast(b["doc_id"].type),
+                     "pos": out["pos"].cast(pa.int64()),
+                     "sh": out["sh"].cast(pa.string())})
+
+
 #: fixed token-window size standing in for paragraph boundaries — the
 #: bench corpus has no newlines, so segmentation is deterministic token
 #: windows; swap the splitter for '\n\n' chunks on real crawl text.

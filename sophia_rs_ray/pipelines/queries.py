@@ -1173,6 +1173,99 @@ FROM tot t LEFT JOIN agg a USING (doc_id)
 """
 
 
+def _dup_spans(sf_dir: str):
+    """Exact-substring duplicate spans (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better", the ExactSubstr
+    criterion at shingle granularity): a ``SHINGLE_K``-token window
+    occurring ≥2 times ANYWHERE in the corpus (cross- or within-doc,
+    multiplicity counted) marks its start position as duplicated;
+    per document, consecutive duplicated positions merge into maximal
+    spans ``(doc_id, span_start, span_len)`` with ``span_len =
+    last_pos + K - span_start`` tokens — the spans an ExactSubstr
+    cleaner would cut.
+
+    Plan (two exchanges, no broadcast, no driver pull):
+      explode docs into positioned shingle occurrences (stateless
+      vectorized map) → hash exchange on the shingle string →
+      per-partition keep rows whose shingle count ≥ 2 (co-partitioned,
+      so the partition count IS the corpus count) → second hash
+      exchange on doc_id → per-doc gaps-and-islands merge (sort +
+      rank difference, vectorized polars).
+    Scale: every (doc, pos) row crosses the wire at most twice; a
+    pathologically hot shingle concentrates its occurrences in one
+    partition but the per-partition work stays linear (count +
+    filter — no pairing), and the islands exchange ships only the
+    already-filtered duplicate positions."""
+    import ray.data as rd
+
+    from ..functions.exchange import hash_aggregate
+    from ..functions.text import SHINGLE_K, shingle_pos_batch
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    pos = docs.map_batches(shingle_pos_batch, batch_format="pyarrow")
+
+    def keep_dup(t: pa.Table) -> pa.Table:
+        g = t.group_by(["sh"]).aggregate([("sh", "count")])
+        dup = g.filter(pc.greater_equal(
+            g["sh_count"], pa.scalar(2, pa.int64())))["sh"]
+        mask = pc.is_in(t["sh"], value_set=dup.combine_chunks())
+        return t.filter(mask).drop_columns(["sh"])
+
+    dpos = hash_aggregate(pos, ["sh"], None, keep_dup)
+
+    def islands(t: pa.Table) -> pa.Table:
+        import polars as pl
+        df = pl.from_arrow(t).sort(["doc_id", "pos"])
+        df = df.with_columns(
+            (pl.col("pos") - pl.int_range(pl.len()).over("doc_id"))
+            .alias("grp"))
+        out = (df.group_by(["doc_id", "grp"])
+               .agg(pl.col("pos").min().alias("span_start"),
+                    (pl.col("pos").max() + SHINGLE_K
+                     - pl.col("pos").min()).alias("span_len")))
+        return (out.select([pl.col("doc_id"),
+                            pl.col("span_start").cast(pl.Int64),
+                            pl.col("span_len").cast(pl.Int64)])
+                .to_arrow())
+
+    return hash_aggregate(dpos, ["doc_id"], None, islands)
+
+
+def _dup_spans_sql() -> str:
+    from ..functions.text import SHINGLE_K
+
+    k1, k2 = SHINGLE_K - 1, SHINGLE_K - 2
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                     x -> x <> '') AS tk
+  FROM documents
+), pos AS (
+  SELECT doc_id,
+         unnest([{{'pos': i - 1,
+                   'sh': array_to_string(tk[i:i+{k1}], ' ')}}
+                 for i in range(1, len(tk) - {k2})],
+                recursive := true)
+  FROM toks
+), dup AS (
+  SELECT sh FROM pos GROUP BY sh HAVING count(*) >= 2
+), dpos AS (
+  SELECT p.doc_id, p.pos FROM pos p JOIN dup USING (sh)
+), isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+             AS grp
+  FROM dpos
+)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + {SHINGLE_K} - min(pos) AS BIGINT) AS span_len
+FROM isl GROUP BY doc_id, grp
+"""
+
+
 def _stratified_sample(sf_dir: str):
     """Deterministic stratified corpus sampling — the source-mixing
     primitive of every training-data recipe: each source gets a
@@ -2666,6 +2759,7 @@ def registry() -> Registry:
         "pack_sequences": (_pack_sequences, PACK_SEQUENCES_SQL),
         "source_stats": (_source_stats, SOURCE_STATS_SQL),
         "segment_dedup": (_segment_dedup, SEGMENT_DEDUP_SQL),
+        "dup_span_docs": (_dup_spans, _dup_spans_sql()),
         "stratified_sample": (_stratified_sample, STRATIFIED_SAMPLE_SQL),
         "source_mixture": (_source_mixture, SOURCE_MIXTURE_SQL),
         "knn_cosine": (_knn, KNN_SQL),

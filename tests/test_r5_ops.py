@@ -1,0 +1,71 @@
+"""Round-5 operators: exact-substring duplicate spans."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _brute_spans(texts, K):
+    """Brute-force reference: every K-token window with corpus
+    multiplicity ≥ 2 marks its position; consecutive positions merge."""
+    from sophia_rs_ray.functions.text import tokens_of
+    from collections import Counter
+
+    occ = Counter()
+    per_doc = []
+    for t in texts:
+        tk = tokens_of(t or "")
+        shs = [" ".join(tk[j:j + K]) for j in range(len(tk) - K + 1)]
+        per_doc.append(shs)
+        occ.update(shs)
+    out = []
+    for doc_id, shs in enumerate(per_doc):
+        dup = [j for j, s in enumerate(shs) if occ[s] >= 2]
+        i = 0
+        while i < len(dup):
+            j = i
+            while j + 1 < len(dup) and dup[j + 1] == dup[j] + 1:
+                j += 1
+            out.append((doc_id, dup[i], dup[j] + K - dup[i]))
+            i = j + 1
+    return sorted(out)
+
+
+def test_dup_spans_matches_brute_force(ray_session, tmp_path):
+    """Multi-span docs, mid-doc spans, within-doc repeats and gap
+    separation — shapes the sf0.01 oracle corpus never exercises
+    (there every flagged doc has exactly one span at position 0)."""
+    from sophia_rs_ray.functions.text import SHINGLE_K
+    from sophia_rs_ray.pipelines.queries import _dup_spans
+
+    K = SHINGLE_K
+    blk = " ".join(f"d{i}" for i in range(K))          # shared 8-gram
+    blk2 = " ".join(f"e{i}" for i in range(K + 3))     # shared 11-gram
+    uniq = lambda tag, n: " ".join(f"{tag}{i}" for i in range(n))
+    texts = [
+        f"{blk} {uniq('a', K + 2)} {blk2}",            # two spans, gap
+        f"{uniq('b', 5)} {blk} {uniq('c', K + 1)} {blk2} {uniq('f', 3)}",
+        uniq("g", 3 * K),                              # no spans
+        f"{blk} {blk}",                                # within-doc repeat
+        "",                                            # empty
+        "short doc",                                   # < K tokens
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "source": pa.array(["t"] * len(texts), pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    got = sorted((r["doc_id"], r["span_start"], r["span_len"])
+                 for r in _dup_spans(str(tmp_path)).take_all())
+    want = _brute_spans(texts, K)
+    assert got == want
+    # the corpus must exercise what sf0.01 cannot: >1 span in one doc,
+    # a span that does not start at 0, and a within-doc-only duplicate
+    docs = {}
+    for d, s, L in got:
+        docs.setdefault(d, []).append((s, L))
+    assert len(docs[0]) == 2
+    assert any(s > 0 for spans in docs.values() for s, _ in spans)
+    assert 3 in docs and 2 not in docs
