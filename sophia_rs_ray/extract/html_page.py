@@ -113,18 +113,22 @@ class PageExtractor(HTMLParser):
             return
         a = attrs if type(attrs) is dict else dict(attrs)
         self._tags.append(tag)
-        depth = len(self._tags)
         if tag in SKIP_TAGS:
             self._skip_depth += 1
             if tag == "script" and (a.get("type") or "").strip().lower() == "application/ld+json":
                 self._in_ldjson = True
                 self._ld_buf = []
             return
-        if tag in BLOCK_TAGS:
+        if tag in BLOCK_TAGS and self._collect_text:
             self._flush_block()
         if a:  # attr-less tags cannot open microdata/RDFa structure
-            self._start_microdata(depth, tag, a)
-            self._start_rdfa(depth, tag, a)
+            # inline the trigger-attr checks: _start_* are no-ops
+            # without them, and most attred tags carry neither family
+            depth = len(self._tags)
+            if "itemscope" in a or "itemprop" in a:
+                self._start_microdata(depth, tag, a)
+            if "vocab" in a or "typeof" in a or "property" in a:
+                self._start_rdfa(depth, tag, a)
 
     def handle_startendtag(self, tag: str, attrs) -> None:
         a = attrs if type(attrs) is dict else dict(attrs)
@@ -153,19 +157,39 @@ class PageExtractor(HTMLParser):
     def handle_endtag(self, tag: str) -> None:
         if tag in VOID_TAGS:
             return
-        # pop back to the matching open tag (tolerate unbalanced HTML)
-        if tag not in self._tags:
+        tags = self._tags
+        # fast path: well-formed close of the innermost element — skip
+        # the O(depth) membership scan of the recovery path below
+        if tags and tags[-1] == tag:
+            depth = len(tags)
+            tags.pop()
+            if tag in SKIP_TAGS:
+                self._skip_depth = max(0, self._skip_depth - 1)
+                if tag == "script" and self._in_ldjson:
+                    self.jsonld_blocks.append("".join(self._ld_buf))
+                    self._in_ldjson = False
+            else:
+                if tag in BLOCK_TAGS and self._collect_text:
+                    self._flush_block()
+                if self._micro_stack or self._prop_stack:
+                    self._end_microdata(depth)
+                if self._rdfa_stack or self._rdfa_prop_stack \
+                        or self._vocab_stack:
+                    self._end_rdfa(depth)
             return
-        while self._tags:
-            depth = len(self._tags)
-            top = self._tags.pop()
+        # pop back to the matching open tag (tolerate unbalanced HTML)
+        if tag not in tags:
+            return
+        while tags:
+            depth = len(tags)
+            top = tags.pop()
             if top in SKIP_TAGS:
                 self._skip_depth = max(0, self._skip_depth - 1)
                 if top == "script" and self._in_ldjson:
                     self.jsonld_blocks.append("".join(self._ld_buf))
                     self._in_ldjson = False
             else:
-                if top in BLOCK_TAGS:
+                if top in BLOCK_TAGS and self._collect_text:
                     self._flush_block()
                 self._end_microdata(depth)
                 self._end_rdfa(depth)

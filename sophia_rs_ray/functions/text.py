@@ -373,6 +373,26 @@ def shingle_pos_batch(b: pa.Table) -> pa.Table:
                      "sh": out["sh"].cast(pa.string())})
 
 
+def token_tf_batch(b: pa.Table) -> pa.Table:
+    """(doc_id, text) → per-document term frequencies as
+    (doc_id, tok, tf) rows — the map side of tf-idf term ranking.
+    Counts are per-doc EXACT because a doc lives in exactly one batch.
+    Vectorized polars: tokenize → explode → group count."""
+    import polars as pl
+
+    out = (_pl_docs(b)
+           .select(pl.col("doc_id"),
+                   pl.col("text").str.extract_all(TOKEN_RE2).alias("tok"))
+           .explode("tok")
+           .drop_nulls("tok")
+           .group_by(["doc_id", "tok"])
+           .len(name="tf")
+           .to_arrow())
+    return pa.table({"doc_id": out["doc_id"].cast(b["doc_id"].type),
+                     "tok": out["tok"].cast(pa.string()),
+                     "tf": out["tf"].cast(pa.int64())})
+
+
 #: fixed token-window size standing in for paragraph boundaries — the
 #: bench corpus has no newlines, so segmentation is deterministic token
 #: windows; swap the splitter for '\n\n' chunks on real crawl text.

@@ -511,21 +511,29 @@ class JsonLdExpander:
         properties are semantically transparent — they belong to the
         enclosing node)."""
         for key, value in obj.items():
+            if key[:1] == "@":
+                # direct keywords: @nest is the only one emitted here
+                # (@id/@type/@graph/… are node-level); non-keyword
+                # @-keys are ignored per expansion §13 — either way no
+                # term expansion is needed
+                if key == "@nest":
+                    for nv in value if isinstance(value, list) else [value]:
+                        if isinstance(nv, dict) and "@value" not in nv:
+                            self._emit_props(subject, nv, ctx, graph)
+                continue
             pred_iri = ctx.expand_iri(key, vocab=True)
-            if key == "@nest" or pred_iri == "@nest":
+            if pred_iri == "@nest":
                 for nv in value if isinstance(value, list) else [value]:
                     if isinstance(nv, dict) and "@value" not in nv:
                         self._emit_props(subject, nv, ctx, graph)
                 continue
-            if pred_iri == "@included" and key != "@included":
+            if pred_iri == "@included":
                 # keyword ALIAS for @included (the direct key is handled
                 # at node level in _node)
                 child = ctx.descend()
                 for nv in value if isinstance(value, list) else [value]:
                     if isinstance(nv, dict):
                         self._node(nv, child, graph)
-                continue
-            if key.startswith("@"):
                 continue
             if pred_iri is None or not is_absolute_iri(pred_iri):
                 continue

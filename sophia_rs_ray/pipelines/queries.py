@@ -1266,6 +1266,82 @@ FROM isl GROUP BY doc_id, grp
 """
 
 
+#: per-doc keyword count emitted by ``tfidf_top_terms``
+TFIDF_TOP_K = 3
+
+
+def _tfidf_top_terms(sf_dir: str):
+    """Per-document tf-idf keyword extraction, integer-exact: each
+    doc's top-``TFIDF_TOP_K`` terms ranked by term frequency DESC,
+    then corpus document frequency ASC (rarer wins — the idf axis
+    without a float score), then token ASC.  Ties are total, so the
+    result is deterministic and bit-compares against the SQL oracle.
+
+    Plan (two exchanges, no broadcast, no driver pull):
+      per-doc (tok, tf) counts (stateless vectorized map; exact
+      because a doc lives in one batch) → hash exchange on tok →
+      per-partition df = distinct-doc count per token (co-partitioned,
+      so the partition count IS the corpus df) attached as a column →
+      second hash exchange on doc_id → per-doc window rank + top-k.
+    Scale: stop-word-hot tokens concentrate rows in one partition but
+    the per-partition work is a linear window count, no pairing."""
+    import ray.data as rd
+
+    from ..functions.exchange import hash_aggregate
+    from ..functions.text import token_tf_batch
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    tf = docs.map_batches(token_tf_batch, batch_format="pyarrow")
+
+    def attach_df(t: pa.Table) -> pa.Table:
+        import polars as pl
+        return (pl.from_arrow(t)
+                .with_columns(pl.col("doc_id").n_unique().over("tok")
+                              .cast(pl.Int64).alias("df"))
+                .to_arrow())
+
+    with_df = hash_aggregate(tf, ["tok"], None, attach_df)
+
+    def topk(t: pa.Table) -> pa.Table:
+        import polars as pl
+        df = (pl.from_arrow(t)
+              .sort(["doc_id", "tf", "df", "tok"],
+                    descending=[False, True, False, False]))
+        df = df.with_columns(
+            (pl.int_range(pl.len()).over("doc_id") + 1)
+            .cast(pl.Int64).alias("rnk"))
+        return (df.filter(pl.col("rnk") <= TFIDF_TOP_K)
+                .select(["doc_id", "tok", "tf", "df", "rnk"])
+                .to_arrow())
+
+    return hash_aggregate(with_df, ["doc_id"], None, topk)
+
+
+def _tfidf_sql() -> str:
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(coalesce(text, ''),
+                '\s+'), x -> x <> '')) AS tok
+  FROM documents
+), tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok
+), dfreq AS (
+  SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok
+), ranked AS (
+  SELECT t.doc_id, t.tok, t.tf, d.df,
+         row_number() OVER (PARTITION BY t.doc_id
+                            ORDER BY t.tf DESC, d.df ASC, t.tok ASC)
+             AS rnk
+  FROM tf t JOIN dfreq d USING (tok)
+)
+SELECT doc_id, tok, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= {TFIDF_TOP_K}
+"""
+
+
 def _stratified_sample(sf_dir: str):
     """Deterministic stratified corpus sampling — the source-mixing
     primitive of every training-data recipe: each source gets a
@@ -2760,6 +2836,7 @@ def registry() -> Registry:
         "source_stats": (_source_stats, SOURCE_STATS_SQL),
         "segment_dedup": (_segment_dedup, SEGMENT_DEDUP_SQL),
         "dup_span_docs": (_dup_spans, _dup_spans_sql()),
+        "tfidf_top_terms": (_tfidf_top_terms, _tfidf_sql()),
         "stratified_sample": (_stratified_sample, STRATIFIED_SAMPLE_SQL),
         "source_mixture": (_source_mixture, SOURCE_MIXTURE_SQL),
         "knn_cosine": (_knn, KNN_SQL),

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import hashlib
 import random
+from functools import lru_cache
 from typing import Dict, List, Tuple
 
 from ..jsonld import canonical_double
@@ -66,11 +67,18 @@ def entity_iri(e: int) -> str:
     return f"{ENT}{e}"
 
 
+@lru_cache(maxsize=65536)
+def skolem_suffix(url: str, extractor: str) -> str:
+    """``"_" + h(url‖extractor)`` — the suffix is label-independent, so
+    one digest serves every bnode of a (page, extractor) pair."""
+    h = hashlib.sha256(f"{url}|{extractor}".encode()).hexdigest()[:12]
+    return f"_{h}"
+
+
 def skolem(label: str, url: str, extractor: str) -> str:
     """Deterministic skolem suffix = h(url‖extractor) (SURVEY §2.1 —
     replaces the reference's UUIDv7 parser suffix, ``_inner.rs:27-35``)."""
-    h = hashlib.sha256(f"{url}|{extractor}".encode()).hexdigest()[:12]
-    return f"{label}_{h}"
+    return label + skolem_suffix(url, extractor)
 
 
 def _params(i: int, n_pages: int) -> Dict:

@@ -30,7 +30,7 @@ from ..ntriples import format_nt_table
 from ..extract.to_triples import _Alloc, microdata_to_triples, rdfa_to_triples
 from ..iri import BaseIri
 from ..jsonld import JsonLdExpander
-from ..sources.pages import skolem
+from ..sources.pages import skolem, skolem_suffix
 from ..terms import KIND_BNODE, Term
 
 _TERM_COLS = [
@@ -65,14 +65,20 @@ def extract_triples_batch(batch: pa.Table) -> pa.Table:
     rows_append = rows.append
     _err_tail = (-1, "", "", "", -1) * 3
 
+    BN = KIND_BNODE
+
     def push(url: str, extractor: str,
              s: Term, p: Term, o: Term) -> None:
-        if s[0] == KIND_BNODE:
-            s = (s[0], skolem(s[1], url, extractor), s[2], s[3], s[4])
-        if p[0] == KIND_BNODE:
-            p = (p[0], skolem(p[1], url, extractor), p[2], p[3], p[4])
-        if o[0] == KIND_BNODE:
-            o = (o[0], skolem(o[1], url, extractor), o[2], o[3], o[4])
+        # the suffix digest is label-independent and lru-cached per
+        # (url, extractor), so renaming is one concat per bnode term
+        if s[0] == BN or p[0] == BN or o[0] == BN:
+            sfx = skolem_suffix(url, extractor)
+            if s[0] == BN:
+                s = (BN, s[1] + sfx, s[2], s[3], s[4])
+            if p[0] == BN:
+                p = (BN, p[1] + sfx, p[2], p[3], p[4])
+            if o[0] == BN:
+                o = (BN, o[1] + sfx, o[2], o[3], o[4])
         rows_append((url, extractor, "") + s + p + o)
 
     def push_error(url: str, extractor: str, msg: str) -> None:

@@ -69,3 +69,39 @@ def test_dup_spans_matches_brute_force(ray_session, tmp_path):
     assert len(docs[0]) == 2
     assert any(s > 0 for spans in docs.values() for s, _ in spans)
     assert 3 in docs and 2 not in docs
+
+
+def test_tfidf_top_terms_ranking_law(ray_session, tmp_path):
+    """Crafted corpus straddling every tie-break level: tf ties broken
+    by corpus df (rarer wins), df ties broken by token; docs with
+    fewer distinct tokens than TOP_K emit fewer rows."""
+    from sophia_rs_ray.pipelines.queries import TFIDF_TOP_K, _tfidf_top_terms
+
+    texts = [
+        "apple apple banana banana cherry zebra zebra zebra",
+        "banana date date",          # 'banana' df=2, 'date' df=1
+        "egg",                       # single-token doc → 1 row
+        "",                          # empty doc → 0 rows
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    rows = sorted(((r["doc_id"], r["rnk"], r["tok"], r["tf"], r["df"])
+                   for r in _tfidf_top_terms(str(tmp_path)).take_all()))
+    by_doc = {}
+    for d, rnk, tok, tf, df in rows:
+        by_doc.setdefault(d, []).append((rnk, tok, tf, df))
+    # doc 0: zebra tf=3 first; apple/banana tf=2 tie → banana df=2
+    #        loses to apple df=1
+    assert [t for _, t, _, _ in sorted(by_doc[0])] == \
+        ["zebra", "apple", "banana"]
+    # doc 1: date tf=2 first, banana second
+    assert [t for _, t, _, _ in sorted(by_doc[1])] == ["banana", "date"] \
+        or [t for _, t, _, _ in sorted(by_doc[1])] == ["date", "banana"]
+    assert sorted(by_doc[1])[0][1] == "date"
+    assert by_doc[2] == [(1, "egg", 1, 1)]
+    assert 3 not in by_doc
+    assert all(len(v) <= TFIDF_TOP_K for v in by_doc.values())
