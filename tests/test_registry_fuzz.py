@@ -19,7 +19,7 @@ DOC_QUERIES = [
     "lang_id", "vocab_top_terms", "quality_filter", "winnow_fingerprints",
     "minhash_bands", "near_dup_clusters", "ngram_jaccard",
     "decontaminate_docs", "pack_sequences", "nt_file_roundtrip",
-    "source_mixture",
+    "source_mixture", "dup_span_docs", "tfidf_top_terms",
 ]
 
 _WORDS = ("the of and to a in is that it for le la les de et un une "
