@@ -1266,6 +1266,189 @@ FROM isl GROUP BY doc_id, grp
 """
 
 
+#: PageRank fixed-point parameters — integer arithmetic end-to-end so
+#: the Ray plan and the DuckDB oracle agree bit-exactly (float PageRank
+#: would differ in summation order).  Unnormalized: every node starts
+#: at PR_SCALE, teleport adds floor(0.15·PR_SCALE) per iteration, each
+#: edge ships floor(85·val / (100·outdeg)); dangling-node mass is
+#: dropped (the standard simplification — ranks stay comparable).
+PR_SCALE = 1_000_000
+PR_TELEPORT = 150_000
+PR_ITERS = 5
+
+
+def _pagerank_clicks(sf_dir: str):
+    """PageRank over the click-transition graph: nodes are the pages
+    (``props.$.k``), a directed edge src→dst exists when a user's
+    consecutive events (ordered by event_id) move between two distinct
+    pages.  ``PR_ITERS`` synchronous iterations of integer fixed-point
+    PageRank (parameters above) → (node, pr) ranks.
+
+    Plan: extract (user, event_id, k) (vectorized regex + json
+    fallback) → hash exchange on user → per-partition ordered shift
+    gives transition pairs → hash exchange on (src, dst) for the
+    global DISTINCT edge set → src-keyed exchange attaches outdeg.
+    Each iteration is two exchanges: ranks tagged into the src-keyed
+    edge partitions (value joined to out-edges, zero-sentinel keeps
+    in-degree-0 nodes alive) → dst-keyed sum + teleport.  The edge
+    dataset is materialized ONCE and reused; only rank rows move per
+    iteration — at cluster scale the edge side would additionally be
+    pre-partitioned by src so iterations ship ranks alone."""
+    import ray.data as rd
+
+    from ..functions.exchange import hash_aggregate
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "props"])
+
+    def extract_k(b: pa.Table) -> pa.Table:
+        import json
+        props = pc.cast(b["props"], pa.string())
+        m = pc.extract_regex(props, r'"k"\s*:\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        if k.null_count > 0:
+            vals = k.to_pylist()
+            raw = props.to_pylist()
+            for i, v in enumerate(vals):
+                if v is None and raw[i]:
+                    try:
+                        vals[i] = int(json.loads(raw[i]).get("k"))
+                    except (ValueError, TypeError, KeyError):
+                        vals[i] = None
+            k = pa.array(vals, pa.int64())
+        return pa.table({"user_id": pc.cast(b["user_id"], pa.int64()),
+                         "event_id": pc.cast(b["event_id"], pa.int64()),
+                         "k": k})
+
+    def transitions(t: pa.Table) -> pa.Table:
+        import polars as pl
+        df = (pl.from_arrow(t).drop_nulls("k")
+              .sort(["user_id", "event_id"]))
+        df = df.with_columns(pl.col("k").shift(1).over("user_id")
+                             .alias("src"))
+        out = (df.filter(pl.col("src").is_not_null()
+                         & (pl.col("src") != pl.col("k")))
+               .select([pl.col("src").cast(pl.Int64),
+                        pl.col("k").cast(pl.Int64).alias("dst")]))
+        return out.to_arrow()
+
+    def distinct_edges(t: pa.Table) -> pa.Table:
+        return t.group_by(["src", "dst"]).aggregate([])
+
+    def attach_outdeg(t: pa.Table) -> pa.Table:
+        import polars as pl
+        return (pl.from_arrow(t)
+                .with_columns(pl.len().over("src").cast(pl.Int64)
+                              .alias("outdeg"))
+                .to_arrow())
+
+    pairs = ev.map_batches(extract_k, batch_format="pyarrow")
+    trans = hash_aggregate(pairs, ["user_id"], None, transitions)
+    edges = hash_aggregate(trans, ["src", "dst"], None, distinct_edges)
+    edges = hash_aggregate(edges, ["src"], None, attach_outdeg)
+    # reused every iteration: pin the blocks once
+    edges = edges.map_batches(
+        lambda b: b.append_column("val", pa.nulls(len(b), pa.int64())),
+        batch_format="pyarrow").materialize()
+
+    def node0(b: pa.Table) -> pa.Table:
+        import numpy as np
+        nodes = np.unique(np.concatenate([
+            b["src"].to_numpy(zero_copy_only=False),
+            b["dst"].to_numpy(zero_copy_only=False)]))
+        n = len(nodes)
+        return pa.table({
+            "src": pa.array(nodes, pa.int64()),
+            "dst": pa.nulls(n, pa.int64()),
+            "outdeg": pa.nulls(n, pa.int64()),
+            "val": pa.array([PR_SCALE] * n, pa.int64())})
+
+    # per-block node seeds may duplicate across blocks; the first
+    # src-keyed exchange of iteration 1 dedups them (max — equal vals)
+    ranks = edges.map_batches(node0, batch_format="pyarrow")
+
+    def contribs(t: pa.Table) -> pa.Table:
+        """src-keyed partition holding this src's out-edges AND its
+        rank row(s) → (node, contrib) rows: one per edge plus a zero
+        sentinel per node (keeps in-degree-0 nodes in the result)."""
+        import polars as pl
+        df = pl.from_arrow(t)
+        vals = (df.filter(pl.col("val").is_not_null())
+                .group_by("src").agg(pl.col("val").max().alias("v")))
+        e = (df.filter(pl.col("dst").is_not_null())
+             .join(vals, on="src", how="inner")
+             .select([pl.col("dst").alias("node"),
+                      ((85 * pl.col("v")) //
+                       (100 * pl.col("outdeg"))).alias("contrib")]))
+        z = vals.select([pl.col("src").alias("node"),
+                         pl.lit(0, dtype=pl.Int64).alias("contrib")])
+        out = pl.concat([e, z]).to_arrow()
+        return pa.table({"node": out["node"].cast(pa.int64()),
+                         "contrib": out["contrib"].cast(pa.int64())})
+
+    def new_ranks(t: pa.Table) -> pa.Table:
+        g = t.group_by(["node"]).aggregate([("contrib", "sum")])
+        n = len(g)
+        return pa.table({
+            "src": g["node"].cast(pa.int64()),
+            "dst": pa.nulls(n, pa.int64()),
+            "outdeg": pa.nulls(n, pa.int64()),
+            "val": pc.add(g["contrib_sum"],
+                          pa.scalar(PR_TELEPORT, pa.int64()))
+                     .cast(pa.int64())})
+
+    for _ in range(PR_ITERS):
+        tagged = edges.union(ranks)
+        contrib = hash_aggregate(tagged, ["src"], None, contribs)
+        ranks = hash_aggregate(contrib, ["node"], None, new_ranks)
+
+    return ranks.map_batches(
+        lambda b: pa.table({"node": b["src"].cast(pa.int64()),
+                            "pr": b["val"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+def _pagerank_sql() -> str:
+    prev, steps = "pr0", []
+    for i in range(1, PR_ITERS + 1):
+        steps.append(f"""pr{i} AS (
+  SELECT n.n,
+         CAST({PR_TELEPORT} + coalesce(c.s, 0) AS BIGINT) AS val
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS n,
+           sum((85 * p.val) // (100 * d.outdeg)) AS s
+    FROM {prev} p
+    JOIN edges e ON e.src = p.n
+    JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+  ) c ON c.n = n.n
+)""")
+        prev = f"pr{i}"
+    chain = ",\n".join(steps)
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_id,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  FROM events
+), seq AS (
+  SELECT k, lag(k) OVER (PARTITION BY user_id ORDER BY event_id) AS pk
+  FROM ev WHERE k IS NOT NULL
+), edges AS (
+  SELECT DISTINCT pk AS src, k AS dst FROM seq
+  WHERE pk IS NOT NULL AND pk <> k
+), nodes AS (
+  SELECT DISTINCT src AS n FROM edges
+  UNION SELECT DISTINCT dst FROM edges
+), deg AS (
+  SELECT src, count(*) AS outdeg FROM edges GROUP BY src
+), pr0 AS (
+  SELECT n, CAST({PR_SCALE} AS BIGINT) AS val FROM nodes
+),
+{chain}
+SELECT n AS node, val AS pr FROM {prev}
+"""
+
+
 #: per-doc keyword count emitted by ``tfidf_top_terms``
 TFIDF_TOP_K = 3
 
@@ -2837,6 +3020,7 @@ def registry() -> Registry:
         "segment_dedup": (_segment_dedup, SEGMENT_DEDUP_SQL),
         "dup_span_docs": (_dup_spans, _dup_spans_sql()),
         "tfidf_top_terms": (_tfidf_top_terms, _tfidf_sql()),
+        "pagerank_clicks": (_pagerank_clicks, _pagerank_sql()),
         "stratified_sample": (_stratified_sample, STRATIFIED_SAMPLE_SQL),
         "source_mixture": (_source_mixture, SOURCE_MIXTURE_SQL),
         "knn_cosine": (_knn, KNN_SQL),

@@ -105,3 +105,59 @@ def test_tfidf_top_terms_ranking_law(ray_session, tmp_path):
     assert by_doc[2] == [(1, "egg", 1, 1)]
     assert 3 not in by_doc
     assert all(len(v) <= TFIDF_TOP_K for v in by_doc.values())
+
+
+def test_pagerank_clicks_matches_python_reference(ray_session, tmp_path):
+    """Crafted event log: user boundaries cut edges, self-loops and
+    null-k events are dropped, dangling (sink) and in-degree-0 (source)
+    nodes keep rank rows — checked against a direct Python evaluation
+    of the same integer recurrence."""
+    import json
+    from datetime import datetime
+
+    from sophia_rs_ray.pipelines.queries import (
+        PR_ITERS, PR_SCALE, PR_TELEPORT, _pagerank_clicks)
+
+    # user 0: 1→2→3→1 cycle plus 1→4 (4 is a sink / dangling)
+    # user 1: 5→1 (5 has in-degree 0), a self-loop 1→1, a null-k event
+    seqs = {0: [1, 2, 3, 1, 4], 1: [5, 1, 1, None, 2]}
+    rows = []
+    eid = 0
+    for u, ks in seqs.items():
+        for k in ks:
+            props = json.dumps({"k": k}) if k is not None else "{}"
+            rows.append((eid, datetime(2024, 1, 1), u, "click",
+                         0.0, props))
+            eid += 1
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows]),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "props": pa.array([r[5] for r in rows]),
+    })
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    # reference: edges after null-drop / self-loop-drop / distinct
+    edges = set()
+    for ks in seqs.values():
+        ks = [k for k in ks if k is not None]
+        edges |= {(a, b) for a, b in zip(ks, ks[1:]) if a != b}
+    assert (1, 1) not in edges and (1, 2) in edges and (5, 1) in edges
+    nodes = {n for e in edges for n in e}
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    pr = {n: PR_SCALE for n in nodes}
+    for _ in range(PR_ITERS):
+        nxt = {n: PR_TELEPORT for n in nodes}
+        for s, d in edges:
+            nxt[d] += (85 * pr[s]) // (100 * outdeg[s])
+        pr = nxt
+
+    got = sorted((r["node"], r["pr"])
+                 for r in _pagerank_clicks(str(tmp_path)).take_all())
+    assert got == sorted(pr.items())
+    assert 4 in dict(got) and 5 in dict(got)      # sink + source kept
+    assert dict(got)[5] == PR_TELEPORT            # in-degree-0 floor
