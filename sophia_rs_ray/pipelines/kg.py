@@ -9,7 +9,8 @@ shape the oracle table uses for P/R scoring.
 from __future__ import annotations
 
 from ..stages.dedup import dedup_triples
-from ..stages.extract import extract_text_batch, extract_triples_batch, format_triples_batch
+from ..stages.extract import (extract_nt_batch, extract_text_batch,
+                              extract_triples_batch)
 
 
 def extract_triples(pages_ds, batch_size: int = 256):
@@ -24,10 +25,10 @@ def extract_triples(pages_ds, batch_size: int = 256):
 def kg_pipeline(pages_ds, *, dedup: bool = True, sort: bool = True,
                 keep_url: bool = True, batch_size: int = 256):
     """pages Dataset → distinct (s, p, o[, url]) triples Dataset."""
-    t = extract_triples(pages_ds, batch_size=batch_size)
     keep = ("url",) if keep_url else ()
-    nt = t.map_batches(lambda b: format_triples_batch(b, keep=keep),
-                       batch_format="pyarrow")
+    nt = pages_ds.map_batches(lambda b: extract_nt_batch(b, keep=keep),
+                              batch_format="pyarrow",
+                              batch_size=batch_size)
     if dedup:
         nt = dedup_triples(nt, carry_min=keep)
     if sort:
@@ -52,9 +53,12 @@ def kg_materialize_pipeline(pages_ds, out_dir: str, *,
     from ..stages.dedup import add_spo_key, prededup_batch
     from ..stages.materialize import materialize_graph
 
-    t = extract_triples(pages_ds, batch_size=batch_size)
-    nt = t.map_batches(lambda b: format_triples_batch(b, keep=()),
-                       batch_format="pyarrow")
+    # fused extract→NT kernel: skips the flat-term intermediate and
+    # memoizes per-term formatting (1.30× the two-stage form, pinned
+    # byte-identical in tests/test_extract.py)
+    nt = pages_ds.map_batches(
+        lambda b: extract_nt_batch(b, keep=()),
+        batch_format="pyarrow", batch_size=batch_size)
     nt = nt.map_batches(
         lambda b: prededup_batch(add_spo_key(b)).drop_columns(["spo_key"]),
         batch_format="pyarrow")

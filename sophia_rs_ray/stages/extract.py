@@ -31,7 +31,7 @@ from ..extract.to_triples import _Alloc, microdata_to_triples, rdfa_to_triples
 from ..iri import BaseIri
 from ..jsonld import JsonLdExpander
 from ..sources.pages import skolem, skolem_suffix
-from ..terms import KIND_BNODE, Term
+from ..terms import KIND_BNODE, Term, format_term
 
 _TERM_COLS = [
     "s_kind", "s_lex", "s_dt", "s_lang", "s_dir",
@@ -53,37 +53,13 @@ def _skolemize(t: Term, url: str, extractor: str) -> Term:
     return t
 
 
-def extract_triples_batch(batch: pa.Table) -> pa.Table:
-    """pyarrow batch of pages → pyarrow batch of flat triple rows."""
-    urls = batch["url"].to_pylist()
-    htmls = batch["html"].to_pylist()
-
-    # one flat 18-field tuple per output row; the column split happens
-    # once at the end via zip(*rows) (a C-level transpose) instead of
-    # 18 Python list.append calls per triple
-    rows: List[tuple] = []
-    rows_append = rows.append
-    _err_tail = (-1, "", "", "", -1) * 3
-
-    BN = KIND_BNODE
-
-    def push(url: str, extractor: str,
-             s: Term, p: Term, o: Term) -> None:
-        # the suffix digest is label-independent and lru-cached per
-        # (url, extractor), so renaming is one concat per bnode term
-        if s[0] == BN or p[0] == BN or o[0] == BN:
-            sfx = skolem_suffix(url, extractor)
-            if s[0] == BN:
-                s = (BN, s[1] + sfx, s[2], s[3], s[4])
-            if p[0] == BN:
-                p = (BN, p[1] + sfx, p[2], p[3], p[4])
-            if o[0] == BN:
-                o = (BN, o[1] + sfx, o[2], o[3], o[4])
-        rows_append((url, extractor, "") + s + p + o)
-
-    def push_error(url: str, extractor: str, msg: str) -> None:
-        rows_append((url, extractor, msg) + _err_tail)
-
+def _extract_pages(urls, htmls, push, push_error) -> None:
+    """Shared per-page extraction driver: tokenize each page, expand the
+    JSON-LD blocks, convert microdata/RDFa, and hand every (url,
+    extractor, s, p, o) to ``push`` (term tuples, NOT yet skolemized)
+    and every parse failure to ``push_error``.  The two batch kernels
+    (flat term columns vs fused NT text) differ only in their sinks —
+    a differential test pins them equal row-for-row."""
     for url, html in zip(urls, htmls):
         if isinstance(html, (bytes, bytearray, memoryview)):
             html = bytes(html).decode("utf-8", errors="replace")
@@ -118,6 +94,40 @@ def extract_triples_batch(batch: pa.Table) -> pa.Table:
         for s, p, o in rdfa_to_triples(rdfa, base, alloc2):
             push(url, "rdfa", s, p, o)
 
+
+def extract_triples_batch(batch: pa.Table) -> pa.Table:
+    """pyarrow batch of pages → pyarrow batch of flat triple rows."""
+    urls = batch["url"].to_pylist()
+    htmls = batch["html"].to_pylist()
+
+    # one flat 18-field tuple per output row; the column split happens
+    # once at the end via zip(*rows) (a C-level transpose) instead of
+    # 18 Python list.append calls per triple
+    rows: List[tuple] = []
+    rows_append = rows.append
+    _err_tail = (-1, "", "", "", -1) * 3
+
+    BN = KIND_BNODE
+
+    def push(url: str, extractor: str,
+             s: Term, p: Term, o: Term) -> None:
+        # the suffix digest is label-independent and lru-cached per
+        # (url, extractor), so renaming is one concat per bnode term
+        if s[0] == BN or p[0] == BN or o[0] == BN:
+            sfx = skolem_suffix(url, extractor)
+            if s[0] == BN:
+                s = (BN, s[1] + sfx, s[2], s[3], s[4])
+            if p[0] == BN:
+                p = (BN, p[1] + sfx, p[2], p[3], p[4])
+            if o[0] == BN:
+                o = (BN, o[1] + sfx, o[2], o[3], o[4])
+        rows_append((url, extractor, "") + s + p + o)
+
+    def push_error(url: str, extractor: str, msg: str) -> None:
+        rows_append((url, extractor, msg) + _err_tail)
+
+    _extract_pages(urls, htmls, push, push_error)
+
     if rows:
         cols = list(zip(*rows))
     else:
@@ -129,6 +139,77 @@ def extract_triples_batch(batch: pa.Table) -> pa.Table:
         typ = pa.int8() if c.endswith(("kind", "dir")) else pa.large_string()
         arrays.append(pa.array(cols[3 + i], typ))
     return pa.Table.from_arrays(arrays, schema=TRIPLES_SCHEMA)
+
+
+#: worker-persistent term→NT-text memo for the fused flagship kernel.
+#: Extracted terms repeat heavily (measured ~16× per sf0.1 batch:
+#: predicates, rdf:type objects, shared entity IRIs), and template
+#: sites repeat them across batches for the life of the worker.
+_NT_MEMO: dict = {}
+_NT_MEMO_MAX = 1 << 16
+
+
+def extract_nt_batch(batch: pa.Table,
+                     keep: Tuple[str, ...] = ()) -> pa.Table:
+    """Fused pages → canonical NT text (s, p, o) kernel — the flagship
+    hot path.  Equivalent to ``format_triples_batch(
+    extract_triples_batch(batch), keep=keep)`` (differential-pinned in
+    ``tests/test_extract.py``) but skips the 18-column flat-term
+    intermediate and its Arrow round-trip entirely: each term formats
+    ONCE per distinct value via a worker-persistent memo and lands
+    directly in the three output string columns.  Parse-error rows are
+    dropped (exactly what the format stage does).  Measured ~1.25× on
+    the extract stage at sf0.1 (BASELINE.md round 5)."""
+    urls = batch["url"].to_pylist()
+    htmls = batch["html"].to_pylist()
+
+    keep_url = "url" in keep
+    s_col: List[str] = []
+    p_col: List[str] = []
+    o_col: List[str] = []
+    u_col: List[str] = []
+    s_app, p_app, o_app, u_app = (s_col.append, p_col.append,
+                                  o_col.append, u_col.append)
+    memo = _NT_MEMO
+    memo_get = memo.get
+    BN = KIND_BNODE
+
+    def fmt(t: Term) -> str:
+        v = memo_get(t)
+        if v is None:
+            if len(memo) >= _NT_MEMO_MAX:
+                memo.clear()
+            memo[t] = v = format_term(t)
+        return v
+
+    def push(url: str, extractor: str,
+             s: Term, p: Term, o: Term) -> None:
+        if s[0] == BN or p[0] == BN or o[0] == BN:
+            sfx = skolem_suffix(url, extractor)
+            if s[0] == BN:
+                s = (BN, s[1] + sfx, s[2], s[3], s[4])
+            if p[0] == BN:
+                p = (BN, p[1] + sfx, p[2], p[3], p[4])
+            if o[0] == BN:
+                o = (BN, o[1] + sfx, o[2], o[3], o[4])
+        s_app(fmt(s))
+        p_app(fmt(p))
+        o_app(fmt(o))
+        if keep_url:
+            u_app(url)
+
+    def push_error(url: str, extractor: str, msg: str) -> None:
+        pass  # error rows carry no triple; the NT surface drops them
+
+    _extract_pages(urls, htmls, push, push_error)
+
+    data = {}
+    if keep_url:
+        data["url"] = pa.array(u_col, pa.large_string())
+    data["s"] = pa.array(s_col, pa.large_string())
+    data["p"] = pa.array(p_col, pa.large_string())
+    data["o"] = pa.array(o_col, pa.large_string())
+    return pa.table(data)
 
 
 def extract_text_batch(batch: pa.Table) -> pa.Table:

@@ -106,3 +106,61 @@ def test_page_record_deterministic():
     b = page_record(42, 500)
     assert a == b
     assert expected_triples(42, 500) == expected_triples(42, 500)
+
+
+def test_fused_nt_kernel_equals_two_stage():
+    """extract_nt_batch must be byte-identical to
+    format_triples_batch(extract_triples_batch(b)) — the fused flagship
+    kernel vs the generic two-stage path, with and without the url
+    carry column (covers escape-case pages i%13==5, missing-jsonld
+    i%11==7, and bad-jsonld error rows i%29==13, which the NT surface
+    must DROP exactly like the format stage does)."""
+    from sophia_rs_ray.stages.extract import extract_nt_batch
+
+    b = _batch(120)
+    two_stage = format_triples_batch(extract_triples_batch(b), keep=())
+    fused = extract_nt_batch(b, keep=())
+    assert fused.schema == two_stage.schema
+    assert fused.equals(two_stage)
+
+    two_url = format_triples_batch(extract_triples_batch(b))
+    fused_url = extract_nt_batch(b, keep=("url",))
+    assert fused_url.equals(two_url)
+
+    # empty batch keeps the schema
+    import pyarrow as pa
+    empty = pa.table({"url": pa.array([], pa.large_string()),
+                      "html": pa.array([], pa.large_string())})
+    fe = extract_nt_batch(empty, keep=())
+    assert fe.num_rows == 0 and fe.column_names == ["s", "p", "o"]
+
+
+def test_fused_nt_kernel_mutation_gauntlet():
+    """Fused == two-stage on adversarially mutated pages (truncations,
+    splices, attribute damage) — the same corpus discipline as the
+    fast-vs-stdlib tokenizer gate."""
+    import random
+
+    from sophia_rs_ray.stages.extract import extract_nt_batch
+    import pyarrow as pa
+
+    rng = random.Random("fused-nt-gauntlet")
+    pages = []
+    for i in range(60):
+        html = page_record(i, 600)["html"]
+        mode = i % 4
+        if mode == 1 and len(html) > 10:       # truncate mid-document
+            html = html[:rng.randrange(5, len(html))]
+        elif mode == 2:                        # splice two pages
+            other = page_record((i * 7 + 3) % 600, 600)["html"]
+            cut = rng.randrange(len(html))
+            html = html[:cut] + other[rng.randrange(len(other)):]
+        elif mode == 3 and len(html) > 20:     # delete a random span
+            a = rng.randrange(len(html) - 10)
+            html = html[:a] + html[a + rng.randrange(1, 10):]
+        pages.append((f"https://mut{i}.example/p/{i}", html))
+    b = pa.table({"url": pa.array([u for u, _ in pages], pa.large_string()),
+                  "html": pa.array([h for _, h in pages], pa.large_string())})
+    two_stage = format_triples_batch(extract_triples_batch(b), keep=())
+    fused = extract_nt_batch(b, keep=())
+    assert fused.equals(two_stage)
