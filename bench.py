@@ -245,10 +245,9 @@ def run_stats() -> dict:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
-    from sophia_rs_ray.pipelines.kg import extract_triples, \
-        format_triples_batch
     from sophia_rs_ray.sources.pages import SF_PAGE_COUNTS, pages_dataset
     from sophia_rs_ray.stages.dedup import add_spo_key, prededup_batch
+    from sophia_rs_ray.stages.extract import extract_nt_batch
 
     n_pages = SF_PAGE_COUNTS.get(_sf(), 5000)
     blocks = max(2 * NUM_CPUS, n_pages // 4000)
@@ -258,10 +257,9 @@ def run_stats() -> dict:
     import pyarrow as _pa  # noqa: F401
 
     t0 = time.perf_counter()
-    nt = extract_triples(pages_dataset(n_pages,
-                                       override_num_blocks=blocks))
-    nt = nt.map_batches(lambda b: format_triples_batch(b, keep=()),
-                        batch_format="pyarrow")
+    nt = pages_dataset(n_pages, override_num_blocks=blocks).map_batches(
+        lambda b: extract_nt_batch(b, keep=()),
+        batch_format="pyarrow", batch_size=256)
     nt = nt.map_batches(
         lambda b: prededup_batch(add_spo_key(b)).drop_columns(["spo_key"]),
         batch_format="pyarrow")
