@@ -398,6 +398,19 @@ def _attrs_of(soup: str) -> dict:
     return v
 
 
+#: tag-name lowercase memo: tag spellings repeat endlessly across a
+#: worker's documents, so the (scan + alloc) of str.lower runs once per
+#: distinct spelling (read-only values; same lifecycle as _ATTR_CACHE)
+_TAG_LOWER: Dict[str, str] = {}
+
+#: start tags needing the FULL handle_starttag even with no relevant
+#: attrs: skip-content elements (script/style/...), voids (redirect to
+#: startendtag), and block tags (text-block flush — only when the
+#: caller collects text; the no-text variant omits them)
+_SPECIAL_START_TEXT = frozenset(SKIP_TAGS | VOID_TAGS | BLOCK_TAGS)
+_SPECIAL_START_NOTEXT = frozenset(SKIP_TAGS | VOID_TAGS)
+
+
 def _fast_feed(h: PageExtractor, text: str) -> None:
     """Emit handle_starttag/startendtag/endtag/data events like
     ``HTMLParser(convert_charrefs=True).feed`` (charrefs decoded in
@@ -409,6 +422,14 @@ def _fast_feed(h: PageExtractor, text: str) -> None:
     handle_endtag = h.handle_endtag
     start_match = _START_RE.match
     end_match = _END_RE.match
+    tag_lower = _TAG_LOWER
+    tags_list = h._tags
+    tags_append = tags_list.append
+    # a start tag with NO marker attrs and none of these names reduces
+    # to exactly ``self._tags.append(tag)`` in handle_starttag (the
+    # micro/RDFa branches are gated on the marker attrs) — inline that
+    special_start = _SPECIAL_START_TEXT if h._collect_text \
+        else _SPECIAL_START_NOTEXT
     # a data segment only matters while something consumes it (visible
     # text collection, an open itemprop/RDFa literal span, or an
     # ld+json block); otherwise skip the slice + dispatch entirely —
@@ -441,12 +462,19 @@ def _fast_feed(h: PageExtractor, text: str) -> None:
                 handle_data("<")
                 pos = lt + 1
                 continue
-            tag = m.group(1).lower()
-            soup = m.group(2)
+            raw_tag, soup, selfclose = m.group(1, 2, 3)
+            tag = tag_lower.get(raw_tag)
+            if tag is None:
+                if len(tag_lower) >= 4096:
+                    tag_lower.clear()
+                tag_lower[raw_tag] = tag = raw_tag.lower()
             attrs = _attrs_of(soup) if soup else _NO_ATTRS
             pos = m.end()
-            if m.group(3):
+            if selfclose:
                 h.handle_startendtag(tag, attrs)
+                continue
+            if attrs is _NO_ATTRS and tag not in special_start:
+                tags_append(tag)
                 continue
             handle_starttag(tag, attrs)
             if tag in _RAWTEXT_TAGS and tag not in VOID_TAGS:
