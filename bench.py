@@ -181,6 +181,35 @@ def _burn(n: int) -> int:
     return s
 
 
+def _mem_ceiling(lo: int, hi: int) -> float:
+    """This machine's lo→hi scaling on a memory-BANDWIDTH-bound burn
+    (numpy buffer copies, DRAM-sized working set).  String sorts, hash
+    exchanges and Arrow buffer moves are bound by this, not by ALU —
+    the pure-CPU ceiling overstates what the shared socket can deliver
+    to a data pipeline, so both ceilings are reported."""
+    import multiprocessing as mp
+
+    def bench(workers: int) -> float:
+        with mp.get_context("spawn").Pool(workers) as p:
+            p.map(_memburn, [2] * workers)  # warm (alloc + fault pages)
+            t0 = time.perf_counter()
+            p.map(_memburn, [24] * 64)
+            return time.perf_counter() - t0
+
+    tl, th = bench(lo), bench(hi)
+    return round((tl / th) / (hi / lo), 3)
+
+
+def _memburn(k: int) -> int:
+    import numpy as np
+
+    src = np.ones(2 * 1024 * 1024, dtype=np.int64)   # 16 MiB
+    dst = np.empty_like(src)
+    for _ in range(k):
+        np.copyto(dst, src)
+    return int(dst[0])
+
+
 def run_scaling() -> dict:
     def run(ncpu: int) -> dict:
         best = None
@@ -208,6 +237,8 @@ def run_scaling() -> dict:
     eff_8_32 = (tps[32] / tps[8]) / 4.0
     ceil_4_16 = _cpu_ceiling(4, 16)
     ceil_8_32 = _cpu_ceiling(8, 32)
+    mceil_4_16 = _mem_ceiling(4, 16)
+    mceil_8_32 = _mem_ceiling(8, 32)
     return {
         "metric": "scaling_efficiency",
         "value": round(eff_4_16, 3),
@@ -224,6 +255,16 @@ def run_scaling() -> dict:
         if ceil_4_16 else None,
         "eff_8_32_normalized": round(eff_8_32 / ceil_8_32, 3)
         if ceil_8_32 else None,
+        # bandwidth-bound ceiling (numpy copies): the honest upper
+        # bound for a string/Arrow pipeline on one shared socket;
+        # multi-node clusters add a memory system per node, this VM
+        # does not
+        "hw_mem_ceiling_4_to_16": mceil_4_16,
+        "hw_mem_ceiling_8_to_32": mceil_8_32,
+        "eff_4_16_normalized_mem": round(eff_4_16 / mceil_4_16, 3)
+        if mceil_4_16 else None,
+        "eff_8_32_normalized_mem": round(eff_8_32 / mceil_8_32, 3)
+        if mceil_8_32 else None,
         "sf": float(_sf()),
     }
 
