@@ -33,10 +33,12 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
-SCALING_PAGES = 500_000
-SCALING_BLOCKS = 128  # ≈4k pages/block — fixed across arms (same job);
-#                       fine enough that the 32-CPU arm gets 4 task
-#                       waves (64 blocks = 2 waves → straggler-bound)
+SCALING_PAGES = int(os.environ.get("SOPHIA_SCALING_PAGES", 500_000))
+# ≈4k pages/block — fixed across arms (same job); fine enough that the
+# 32-CPU arm gets 4 task waves at the default size (64 blocks = 2 waves
+# → straggler-bound).  Block count follows data size, not CPU count.
+SCALING_BLOCKS = int(os.environ.get(
+    "SOPHIA_SCALING_BLOCKS", max(16, SCALING_PAGES // 3906)))
 SCALING_SHARDS = 32
 
 
