@@ -113,7 +113,8 @@ def run_bench() -> dict:
                  "events_props_k", "repetition_features",
                  "novel_bigrams", "source_stats", "segment_dedup",
                  "stratified_sample", "decontaminate_docs",
-                 "pack_sequences", "semdedup_docs", "dup_span_docs"):
+                 "pack_sequences", "semdedup_docs", "dup_span_docs",
+                 "lm_score", "chunk_docs"):
         fn, _sql = reg[name]
         t0 = time.perf_counter()
         res = fn(SF_DIR)

@@ -445,3 +445,86 @@ def doc_segment_totals_batch(b: pa.Table) -> pa.Table:
                      "seg_idx": pa.array([-1] * n, pa.int64()),
                      "seg": pa.array([""] * n, pa.large_string()),
                      "n_segments": totals})
+
+
+#: document chunking window/stride (characters) — RAG-style overlapping
+#: windows; chunk i covers [i*CHUNK_S, i*CHUNK_S + CHUNK_W).  Mirrored
+#: by the DuckDB oracle's generate_series + substr.
+CHUNK_W = 200
+CHUNK_S = 150
+
+
+def chunk_docs_batch(b: pa.Table) -> pa.Table:
+    """(doc_id, text) → overlapping character chunks as
+    (doc_id, chunk_id, chunk) rows.  Every document yields at least one
+    chunk (empty text → one '' chunk), so the operator is
+    count-predictable for downstream packing.  Vectorized polars:
+    per-row chunk count via integer ceil-div → ``int_ranges`` →
+    explode → ``str.slice``.  n_chunks = ceil(max(len-W, 0)/S) + 1."""
+    import polars as pl
+
+    out = (_pl_docs(b)
+           .with_columns(_n=pl.col("text").str.len_chars()
+                         .cast(pl.Int64))
+           .with_columns(_nc=((pl.col("_n") - CHUNK_W).clip(0)
+                              + CHUNK_S - 1) // CHUNK_S + 1)
+           .with_columns(chunk_id=pl.int_ranges(0, pl.col("_nc")))
+           .explode("chunk_id")
+           .with_columns(chunk=pl.col("text").str.slice(
+               pl.col("chunk_id") * CHUNK_S, CHUNK_W))
+           .to_arrow())
+    return pa.table({"doc_id": out["doc_id"].cast(b["doc_id"].type),
+                     "chunk_id": out["chunk_id"].cast(pa.int64()),
+                     "chunk": out["chunk"].cast(pa.string())})
+
+
+def bigram_tf_batch(b: pa.Table) -> pa.Table:
+    """(doc_id, text) → per-batch PARTIAL bigram counts (bigram, c),
+    every occurrence counted (multiplicity kept, unlike
+    :func:`bigram_pairs_batch`'s per-doc distinct) — the combiner-side
+    map of bigram-LM training.  Vectorized polars: tokenize →
+    adjacent-shift concat → explode → group count."""
+    import polars as pl
+
+    bigram = (pl.element() + " " + pl.element().shift(-1)).drop_nulls()
+    out = (_pl_docs(b)
+           .select(pl.col("text").str.extract_all(TOKEN_RE2)
+                   .list.eval(bigram).alias("bigram"))
+           .explode("bigram", empty_as_null=True)
+           .drop_nulls("bigram")
+           .group_by("bigram").len(name="c")
+           .to_arrow())
+    return pa.table({"bigram": out["bigram"].cast(pa.string()),
+                     "c": out["c"].cast(pa.int64())})
+
+
+def doc_bigram_batch(b: pa.Table) -> pa.Table:
+    """(doc_id, text) → (doc_id, bigram) per OCCURRENCE (duplicates
+    kept) — the scoring side of the bigram LM's distributed-join plan."""
+    import polars as pl
+
+    bigram = (pl.element() + " " + pl.element().shift(-1)).drop_nulls()
+    out = (_pl_docs(b)
+           .select(pl.col("doc_id"),
+                   pl.col("text").str.extract_all(TOKEN_RE2)
+                   .list.eval(bigram).alias("bigram"))
+           .explode("bigram", empty_as_null=True)
+           .drop_nulls("bigram")
+           .to_arrow())
+    return pa.table({"doc_id": out["doc_id"].cast(b["doc_id"].type),
+                     "bigram": out["bigram"].cast(pa.string())})
+
+
+def distinct_tokens_batch(b: pa.Table) -> pa.Table:
+    """(doc_id, text) → per-batch distinct (tok,) rows — the combiner
+    side of corpus vocabulary counting (|V| for LM smoothing)."""
+    import polars as pl
+
+    out = (_pl_docs(b)
+           .select(pl.col("text").str.extract_all(TOKEN_RE2)
+                   .alias("tok"))
+           .explode("tok", empty_as_null=True)
+           .drop_nulls("tok")
+           .unique()
+           .to_arrow())
+    return pa.table({"tok": out["tok"].cast(pa.string())})

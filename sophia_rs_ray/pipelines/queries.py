@@ -2958,6 +2958,285 @@ SELECT x AS doc_id, min(y) AS cluster FROM reach GROUP BY x
 """
 
 
+# ---------------------------------------------------------------------------
+# bigram language-model scoring + document chunking (round 5)
+# ---------------------------------------------------------------------------
+
+#: bigram-LM broadcast gate: above this many distinct corpus bigrams the
+#: (bigram, logprob) table stops being a broadcast-sized model and the
+#: plan auto-routes through the distributed-join scoring plan
+#: (decontaminate precedent — gated with take(limit+1), never a
+#: driver-side take_all of an unbounded table).
+_LM_BROADCAST_LIMIT = 2_000_000
+
+_LM_FRAME_CACHE: dict = {}
+
+
+def _cached_lm_frame(ref):
+    """Per-worker cache of the broadcast (bigram → log2 prob) polars
+    frame (same idiom as :func:`_cached_bench_array`)."""
+    import polars as pl
+    import ray
+
+    key = ref.binary() if isinstance(ref, ray.ObjectRef) else id(ref)
+    f = _LM_FRAME_CACHE.get(key)
+    if f is None:
+        if len(_LM_FRAME_CACHE) > 4:
+            _LM_FRAME_CACHE.clear()
+        tbl = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        f = pl.from_arrow(tbl)
+        _LM_FRAME_CACHE[key] = f
+    return f
+
+
+def _lm_bigram_counts(sf_dir: str):
+    """Corpus bigram counts (bigram, c), every occurrence counted —
+    combiner-first: per-batch partial counts (``bigram_tf_batch``),
+    then one hash exchange summing per bigram."""
+    import ray.data as rd
+
+    from ..functions.exchange import hash_aggregate
+    from ..functions.text import bigram_tf_batch
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    partials = docs.map_batches(bigram_tf_batch, batch_format="pyarrow")
+
+    def sum_c(t: pa.Table) -> pa.Table:
+        return (t.group_by(["bigram"]).aggregate([("c", "sum")])
+                .rename_columns(["bigram", "c"]))
+
+    return hash_aggregate(partials, ["bigram"], sum_c, sum_c)
+
+
+def _lm_vocab_size(sf_dir: str) -> int:
+    """|V| = corpus-distinct token count (the add-one smoothing
+    denominator): per-batch distinct combiner → distinct exchange →
+    count.  The count is a scalar, so the driver pull is O(1)."""
+    import ray.data as rd
+
+    from ..functions.exchange import hash_aggregate
+    from ..functions.text import distinct_tokens_batch
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    toks = docs.map_batches(distinct_tokens_batch, batch_format="pyarrow")
+
+    def distinct(t: pa.Table) -> pa.Table:
+        return t.group_by(["tok"]).aggregate([])
+
+    return hash_aggregate(toks, ["tok"], distinct, distinct).count()
+
+
+def _lm_attach_lp(t: pa.Table, v: int) -> pa.Table:
+    """(bigram, c) rows co-located by leading token w1 → (bigram, lp)
+    with add-one smoothing: lp = log2((c+1) / (c(w1·)+|V|)) where
+    c(w1·) = Σ_w2 c(w1 w2).  The window sum over w1 is exact only when
+    every bigram sharing a w1 is present in ``t`` (driver table or a
+    w1-hash partition)."""
+    import polars as pl
+
+    df = (pl.from_arrow(t)
+          .with_columns(w1=pl.col("bigram").str.split(" ").list.get(0)))
+    df = df.with_columns(cw1=pl.col("c").sum().over("w1"))
+    num = df["c"].to_numpy() + 1.0
+    den = df["cw1"].to_numpy() + float(v)
+    return pa.table({"bigram": df["bigram"].to_arrow().cast(pa.string()),
+                     "lp": pa.array(np.log2(num / den), pa.float64())})
+
+
+def _lm_score(sf_dir: str):
+    """Per-document bigram-LM quality score: train an add-one-smoothed
+    bigram model on the corpus itself (the CCNet/KenLM-style quality
+    signal, reduced to exact integer counts so the DuckDB oracle
+    reproduces it bit-for-bit after round-4), then score every document
+    with its mean log2 bigram probability.
+
+    Three streaming passes over documents (bigram counts, vocab count,
+    scoring) — LM training is inherently multi-pass; each pass is a
+    combiner-first exchange, nothing materializes driver-side except
+    the gated model table.  Default plan broadcasts the (bigram, lp)
+    model (``ray.put`` once, per-worker cached frame); above
+    ``_LM_BROADCAST_LIMIT`` distinct bigrams it auto-routes through the
+    distributed-join plan (:func:`_lm_score_exchange`), pinned equal in
+    tests/test_lm_chunk.py."""
+    import ray
+    import ray.data as rd
+
+    from ..functions.text import doc_bigram_batch
+
+    bg = _lm_bigram_counts(sf_dir)
+    v = _lm_vocab_size(sf_dir)
+    rows = bg.take(_LM_BROADCAST_LIMIT + 1)
+    if len(rows) > _LM_BROADCAST_LIMIT:
+        return _lm_score_exchange(sf_dir, bg, v)
+    counts = pa.table({
+        "bigram": pa.array([r["bigram"] for r in rows], pa.string()),
+        "c": pa.array([r["c"] for r in rows], pa.int64())})
+    ref = ray.put(_lm_attach_lp(counts, v))
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def score(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        lmf = _cached_lm_frame(ref)
+        pairs = pl.from_arrow(doc_bigram_batch(b))
+        agg = (pairs.join(lmf, on="bigram", how="left")
+               .group_by("doc_id")
+               .agg(slp=pl.col("lp").sum(), n=pl.col("lp").count()))
+        out = (pl.from_arrow(b.select(["doc_id"]))
+               .join(agg, on="doc_id", how="left")
+               .with_columns(n=pl.col("n").fill_null(0)))
+        slp = out["slp"].to_numpy()
+        n = out["n"].to_numpy().astype(np.int64)
+        avg = np.round(np.where(n > 0, slp, 0.0)
+                       / np.maximum(n, 1), 4)
+        return pa.table({
+            "doc_id": out["doc_id"].to_arrow().cast(b["doc_id"].type),
+            "lm_logprob": pa.array(avg, pa.float64(), mask=(n == 0)),
+            "n_bigrams": pa.array(n, pa.int64())})
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+def _lm_score_exchange(sf_dir: str, bg, v: int):
+    """Distributed-join scoring plan (no broadcast): re-exchange the
+    bigram table on its leading token so each partition holds every
+    bigram of its w1s (making the c(w1·) window exact), attach lp
+    there, hash-join per-occurrence (doc_id, bigram) pairs against it,
+    then one doc-keyed exchange for the mean.  Zeros are unioned per
+    document so bigram-less docs survive with a NULL score (the
+    novel_bigrams idiom)."""
+    import ray.data as rd
+
+    from ..functions.exchange import (auto_partitions, exchange_join,
+                                      hash_aggregate)
+    from ..functions.text import doc_bigram_batch
+
+    def add_w1(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (pl.from_arrow(t)
+                .with_columns(w1=pl.col("bigram").str.split(" ")
+                              .list.get(0))
+                .to_arrow())
+
+    lm = hash_aggregate(
+        bg.map_batches(add_w1, batch_format="pyarrow"),
+        ["w1"], None, lambda t: _lm_attach_lp(t.drop_columns(["w1"]), v))
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    pairs = docs.map_batches(doc_bigram_batch, batch_format="pyarrow")
+    joined = exchange_join(pairs, lm, "inner", auto_partitions(pairs),
+                           on=["bigram"])
+
+    def scored_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"],
+                         "lp": t["lp"],
+                         "cnt": pa.array([1] * t.num_rows, pa.int64())})
+
+    def zeros(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b["doc_id"],
+                         "lp": pa.array([0.0] * len(b), pa.float64()),
+                         "cnt": pa.array([0] * len(b), pa.int64())})
+
+    stream = (joined.map_batches(scored_rows, batch_format="pyarrow")
+              .union(docs.map_batches(zeros, batch_format="pyarrow")))
+
+    def sum_doc(t: pa.Table) -> pa.Table:
+        return (t.group_by(["doc_id"])
+                .aggregate([("lp", "sum"), ("cnt", "sum")])
+                .rename_columns(["doc_id", "lp", "cnt"]))
+
+    def final(t: pa.Table) -> pa.Table:
+        g = sum_doc(t)
+        slp = np.asarray(g["lp"].to_numpy(zero_copy_only=False))
+        n = np.asarray(g["cnt"].to_numpy(zero_copy_only=False))
+        avg = np.round(np.where(n > 0, slp, 0.0) / np.maximum(n, 1), 4)
+        return pa.table({"doc_id": g["doc_id"],
+                         "lm_logprob": pa.array(avg, pa.float64(),
+                                                mask=(n == 0)),
+                         "n_bigrams": pa.array(n, pa.int64())})
+
+    return hash_aggregate(stream, ["doc_id"], sum_doc, final)
+
+
+LM_SCORE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                     x -> x <> '') AS ts
+  FROM documents
+), bg AS (
+  SELECT doc_id,
+         unnest([ts[i] || ' ' || ts[i+1] for i in range(1, len(ts))])
+             AS bigram
+  FROM toks
+), bgc AS (
+  SELECT bigram, count(*) AS c FROM bg GROUP BY 1
+), w1c AS (
+  SELECT split_part(bigram, ' ', 1) AS w1, sum(c) AS cw1
+  FROM bgc GROUP BY 1
+), vocab AS (
+  SELECT count(DISTINCT t) AS v
+  FROM (SELECT unnest(ts) AS t FROM toks)
+), scored AS (
+  SELECT b.doc_id,
+         log2((bgc.c + 1.0) / (w1c.cw1 + vocab.v)) AS lp
+  FROM bg b
+  JOIN bgc USING (bigram)
+  JOIN w1c ON split_part(b.bigram, ' ', 1) = w1c.w1
+  CROSS JOIN vocab
+), per_doc AS (
+  SELECT doc_id, sum(lp) AS slp, count(*) AS n FROM scored GROUP BY 1
+)
+SELECT d.doc_id,
+       round(p.slp / p.n, 4) AS lm_logprob,
+       CAST(coalesce(p.n, 0) AS BIGINT) AS n_bigrams
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+def _chunk_docs(sf_dir: str):
+    """RAG-style overlapping character chunking: every document becomes
+    ceil(max(len−W, 0)/S)+1 chunks of width ``CHUNK_W`` at stride
+    ``CHUNK_S`` (empty text → one '' chunk, so the operator is
+    count-predictable for downstream packing).  Stateless vectorized
+    ``map_batches`` — embarrassingly parallel, no exchange."""
+    import ray.data as rd
+
+    from ..functions.text import chunk_docs_batch
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return docs.map_batches(chunk_docs_batch, batch_format="pyarrow")
+
+
+def _chunk_docs_sql() -> str:
+    from ..functions.text import CHUNK_S, CHUNK_W
+
+    # unnest-a-list-comprehension instead of a lateral generate_series
+    # (DuckDB's table function rejects lateral column parameters;
+    # same idiom as NOVEL_BIGRAMS_SQL)
+    return f"""
+WITH d AS (
+  SELECT doc_id, coalesce(text, '') AS t,
+         CAST(ceil(greatest(len(coalesce(text, '')) - {CHUNK_W}, 0)
+                   / {CHUNK_S}.0) AS BIGINT) + 1 AS nc
+  FROM documents
+), e AS (
+  SELECT doc_id, t, unnest([j for j in range(0, nc)]) AS i FROM d
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_id,
+       substr(t, 1 + i * {CHUNK_S}, {CHUNK_W}) AS chunk
+FROM e
+"""
+
+
 def registry() -> Registry:
     from .sparql_queries import REGISTRY as SPARQL_REGISTRY
 
@@ -3020,6 +3299,8 @@ def registry() -> Registry:
         "segment_dedup": (_segment_dedup, SEGMENT_DEDUP_SQL),
         "dup_span_docs": (_dup_spans, _dup_spans_sql()),
         "tfidf_top_terms": (_tfidf_top_terms, _tfidf_sql()),
+        "lm_score": (_lm_score, LM_SCORE_SQL),
+        "chunk_docs": (_chunk_docs, _chunk_docs_sql()),
         "pagerank_clicks": (_pagerank_clicks, _pagerank_sql()),
         "stratified_sample": (_stratified_sample, STRATIFIED_SAMPLE_SQL),
         "source_mixture": (_source_mixture, SOURCE_MIXTURE_SQL),
