@@ -528,3 +528,53 @@ def distinct_tokens_batch(b: pa.Table) -> pa.Table:
            .unique()
            .to_arrow())
     return pa.table({"tok": out["tok"].cast(pa.string())})
+
+
+#: DSIR importance-weight target slice: the "high-quality target
+#: distribution" stands in as the English subset of the corpus —
+#: deterministic, present in every fuzz corpus, mirrored by the oracle.
+DSIR_TARGET_LANG = "en"
+
+
+def token_lang_tf_batch(b: pa.Table) -> pa.Table:
+    """(doc_id, text, lang) → per-batch PARTIAL unigram counts
+    (tok, c_all, c_tgt): every token occurrence counted once in
+    ``c_all`` and, when the document's lang equals
+    ``DSIR_TARGET_LANG``, once in ``c_tgt`` — the single-pass map side
+    of DSIR importance-weight training (both distributions in one
+    exchange).  Vectorized polars."""
+    import polars as pl
+    import pyarrow.compute as pc
+
+    df = (pl.from_arrow(b.select(["text", "lang"]))
+          .with_columns(pl.col("text").fill_null(""),
+                        tgt=(pl.col("lang") == DSIR_TARGET_LANG)
+                        .fill_null(False)))
+    out = (df.select(pl.col("tgt"),
+                     pl.col("text").str.extract_all(TOKEN_RE2)
+                     .alias("tok"))
+           .explode("tok", empty_as_null=True)
+           .drop_nulls("tok")
+           .group_by(["tok"])
+           .agg(c_all=pl.len().cast(pl.Int64),
+                c_tgt=pl.col("tgt").sum().cast(pl.Int64))
+           .to_arrow())
+    return pa.table({"tok": out["tok"].cast(pa.string()),
+                     "c_all": out["c_all"].cast(pa.int64()),
+                     "c_tgt": out["c_tgt"].cast(pa.int64())})
+
+
+def doc_token_batch(b: pa.Table) -> pa.Table:
+    """(doc_id, text) → (doc_id, tok) per OCCURRENCE — the scoring side
+    of DSIR's distributed-join plan."""
+    import polars as pl
+
+    out = (_pl_docs(b)
+           .select(pl.col("doc_id"),
+                   pl.col("text").str.extract_all(TOKEN_RE2)
+                   .alias("tok"))
+           .explode("tok", empty_as_null=True)
+           .drop_nulls("tok")
+           .to_arrow())
+    return pa.table({"doc_id": out["doc_id"].cast(b["doc_id"].type),
+                     "tok": out["tok"].cast(pa.string())})

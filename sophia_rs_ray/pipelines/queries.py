@@ -3200,6 +3200,183 @@ FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
 
 
+def _dsir_token_counts(sf_dir: str):
+    """Single-pass DSIR count training: (tok, c_all, c_tgt) over the
+    whole corpus — both the general and the target (lang = en)
+    unigram distributions in ONE combiner-first exchange."""
+    import ray.data as rd
+
+    from ..functions.exchange import hash_aggregate
+    from ..functions.text import token_lang_tf_batch
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "lang"])
+    partials = docs.map_batches(token_lang_tf_batch,
+                                batch_format="pyarrow")
+
+    def sums(t: pa.Table) -> pa.Table:
+        return (t.group_by(["tok"])
+                .aggregate([("c_all", "sum"), ("c_tgt", "sum")])
+                .rename_columns(["tok", "c_all", "c_tgt"]))
+
+    return hash_aggregate(partials, ["tok"], sums, sums)
+
+
+def _dsir_lr_table(counts: pa.Table, tt: int, at: int, v: int) -> pa.Table:
+    """(tok, c_all, c_tgt) + totals → (tok, lr) per-token importance
+    log-ratio: lr = log2((c_tgt+1)/(TT+V)) − log2((c_all+1)/(AT+V)) —
+    add-one-smoothed target-vs-general unigram LM ratio (the DSIR
+    importance weight with exact integer counts)."""
+    tgt = (counts["c_tgt"].to_numpy(zero_copy_only=False) + 1.0) \
+        / (tt + float(v))
+    gen = (counts["c_all"].to_numpy(zero_copy_only=False) + 1.0) \
+        / (at + float(v))
+    return pa.table({"tok": counts["tok"].combine_chunks()
+                     .cast(pa.string()),
+                     "lr": pa.array(np.log2(tgt) - np.log2(gen),
+                                    pa.float64())})
+
+
+def _dsir_weights(sf_dir: str):
+    """DSIR-style per-document importance weight (Xie et al. 2023,
+    reduced to exact unigram counts): train target (lang = en) and
+    general unigram LMs on the corpus in one exchange, weight each doc
+    by the mean per-occurrence log2 likelihood ratio.  Docs scoring
+    high look most like the target slice — the data-selection signal.
+
+    Two streaming passes (count, score).  Default plan broadcasts the
+    (tok, lr) table (gated, per-worker cached frame); above
+    ``_LM_BROADCAST_LIMIT`` distinct tokens it auto-routes through the
+    distributed-join plan, pinned equal in tests/test_lm_chunk.py."""
+    import ray
+    import ray.data as rd
+
+    from ..functions.text import doc_token_batch
+
+    cnt = _dsir_token_counts(sf_dir)
+    rows = cnt.take(_LM_BROADCAST_LIMIT + 1)
+    if len(rows) > _LM_BROADCAST_LIMIT:
+        return _dsir_weights_exchange(sf_dir, cnt)
+    counts = pa.table({
+        "tok": pa.array([r["tok"] for r in rows], pa.string()),
+        "c_all": pa.array([r["c_all"] for r in rows], pa.int64()),
+        "c_tgt": pa.array([r["c_tgt"] for r in rows], pa.int64())})
+    tt = int(pc.sum(counts["c_tgt"]).as_py() or 0)
+    at = int(pc.sum(counts["c_all"]).as_py() or 0)
+    ref = ray.put(_dsir_lr_table(counts, tt, at, counts.num_rows))
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def score(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        lrf = _cached_lm_frame(ref)
+        pairs = pl.from_arrow(doc_token_batch(b))
+        agg = (pairs.join(lrf, on="tok", how="left")
+               .group_by("doc_id")
+               .agg(slr=pl.col("lr").sum(), n=pl.col("lr").count()))
+        out = (pl.from_arrow(b.select(["doc_id"]))
+               .join(agg, on="doc_id", how="left")
+               .with_columns(n=pl.col("n").fill_null(0)))
+        slr = out["slr"].to_numpy()
+        n = out["n"].to_numpy().astype(np.int64)
+        avg = np.round(np.where(n > 0, slr, 0.0) / np.maximum(n, 1), 4)
+        return pa.table({
+            "doc_id": out["doc_id"].to_arrow().cast(b["doc_id"].type),
+            "dsir_weight": pa.array(avg, pa.float64(), mask=(n == 0)),
+            "n_tokens": pa.array(n, pa.int64())})
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+def _dsir_weights_exchange(sf_dir: str, cnt):
+    """Distributed-join DSIR plan (no broadcast): totals come from O(1)
+    dataset aggregates over the materialized count partitions, lr is a
+    pure per-row function of (c_all, c_tgt, totals) — no co-location
+    constraint (unlike the bigram LM's w1 window) — then the usual
+    hash-join + zeros-union + doc-mean exchange."""
+    import ray.data as rd
+
+    from ..functions.exchange import (auto_partitions, exchange_join,
+                                      hash_aggregate)
+    from ..functions.text import doc_token_batch
+
+    tt = int(cnt.sum("c_tgt") or 0)
+    at = int(cnt.sum("c_all") or 0)
+    v = cnt.count()
+
+    lr = cnt.map_batches(lambda t: _dsir_lr_table(t, tt, at, v),
+                         batch_format="pyarrow")
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    pairs = docs.map_batches(doc_token_batch, batch_format="pyarrow")
+    joined = exchange_join(pairs, lr, "inner", auto_partitions(pairs),
+                           on=["tok"])
+
+    def scored_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"],
+                         "lr": t["lr"],
+                         "cnt": pa.array([1] * t.num_rows, pa.int64())})
+
+    def zeros(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b["doc_id"],
+                         "lr": pa.array([0.0] * len(b), pa.float64()),
+                         "cnt": pa.array([0] * len(b), pa.int64())})
+
+    stream = (joined.map_batches(scored_rows, batch_format="pyarrow")
+              .union(docs.map_batches(zeros, batch_format="pyarrow")))
+
+    def sum_doc(t: pa.Table) -> pa.Table:
+        return (t.group_by(["doc_id"])
+                .aggregate([("lr", "sum"), ("cnt", "sum")])
+                .rename_columns(["doc_id", "lr", "cnt"]))
+
+    def final(t: pa.Table) -> pa.Table:
+        g = sum_doc(t)
+        slr = np.asarray(g["lr"].to_numpy(zero_copy_only=False))
+        n = np.asarray(g["cnt"].to_numpy(zero_copy_only=False))
+        avg = np.round(np.where(n > 0, slr, 0.0) / np.maximum(n, 1), 4)
+        return pa.table({"doc_id": g["doc_id"],
+                         "dsir_weight": pa.array(avg, pa.float64(),
+                                                 mask=(n == 0)),
+                         "n_tokens": pa.array(n, pa.int64())})
+
+    return hash_aggregate(stream, ["doc_id"], sum_doc, final)
+
+
+DSIR_WEIGHTS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         lang = 'en' AS tgt,
+         unnest(list_filter(string_split_regex(coalesce(text, ''),
+                '\s+'), x -> x <> '')) AS tok
+  FROM documents
+), cnt AS (
+  SELECT tok,
+         count(*) AS c_all,
+         sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS c_tgt
+  FROM toks GROUP BY 1
+), tot AS (
+  SELECT sum(c_all) AS at, sum(c_tgt) AS tt, count(*) AS v FROM cnt
+), lr AS (
+  SELECT tok,
+         log2((c_tgt + 1.0) / (tot.tt + tot.v))
+           - log2((c_all + 1.0) / (tot.at + tot.v)) AS lr
+  FROM cnt CROSS JOIN tot
+), per_doc AS (
+  SELECT t.doc_id, sum(l.lr) AS slr, count(*) AS n
+  FROM toks t JOIN lr l USING (tok)
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       round(p.slr / p.n, 4) AS dsir_weight,
+       CAST(coalesce(p.n, 0) AS BIGINT) AS n_tokens
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 def _chunk_docs(sf_dir: str):
     """RAG-style overlapping character chunking: every document becomes
     ceil(max(len−W, 0)/S)+1 chunks of width ``CHUNK_W`` at stride
@@ -3301,6 +3478,7 @@ def registry() -> Registry:
         "tfidf_top_terms": (_tfidf_top_terms, _tfidf_sql()),
         "lm_score": (_lm_score, LM_SCORE_SQL),
         "chunk_docs": (_chunk_docs, _chunk_docs_sql()),
+        "dsir_weights": (_dsir_weights, DSIR_WEIGHTS_SQL),
         "pagerank_clicks": (_pagerank_clicks, _pagerank_sql()),
         "stratified_sample": (_stratified_sample, STRATIFIED_SAMPLE_SQL),
         "source_mixture": (_source_mixture, SOURCE_MIXTURE_SQL),

@@ -136,3 +136,80 @@ def test_chunk_docs_covers_every_char(ray_session, tmp_path):
         rebuilt = "".join(chunks[i][:CHUNK_S] for i in ids[:-1])
         rebuilt += chunks[ids[-1]]
         assert rebuilt == texts[doc_id]
+
+
+def _brute_dsir(texts, langs):
+    """Python reference: add-one-smoothed target-vs-general unigram
+    log2 likelihood ratio, per-occurrence mean per doc."""
+    from collections import Counter
+
+    from sophia_rs_ray.functions.text import DSIR_TARGET_LANG, tokens_of
+
+    c_all, c_tgt = Counter(), Counter()
+    per_doc = []
+    for t, lg in zip(texts, langs):
+        tk = tokens_of(t or "")
+        per_doc.append(tk)
+        c_all.update(tk)
+        if lg == DSIR_TARGET_LANG:
+            c_tgt.update(tk)
+    v = len(c_all)
+    at = sum(c_all.values())
+    tt = sum(c_tgt.values())
+    out = []
+    for doc_id, tk in enumerate(per_doc):
+        if not tk:
+            out.append((doc_id, None, 0))
+            continue
+        lrs = [math.log2((c_tgt[t] + 1.0) / (tt + v))
+               - math.log2((c_all[t] + 1.0) / (at + v)) for t in tk]
+        out.append((doc_id, round(sum(lrs) / len(lrs), 4), len(tk)))
+    return out
+
+
+DSIR_LANGS = ["en", "fr", "en", "de", "en", "fr", "en"]
+
+
+def _write_docs_langs(tmp_path, texts, langs):
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+        "source": pa.array(["t"] * len(texts), pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_dsir_weights_matches_brute_force(ray_session, tmp_path):
+    from sophia_rs_ray.pipelines.queries import _dsir_weights
+
+    sf = _write_docs_langs(tmp_path, CORPUS, DSIR_LANGS)
+    got = sorted(
+        (r["doc_id"],
+         None if r["dsir_weight"] is None else round(r["dsir_weight"], 4),
+         r["n_tokens"])
+        for r in _dsir_weights(sf).take_all())
+    want = _brute_dsir(CORPUS, DSIR_LANGS)
+    assert got == want
+    # target-slice docs must score higher on average than the rest
+    # (the selection property DSIR exists for)
+    tgt = [w for (d, w, n), lg in zip(got, DSIR_LANGS)
+           if w is not None and lg == "en"]
+    oth = [w for (d, w, n), lg in zip(got, DSIR_LANGS)
+           if w is not None and lg != "en"]
+    assert sum(tgt) / len(tgt) > sum(oth) / len(oth)
+
+
+def test_dsir_weights_plan_equivalence(ray_session, tmp_path, monkeypatch):
+    import sophia_rs_ray.pipelines.queries as Q
+
+    sf = _write_docs_langs(tmp_path, CORPUS, DSIR_LANGS)
+    broadcast = sorted(
+        (r["doc_id"], r["dsir_weight"], r["n_tokens"])
+        for r in Q._dsir_weights(sf).take_all())
+    monkeypatch.setattr(Q, "_LM_BROADCAST_LIMIT", 0)
+    routed = sorted(
+        (r["doc_id"], r["dsir_weight"], r["n_tokens"])
+        for r in Q._dsir_weights(sf).take_all())
+    assert routed == broadcast
