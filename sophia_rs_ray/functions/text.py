@@ -578,3 +578,33 @@ def doc_token_batch(b: pa.Table) -> pa.Table:
            .to_arrow())
     return pa.table({"doc_id": out["doc_id"].cast(b["doc_id"].type),
                      "tok": out["tok"].cast(pa.string())})
+
+
+def lm_train_batch(b: pa.Table) -> pa.Table:
+    """(doc_id, text) → fused per-batch LM-training partials
+    (key, c, is_tok): bigram occurrence counts (is_tok = false) and
+    batch-distinct tokens (is_tok = true, c = 1) in ONE docs pass —
+    one exchange trains both the bigram table and |V|.  Keys cannot
+    collide across kinds: bigrams contain the ' ' joiner, tokens are
+    whitespace-free by construction."""
+    import polars as pl
+
+    bigram = (pl.element() + " " + pl.element().shift(-1)).drop_nulls()
+    df = _pl_docs(b).select(
+        pl.col("text").str.extract_all(TOKEN_RE2).alias("tok"))
+    bg = (df.select(pl.col("tok").list.eval(bigram).alias("key"))
+          .explode("key", empty_as_null=True)
+          .drop_nulls("key")
+          .group_by("key").len(name="c")
+          .with_columns(c=pl.col("c").cast(pl.Int64),
+                        is_tok=pl.lit(False)))
+    tk = (df.explode("tok", empty_as_null=True)
+          .drop_nulls("tok")
+          .unique()
+          .select(key=pl.col("tok"),
+                  c=pl.lit(1, dtype=pl.Int64),
+                  is_tok=pl.lit(True)))
+    out = pl.concat([bg, tk]).to_arrow()
+    return pa.table({"key": out["key"].cast(pa.string()),
+                     "c": out["c"].cast(pa.int64()),
+                     "is_tok": out["is_tok"].cast(pa.bool_())})
