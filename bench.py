@@ -114,7 +114,8 @@ def run_bench() -> dict:
                  "novel_bigrams", "source_stats", "segment_dedup",
                  "stratified_sample", "decontaminate_docs",
                  "pack_sequences", "semdedup_docs", "dup_span_docs",
-                 "lm_score", "chunk_docs", "dsir_weights"):
+                 "lm_score", "chunk_docs", "dsir_weights",
+                 "vocab_hll", "heavy_hitters_cms"):
         fn, _sql = reg[name]
         t0 = time.perf_counter()
         res = fn(SF_DIR)

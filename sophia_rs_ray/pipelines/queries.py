@@ -3372,6 +3372,180 @@ FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
 
 
+def _vocab_hll(sf_dir: str):
+    """HyperLogLog distinct-token estimate (p=12, m=4096) — THE
+    100-TB cardinality primitive: per-batch (bucket, maxrank) partials
+    merge by per-bucket MAX through one exchange, so the wire carries
+    ≤ m rows per block regardless of corpus size (no distinct-token
+    shuffle at all, unlike the exact |V| pass).  Deterministic
+    (md5-derived hashes) and built from exact integer / binary-fraction
+    arithmetic, so the DuckDB oracle reproduces the estimate
+    bit-for-bit; accuracy-vs-exact gated in tests/test_sketches.py."""
+    import ray.data as rd
+
+    from ..functions.exchange import hash_aggregate
+    from ..functions.sketches import hll_estimate, hll_partial_batch
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    partials = docs.map_batches(hll_partial_batch,
+                                batch_format="pyarrow")
+
+    def merge(t: pa.Table) -> pa.Table:
+        return (t.group_by(["bucket"]).aggregate([("maxrank", "max")])
+                .rename_columns(["bucket", "maxrank"]))
+
+    merged = hash_aggregate(partials, ["bucket"], merge, merge)
+    rows = merged.take_all()          # ≤ m = 4096 rows — bounded
+    est = hll_estimate(
+        np.array([r["bucket"] for r in rows], np.int64),
+        np.array([r["maxrank"] for r in rows], np.int64))
+    return pa.table({
+        "est_distinct": pa.array([est["est_distinct"]], pa.float64()),
+        "nonzero_buckets": pa.array([est["nonzero_buckets"]],
+                                    pa.int64()),
+        "m": pa.array([est["m"]], pa.int64())})
+
+
+def _vocab_hll_sql() -> str:
+    from ..functions.sketches import HLL_M, HLL_RANK_BITS
+
+    mask = (1 << HLL_RANK_BITS) - 1
+    rmax = HLL_RANK_BITS + 1
+    return rf"""
+WITH toks AS (
+  SELECT DISTINCT
+         unnest(list_filter(string_split_regex(coalesce(text, ''),
+                '\s+'), x -> x <> '')) AS tok
+  FROM documents
+), h AS (
+  SELECT CAST('0x' || substr(md5(tok), 1, 8) AS UBIGINT) AS hv FROM toks
+), br AS (
+  SELECT hv >> {HLL_RANK_BITS} AS bucket,
+         CASE WHEN (hv & {mask}) = 0 THEN {rmax}
+              ELSE {rmax} - length(bin(hv & {mask})) END AS rank
+  FROM h
+), mx AS (
+  SELECT bucket, max(rank) AS maxrank FROM br GROUP BY 1
+), agg AS (
+  SELECT count(*) AS nonzero,
+         sum(power(2.0, -maxrank)) AS s
+  FROM mx
+), es AS (
+  SELECT nonzero, {HLL_M} - nonzero AS zeros,
+         (0.7213 / (1 + 1.079 / {HLL_M})) * {HLL_M} * {HLL_M}
+             / (s + ({HLL_M} - nonzero)) AS raw
+  FROM agg
+)
+SELECT round(CASE WHEN raw <= 2.5 * {HLL_M} AND zeros > 0
+                  THEN {HLL_M} * ln(CAST({HLL_M} AS DOUBLE) / zeros)
+                  ELSE raw END, 4) AS est_distinct,
+       CAST(nonzero AS BIGINT) AS nonzero_buckets,
+       CAST({HLL_M} AS BIGINT) AS m
+FROM es
+"""
+
+
+def _heavy_hitters(sf_dir: str):
+    """Count-Min heavy hitters: the exact top-``CMS_TOP_K`` tokens by
+    corpus frequency, each with its Count-Min sketch estimate — the
+    mergeable-sketch alternative to a full token exchange (the CMS
+    state is d×w counters SUMmed per cell through one exchange; at
+    100 TB only the fixed 16 KiB sketch crosses the wire per block).
+    Integer-exact throughout, so the DuckDB oracle bit-compares; the
+    CMS ≥ exact overestimate law is gated in tests/test_sketches.py."""
+    import ray.data as rd
+
+    from ..functions.exchange import hash_aggregate
+    from ..functions.sketches import (CMS_TOP_K, cms_lookup,
+                                      cms_partial_batch)
+    from ..functions.text import token_tf_batch
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    # CMS cells: one exchange over ≤ d·w partial rows per block
+    cell_rows = hash_aggregate(
+        docs.map_batches(cms_partial_batch, batch_format="pyarrow"),
+        ["row", "cell"],
+        lambda t: (t.group_by(["row", "cell"])
+                   .aggregate([("c", "sum")])
+                   .rename_columns(["row", "cell", "c"])),
+        lambda t: (t.group_by(["row", "cell"])
+                   .aggregate([("c", "sum")])
+                   .rename_columns(["row", "cell", "c"]))).take_all()
+    cells = {(r["row"], r["cell"]): r["c"] for r in cell_rows}
+
+    # exact top-K candidates (combiner exchange + per-block top-k)
+    def drop_doc(t: pa.Table) -> pa.Table:
+        return (t.group_by(["tok"]).aggregate([("tf", "sum")])
+                .rename_columns(["tok", "c"]))
+
+    def sum_c(t: pa.Table) -> pa.Table:
+        return (t.group_by(["tok"]).aggregate([("c", "sum")])
+                .rename_columns(["tok", "c"]))
+
+    counts = hash_aggregate(
+        docs.map_batches(token_tf_batch, batch_format="pyarrow"),
+        ["tok"], drop_doc, sum_c)
+
+    def topk_block(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[("c", "descending"),
+                                            ("tok", "ascending")])
+        return t.take(idx[:CMS_TOP_K])
+
+    local = counts.map_batches(topk_block, batch_format="pyarrow")
+    merged = pa.Table.from_pylist(local.take_all())
+    if merged.num_rows == 0:
+        return pa.table({"tok": pa.array([], pa.string()),
+                         "c_exact": pa.array([], pa.int64()),
+                         "c_cms": pa.array([], pa.int64())})
+    idx = pc.sort_indices(merged, sort_keys=[("c", "descending"),
+                                             ("tok", "ascending")])
+    top = merged.take(idx[:CMS_TOP_K])
+    toks = top["tok"].to_pylist()
+    return pa.table({
+        "tok": pa.array(toks, pa.string()),
+        "c_exact": top["c"].cast(pa.int64()),
+        "c_cms": pa.array([cms_lookup(cells, t) for t in toks],
+                          pa.int64())})
+
+
+def _heavy_hitters_sql() -> str:
+    from ..functions.sketches import CMS_D, CMS_TOP_K, CMS_W
+
+    rows = ", ".join(str(i) for i in range(CMS_D))
+    return rf"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(coalesce(text, ''),
+                '\s+'), x -> x <> '')) AS tok
+  FROM documents
+), cnt AS (
+  SELECT tok, count(*) AS c FROM toks GROUP BY 1
+), topk AS (
+  SELECT tok, c FROM cnt ORDER BY c DESC, tok LIMIT {CMS_TOP_K}
+), cells AS (
+  SELECT r.i AS row,
+         CAST('0x' || substr(md5(r.i || ':' || tok), 1, 8) AS UBIGINT)
+             % {CMS_W} AS cell,
+         sum(c) AS v
+  FROM cnt CROSS JOIN (SELECT unnest([{rows}]) AS i) r
+  GROUP BY 1, 2
+), tk_cells AS (
+  SELECT t.tok, t.c, r.i AS row,
+         CAST('0x' || substr(md5(r.i || ':' || t.tok), 1, 8) AS UBIGINT)
+             % {CMS_W} AS cell
+  FROM topk t CROSS JOIN (SELECT unnest([{rows}]) AS i) r
+)
+SELECT tc.tok,
+       CAST(tc.c AS BIGINT) AS c_exact,
+       CAST(min(ce.v) AS BIGINT) AS c_cms
+FROM tk_cells tc
+JOIN cells ce ON tc.row = ce.row AND tc.cell = ce.cell
+GROUP BY 1, 2
+"""
+
+
 def _chunk_docs(sf_dir: str):
     """RAG-style overlapping character chunking: every document becomes
     ceil(max(len−W, 0)/S)+1 chunks of width ``CHUNK_W`` at stride
@@ -3474,6 +3648,8 @@ def registry() -> Registry:
         "lm_score": (_lm_score, LM_SCORE_SQL),
         "chunk_docs": (_chunk_docs, _chunk_docs_sql()),
         "dsir_weights": (_dsir_weights, DSIR_WEIGHTS_SQL),
+        "vocab_hll": (_vocab_hll, _vocab_hll_sql()),
+        "heavy_hitters_cms": (_heavy_hitters, _heavy_hitters_sql()),
         "pagerank_clicks": (_pagerank_clicks, _pagerank_sql()),
         "stratified_sample": (_stratified_sample, STRATIFIED_SAMPLE_SQL),
         "source_mixture": (_source_mixture, SOURCE_MIXTURE_SQL),

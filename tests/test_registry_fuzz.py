@@ -20,7 +20,8 @@ DOC_QUERIES = [
     "minhash_bands", "near_dup_clusters", "ngram_jaccard",
     "decontaminate_docs", "pack_sequences", "nt_file_roundtrip",
     "source_mixture", "dup_span_docs", "tfidf_top_terms",
-    "lm_score", "chunk_docs", "dsir_weights",
+    "lm_score", "chunk_docs", "dsir_weights", "vocab_hll",
+    "heavy_hitters_cms",
 ]
 
 _WORDS = ("the of and to a in is that it for le la les de et un une "
