@@ -3096,14 +3096,52 @@ def _lm_score(sf_dir: str):
     return docs.map_batches(score, batch_format="pyarrow")
 
 
+def _doc_mean_exchange(joined, docs, val_col: str, out_col: str,
+                       n_col: str):
+    """Shared tail of the distributed-join scoring plans: per-row
+    (doc_id, val) scores union'd with one zero row per document (so
+    score-less docs survive with a NULL mean — the novel_bigrams
+    idiom) → ONE doc-keyed exchange summing (val, cnt) → rounded mean.
+    Output columns: (doc_id, out_col DOUBLE nullable, n_col BIGINT)."""
+    from ..functions.exchange import hash_aggregate
+
+    def scored_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"],
+                         "val": t[val_col],
+                         "cnt": pa.array([1] * t.num_rows, pa.int64())})
+
+    def zeros(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b["doc_id"],
+                         "val": pa.array([0.0] * len(b), pa.float64()),
+                         "cnt": pa.array([0] * len(b), pa.int64())})
+
+    stream = (joined.map_batches(scored_rows, batch_format="pyarrow")
+              .union(docs.map_batches(zeros, batch_format="pyarrow")))
+
+    def sum_doc(t: pa.Table) -> pa.Table:
+        return (t.group_by(["doc_id"])
+                .aggregate([("val", "sum"), ("cnt", "sum")])
+                .rename_columns(["doc_id", "val", "cnt"]))
+
+    def final(t: pa.Table) -> pa.Table:
+        g = sum_doc(t)
+        s = np.asarray(g["val"].to_numpy(zero_copy_only=False))
+        n = np.asarray(g["cnt"].to_numpy(zero_copy_only=False))
+        avg = np.round(np.where(n > 0, s, 0.0) / np.maximum(n, 1), 4)
+        return pa.table({"doc_id": g["doc_id"],
+                         out_col: pa.array(avg, pa.float64(),
+                                           mask=(n == 0)),
+                         n_col: pa.array(n, pa.int64())})
+
+    return hash_aggregate(stream, ["doc_id"], sum_doc, final)
+
+
 def _lm_score_exchange(sf_dir: str, bg, v: int):
     """Distributed-join scoring plan (no broadcast): re-exchange the
     bigram table on its leading token so each partition holds every
     bigram of its w1s (making the c(w1·) window exact), attach lp
     there, hash-join per-occurrence (doc_id, bigram) pairs against it,
-    then one doc-keyed exchange for the mean.  Zeros are unioned per
-    document so bigram-less docs survive with a NULL score (the
-    novel_bigrams idiom)."""
+    then the shared doc-mean exchange tail."""
     import ray.data as rd
 
     from ..functions.exchange import (auto_partitions, exchange_join,
@@ -3127,36 +3165,8 @@ def _lm_score_exchange(sf_dir: str, bg, v: int):
     pairs = docs.map_batches(doc_bigram_batch, batch_format="pyarrow")
     joined = exchange_join(pairs, lm, "inner", auto_partitions(pairs),
                            on=["bigram"])
-
-    def scored_rows(t: pa.Table) -> pa.Table:
-        return pa.table({"doc_id": t["doc_id"],
-                         "lp": t["lp"],
-                         "cnt": pa.array([1] * t.num_rows, pa.int64())})
-
-    def zeros(b: pa.Table) -> pa.Table:
-        return pa.table({"doc_id": b["doc_id"],
-                         "lp": pa.array([0.0] * len(b), pa.float64()),
-                         "cnt": pa.array([0] * len(b), pa.int64())})
-
-    stream = (joined.map_batches(scored_rows, batch_format="pyarrow")
-              .union(docs.map_batches(zeros, batch_format="pyarrow")))
-
-    def sum_doc(t: pa.Table) -> pa.Table:
-        return (t.group_by(["doc_id"])
-                .aggregate([("lp", "sum"), ("cnt", "sum")])
-                .rename_columns(["doc_id", "lp", "cnt"]))
-
-    def final(t: pa.Table) -> pa.Table:
-        g = sum_doc(t)
-        slp = np.asarray(g["lp"].to_numpy(zero_copy_only=False))
-        n = np.asarray(g["cnt"].to_numpy(zero_copy_only=False))
-        avg = np.round(np.where(n > 0, slp, 0.0) / np.maximum(n, 1), 4)
-        return pa.table({"doc_id": g["doc_id"],
-                         "lm_logprob": pa.array(avg, pa.float64(),
-                                                mask=(n == 0)),
-                         "n_bigrams": pa.array(n, pa.int64())})
-
-    return hash_aggregate(stream, ["doc_id"], sum_doc, final)
+    return _doc_mean_exchange(joined, docs, "lp",
+                              "lm_logprob", "n_bigrams")
 
 
 LM_SCORE_SQL = r"""
@@ -3289,12 +3299,11 @@ def _dsir_weights_exchange(sf_dir: str, cnt):
     """Distributed-join DSIR plan (no broadcast): totals come from O(1)
     dataset aggregates over the materialized count partitions, lr is a
     pure per-row function of (c_all, c_tgt, totals) — no co-location
-    constraint (unlike the bigram LM's w1 window) — then the usual
-    hash-join + zeros-union + doc-mean exchange."""
+    constraint (unlike the bigram LM's w1 window) — then the shared
+    doc-mean exchange tail."""
     import ray.data as rd
 
-    from ..functions.exchange import (auto_partitions, exchange_join,
-                                      hash_aggregate)
+    from ..functions.exchange import auto_partitions, exchange_join
     from ..functions.text import doc_token_batch
 
     tt = int(cnt.sum("c_tgt") or 0)
@@ -3309,36 +3318,8 @@ def _dsir_weights_exchange(sf_dir: str, cnt):
     pairs = docs.map_batches(doc_token_batch, batch_format="pyarrow")
     joined = exchange_join(pairs, lr, "inner", auto_partitions(pairs),
                            on=["tok"])
-
-    def scored_rows(t: pa.Table) -> pa.Table:
-        return pa.table({"doc_id": t["doc_id"],
-                         "lr": t["lr"],
-                         "cnt": pa.array([1] * t.num_rows, pa.int64())})
-
-    def zeros(b: pa.Table) -> pa.Table:
-        return pa.table({"doc_id": b["doc_id"],
-                         "lr": pa.array([0.0] * len(b), pa.float64()),
-                         "cnt": pa.array([0] * len(b), pa.int64())})
-
-    stream = (joined.map_batches(scored_rows, batch_format="pyarrow")
-              .union(docs.map_batches(zeros, batch_format="pyarrow")))
-
-    def sum_doc(t: pa.Table) -> pa.Table:
-        return (t.group_by(["doc_id"])
-                .aggregate([("lr", "sum"), ("cnt", "sum")])
-                .rename_columns(["doc_id", "lr", "cnt"]))
-
-    def final(t: pa.Table) -> pa.Table:
-        g = sum_doc(t)
-        slr = np.asarray(g["lr"].to_numpy(zero_copy_only=False))
-        n = np.asarray(g["cnt"].to_numpy(zero_copy_only=False))
-        avg = np.round(np.where(n > 0, slr, 0.0) / np.maximum(n, 1), 4)
-        return pa.table({"doc_id": g["doc_id"],
-                         "dsir_weight": pa.array(avg, pa.float64(),
-                                                 mask=(n == 0)),
-                         "n_tokens": pa.array(n, pa.int64())})
-
-    return hash_aggregate(stream, ["doc_id"], sum_doc, final)
+    return _doc_mean_exchange(joined, docs, "lr",
+                              "dsir_weight", "n_tokens")
 
 
 DSIR_WEIGHTS_SQL = r"""
@@ -3428,8 +3409,10 @@ WITH toks AS (
 ), mx AS (
   SELECT bucket, max(rank) AS maxrank FROM br GROUP BY 1
 ), agg AS (
+  -- coalesce: an all-empty corpus has no buckets and sum() over
+  -- nothing is NULL, but the harmonic denominator must read 0
   SELECT count(*) AS nonzero,
-         sum(power(2.0, -maxrank)) AS s
+         coalesce(sum(power(2.0, -maxrank)), 0) AS s
   FROM mx
 ), es AS (
   SELECT nonzero, {HLL_M} - nonzero AS zeros,

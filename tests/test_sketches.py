@@ -123,3 +123,28 @@ def test_cms_lookup_matches_reference(ray_session):
         est = cms_lookup(cells, tok)
         assert est >= c
     assert cms_lookup(cells, "never-seen-token-xyzzy") >= 0
+
+
+def test_sketches_empty_corpus_matches_oracle(ray_session, tmp_path):
+    """All-empty corpus: HLL estimates 0 distinct (linear counting with
+    every bucket zero) and CMS reports no heavy hitters — Ray and the
+    DuckDB oracle agree including the sum()-over-nothing NULL trap."""
+    import duckdb
+
+    from sophia_rs_ray.pipelines.queries import registry
+
+    sf = _write_docs(tmp_path, ["", "", "   "])
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    reg = registry()
+    for name in ("vocab_hll", "heavy_hitters_cms"):
+        fn, sql = reg[name]
+        r = fn(sf)
+        mine = (r.to_pandas() if hasattr(r, "to_pandas") else r)
+        want = con.execute(sql).df()
+        mine = mine[sorted(mine.columns)]
+        want = want[sorted(want.columns)]
+        assert len(mine) == len(want), name
+        assert mine.astype(str).values.tolist() == \
+            want.astype(str).values.tolist(), name
