@@ -115,7 +115,7 @@ def run_bench() -> dict:
                  "stratified_sample", "decontaminate_docs",
                  "pack_sequences", "semdedup_docs", "dup_span_docs",
                  "lm_score", "chunk_docs", "dsir_weights",
-                 "vocab_hll", "heavy_hitters_cms"):
+                 "vocab_hll", "heavy_hitters_cms", "clean_corpus"):
         fn, _sql = reg[name]
         t0 = time.perf_counter()
         res = fn(SF_DIR)

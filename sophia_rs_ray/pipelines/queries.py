@@ -3353,6 +3353,81 @@ FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
 
 
+def _clean_corpus(sf_dir: str):
+    """The composed C4/Gopher-style cleaning pipeline — the realistic
+    end-to-end curation flagship: Gopher quality FILTER (integer
+    cross-multiplied thresholds, same plan as ``quality_filter``) →
+    PII redaction of the survivors (vectorized RE2) → exact dedup on
+    the redacted text (first doc_id wins, multiplicity kept).  One
+    semi-join + one content-keyed exchange; every stage streams.
+
+    Output: (doc_id, text_clean, n_dups) — one row per distinct
+    surviving text."""
+    import ray.data as rd
+
+    from ..functions.exchange import auto_partitions, exchange_join, \
+        hash_aggregate
+    from ..functions.text import pii_redact_batch
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    kept = _quality_filter(sf_dir).map_batches(
+        lambda b: b.select(["doc_id"]), batch_format="pyarrow")
+    survivors = exchange_join(docs, kept, "left semi",
+                              auto_partitions(docs), on=["doc_id"])
+
+    def redacted(b: pa.Table) -> pa.Table:
+        r = pii_redact_batch(b)
+        import hashlib
+        ks = [hashlib.sha256((t or "").encode()).hexdigest()
+              for t in r["redacted"].to_pylist()]
+        t = pa.table({"k": pa.array(ks, pa.string()),
+                      "doc_id": r["doc_id"],
+                      "text_clean": r["redacted"],
+                      "one": pa.array([1] * len(r), pa.int64())})
+        return (t.group_by(["k"])
+                .aggregate([("doc_id", "min"), ("text_clean", "min"),
+                            ("one", "sum")])
+                .rename_columns(["k", "doc_id", "text_clean", "n"]))
+
+    def merge(t: pa.Table) -> pa.Table:
+        return (t.group_by(["k"])
+                .aggregate([("doc_id", "min"), ("text_clean", "min"),
+                            ("n", "sum")])
+                .rename_columns(["k", "doc_id", "text_clean", "n"]))
+
+    def final(t: pa.Table) -> pa.Table:
+        g = merge(t)
+        return pa.table({"doc_id": g["doc_id"],
+                         "text_clean": g["text_clean"],
+                         "n_dups": g["n"]})
+
+    return hash_aggregate(
+        survivors.map_batches(redacted, batch_format="pyarrow"),
+        ["k"], merge, final)
+
+
+def _clean_corpus_sql() -> str:
+    from ..functions.text import PII_EMAIL, PII_IPV4, PII_NUM
+
+    return f"""
+WITH kept AS (
+  SELECT doc_id FROM ({QUALITY_FILTER_SQL})
+), red AS (
+  SELECT d.doc_id,
+         regexp_replace(regexp_replace(regexp_replace(d.text,
+             '{PII_EMAIL}', '[EMAIL]', 'g'),
+             '{PII_IPV4}', '[IP]', 'g'),
+             '{PII_NUM}', '[NUM]', 'g') AS text_clean
+  FROM documents d JOIN kept k ON d.doc_id = k.doc_id
+)
+SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+       text_clean,
+       CAST(count(*) AS BIGINT) AS n_dups
+FROM red GROUP BY text_clean
+"""
+
+
 def _vocab_hll(sf_dir: str):
     """HyperLogLog distinct-token estimate (p=12, m=4096) — THE
     100-TB cardinality primitive: per-batch (bucket, maxrank) partials
@@ -3633,6 +3708,7 @@ def registry() -> Registry:
         "dsir_weights": (_dsir_weights, DSIR_WEIGHTS_SQL),
         "vocab_hll": (_vocab_hll, _vocab_hll_sql()),
         "heavy_hitters_cms": (_heavy_hitters, _heavy_hitters_sql()),
+        "clean_corpus": (_clean_corpus, _clean_corpus_sql()),
         "pagerank_clicks": (_pagerank_clicks, _pagerank_sql()),
         "stratified_sample": (_stratified_sample, STRATIFIED_SAMPLE_SQL),
         "source_mixture": (_source_mixture, SOURCE_MIXTURE_SQL),

@@ -213,3 +213,38 @@ def test_dsir_weights_plan_equivalence(ray_session, tmp_path, monkeypatch):
         (r["doc_id"], r["dsir_weight"], r["n_tokens"])
         for r in Q._dsir_weights(sf).take_all())
     assert routed == broadcast
+
+
+def test_clean_corpus_composition(ray_session, tmp_path):
+    """Crafted corpus: the composed pipeline must (a) drop the
+    low-quality docs the Gopher filter drops, (b) redact PII in the
+    survivors, (c) collapse exact post-redaction duplicates to the
+    min doc_id with multiplicity — including docs that become equal
+    ONLY AFTER redaction."""
+    from sophia_rs_ray.pipelines.queries import _clean_corpus
+
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away to the green hills beyond the river where "
+            "many other animals live happily together under warm sun "
+            "light every single afternoon without any worry at all")
+    texts = [
+        good,                                      # 0 survives
+        good,                                      # 1 exact dup of 0
+        good.replace("fox", "cat"),                # 2 distinct survivor
+        "spam " * 60,                              # 3 repetition-killed
+        "x",                                       # 4 too short
+        good + " contact me at alice@example.com today please",   # 5
+        good + " contact me at bob@example.org today please",     # 6
+    ]
+    sf = _write_docs(tmp_path, texts)
+    rows = {r["doc_id"]: r for r in _clean_corpus(sf).take_all()}
+    # 0/1 collapse to 0; 3 (repetition) and 4 (length) are filtered;
+    # 5/6 differ ONLY by email address so they become byte-identical
+    # after redaction and collapse to min doc_id 5 — the
+    # post-redaction-duplicate case the composition order exists for
+    assert set(rows) == {0, 2, 5}
+    assert rows[0]["n_dups"] == 2
+    assert rows[2]["n_dups"] == 1
+    assert rows[5]["n_dups"] == 2
+    assert "[EMAIL]" in rows[5]["text_clean"]
+    assert "alice" not in rows[5]["text_clean"]

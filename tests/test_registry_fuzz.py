@@ -21,7 +21,7 @@ DOC_QUERIES = [
     "decontaminate_docs", "pack_sequences", "nt_file_roundtrip",
     "source_mixture", "dup_span_docs", "tfidf_top_terms",
     "lm_score", "chunk_docs", "dsir_weights", "vocab_hll",
-    "heavy_hitters_cms",
+    "heavy_hitters_cms", "clean_corpus",
 ]
 
 _WORDS = ("the of and to a in is that it for le la les de et un une "
