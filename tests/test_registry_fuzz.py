@@ -132,6 +132,11 @@ SKEW_QUERIES = [
     "near_dup_clusters", "source_stats", "vocab_top_terms",
     "dedup_exact_docs", "token_counts", "stratified_sample",
     "source_mixture",
+    # round-5 continuation: skew (hub tokens / dup-heavy docs) is the
+    # adversarial shape for count-trained models and content-keyed
+    # dedup exchanges
+    "lm_score", "dsir_weights", "vocab_hll", "heavy_hitters_cms",
+    "clean_corpus",
 ]
 _SKEW_SEEDS = range(3)
 
